@@ -1,0 +1,202 @@
+"""Engine configuration.
+
+Mirrors the reference connector's config surface
+(``JdbcAuditSinkConfig.java:34-122`` — insert mode, delete mode,
+``delete.as.update.*``, audit columns, pk fields, batch size, retries)
+as a validated dataclass. Parsing/validation behaviors the reference
+encodes (enum validation ``JdbcAuditSinkConfig.java:132-168``, the
+``col=value`` condition-list parse at ``:102-122``, value ``"null"`` →
+SQL NULL) are reproduced as Python-level checks.
+
+Fidelity notes (SURVEY.md §2 fidelity list):
+
+* ``delete.mode=DELETE`` NPEs in the reference (uninitialized
+  soft-delete statement, ``BufferedRecords.java:133,222``); this engine
+  implements hard delete *correctly* as a first-class mode.
+* ``audit.scn.column`` is parsed-but-dead config in the reference
+  (``JdbcAuditSinkConfig.java:97-107`` and no read sites); we accept and
+  ignore it, preserving the "required but unused" quirk only as an
+  optional field.
+* the ``col != NULL`` guard quirk (``BufferedRecords.java:296-298``) is
+  three-valued-logic faithful by default (a NULL guard value produces a
+  disjunct that never passes); set ``guard_null_is_not_null=True`` to
+  translate intent as ``col IS NOT NULL`` instead.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+
+class InsertMode(str, enum.Enum):
+    """How non-delete change events reach the target table.
+
+    Reference: inherited ``insert.mode`` (test config uses ``UPSERT``,
+    ``BufferedRecordsTest.java:41``).
+    """
+
+    INSERT = "insert"  # append-only, no key matching
+    UPSERT = "upsert"  # MERGE: update matched, insert unmatched
+    UPDATE = "update"  # MERGE: update matched, drop unmatched
+
+
+class DeleteMode(str, enum.Enum):
+    """How delete events are applied.
+
+    Reference enum ``JdbcAuditSinkConfig.java:128-130`` (NONE / UPDATE /
+    DELETE); UPDATE = soft delete ("delete as update").
+    """
+
+    NONE = "none"  # delete events are ignored
+    UPDATE = "update"  # soft delete: mark row, retain subset of fields
+    DELETE = "delete"  # hard delete: remove the row
+
+
+class ConfigError(ValueError):
+    """Invalid engine configuration (mirrors ConfigException paths)."""
+
+
+def parse_conditions(spec: str) -> list[tuple[str, str | None]]:
+    """Parse a ``delete.as.update.identifier``-style condition list.
+
+    ``"OP_TYPE=D,HIST_STATUS=null"`` → ``[("OP_TYPE", "D"),
+    ("HIST_STATUS", None)]``. The literal value ``"null"`` maps to SQL
+    NULL, mirroring ``JdbcAuditSinkConfig.java:102-122``. The first
+    entry is the soft-delete marker column/value; all entries form the
+    "not already deleted" guard (``BufferedRecords.java:287-303``).
+    """
+    out: list[tuple[str, str | None]] = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ConfigError(
+                f"condition {part!r} must be of the form col=value"
+            )
+        col, _, value = part.partition("=")
+        col = col.strip()
+        if not col:
+            raise ConfigError(f"condition {part!r} has an empty column")
+        value = value.strip()
+        out.append((col, None if value.lower() == "null" else value))
+    if not out:
+        raise ConfigError("empty condition list")
+    return out
+
+
+@dataclass
+class SinkConfig:
+    """Full engine configuration (reference: ``JdbcAuditSinkConfig``).
+
+    ``pk_mode`` is record_value in the reference (hard-coded,
+    ``BufferedRecords.java:45``): key fields are plain columns of the
+    change-event row, which is also how this engine works.
+    """
+
+    # --- identity / routing (O3) -------------------------------------
+    table_name_format: str = "${topic}"
+
+    # --- keys / projection (O21, O22) --------------------------------
+    pk_fields: tuple[str, ...] = ("conv_id", "turn_idx")
+    fields_whitelist: tuple[str, ...] | None = None
+
+    # --- apply semantics (O8-O13) ------------------------------------
+    insert_mode: InsertMode = InsertMode.UPSERT
+    delete_mode: DeleteMode = DeleteMode.UPDATE
+    #: change-event op column; values `c`/`u` upsert, `d` delete
+    #: (Debezium-style; reference identifies deletes by the value field
+    #: condition `delete.as.update.identifier=OP_TYPE=D`).
+    op_column: str = "op"
+    op_delete_value: str = "d"
+    #: soft-delete marker + guard conditions, first entry is the marker
+    #: written on soft delete (reference `delete.as.update.identifier`).
+    soft_delete_conditions: tuple[tuple[str, str | None], ...] = (
+        ("op_type", "D"),
+    )
+    #: value fields retained (overwritten from the delete event) on soft
+    #: delete — reference `delete.as.update.value.schema`
+    #: (`BufferedRecordsTest.java:45` uses [UPDATE_TIME, TABLE_NAME]).
+    delete_retain_fields: tuple[str, ...] = ("ts",)
+    #: keys used by the soft-delete match — reference
+    #: `delete.as.update.key` (defaults to pk_fields when None).
+    delete_as_update_key: tuple[str, ...] | None = None
+    guard_null_is_not_null: bool = False
+
+    # --- audit columns (O11) -----------------------------------------
+    audit_ts_column: str = "audit_ts"
+    #: accepted-and-ignored, like the reference's dead `audit.scn.column`
+    audit_scn_column: str | None = None
+
+    # --- ordering ----------------------------------------------------
+    #: ordering authority within a key: applied in ascending order,
+    #: last writer wins (reference applies in Kafka offset order,
+    #: `BufferedRecords.java:103`).
+    order_by_columns: tuple[str, ...] = ("kafka_offset",)
+    partition_column: str = "kafka_partition"
+    offset_column: str = "kafka_offset"
+
+    # --- target layout / scale ---------------------------------------
+    n_buckets: int = 16
+    auto_create: bool = True
+    auto_evolve: bool = True
+    #: salt factor for the two-phase dedup (0/1 = single-phase)
+    dedup_salt: int = 1
+
+    # --- batching / retries (O5, O17) --------------------------------
+    batch_size: int = 3000  # informational: micro-batch is the real unit
+    max_retries: int = 3
+    retry_backoff_ms: int = 1000
+
+    # derived, filled by __post_init__
+    soft_delete_column: str = field(init=False, default="op_type")
+    soft_delete_value: str = field(init=False, default="D")
+
+    def __post_init__(self) -> None:
+        self.insert_mode = InsertMode(self.insert_mode)
+        self.delete_mode = DeleteMode(self.delete_mode)
+        if not self.pk_fields:
+            raise ConfigError("pk_fields must be non-empty")
+        if isinstance(self.soft_delete_conditions, str):
+            self.soft_delete_conditions = tuple(
+                parse_conditions(self.soft_delete_conditions)
+            )
+        if self.delete_mode is DeleteMode.UPDATE:
+            if not self.soft_delete_conditions:
+                raise ConfigError(
+                    "delete_mode=update requires soft_delete_conditions"
+                )
+            col, value = self.soft_delete_conditions[0]
+            if value is None:
+                raise ConfigError(
+                    "soft-delete marker value may not be null"
+                )
+            self.soft_delete_column = col
+            self.soft_delete_value = value
+        if self.delete_as_update_key is None:
+            self.delete_as_update_key = tuple(self.pk_fields)
+        if self.n_buckets < 1:
+            raise ConfigError("n_buckets must be >= 1")
+        if self.dedup_salt < 0:
+            raise ConfigError("dedup_salt must be >= 0")
+        overlap = set(self.delete_retain_fields) & set(self.pk_fields)
+        if overlap:
+            # keys are always written on insert and matched on delete;
+            # listing them as retain fields is redundant, not an error
+            self.delete_retain_fields = tuple(
+                f for f in self.delete_retain_fields if f not in overlap
+            )
+
+    def table_name(self, topic: str) -> str:
+        """Topic → destination table name (reference
+        ``JdbcAuditDbWriter.destinationTable``,
+        ``JdbcAuditDbWriter.java:100-110``: empty result is an error).
+        """
+        name = self.table_name_format.replace("${topic}", topic)
+        if not name:
+            raise ConfigError(
+                f"table name for topic {topic!r} is empty "
+                f"(table_name_format={self.table_name_format!r})"
+            )
+        return name

@@ -1,0 +1,400 @@
+"""Snapshot-versioned, hash-bucketed parquet table with atomic commits.
+
+The reference sink writes to a transactional JDBC database and gets
+atomicity from ``connection.commit()`` (``JdbcAuditDbWriter.java:56-93``)
+and upsert semantics from the database's MERGE. This engine targets a
+data lake instead; since the sandbox has no Iceberg/Delta jars, the
+table format is built from scratch on two public, well-known ideas:
+
+* **hash-bucketed layout** (Hive/Iceberg bucketing): every row lives in
+  bucket ``xxhash64(bucket_key) % n_buckets``; a MERGE only rewrites
+  the buckets that contain touched keys (copy-on-write at bucket
+  granularity) and a key lookup reads exactly one bucket.
+* **manifest-log snapshots** (Delta/Iceberg transaction log): a commit
+  writes new data files, then atomically publishes a JSON snapshot
+  ``_log/v<N>.json`` listing, per bucket, the exact files of this
+  version. Publication uses create-if-absent (``os.link``), so a lost
+  race surfaces as a commit conflict instead of corruption; readers
+  always see a complete snapshot. Old snapshots remain readable (time
+  travel) until vacuumed.
+
+Exactly-once: each snapshot carries ``applied_batches`` — the highest
+batch id applied per streaming source — so a replayed ``foreachBatch``
+invocation (same checkpoint, same batch id) is recognized and skipped
+(the Delta ``txn`` application-transaction pattern).
+
+Scale notes (100 TB): the JSON manifest holds one entry per data file,
+like a single-manifest Iceberg table; with ``n_buckets`` in the
+thousands and periodic compaction the manifest stays in the MBs. The
+data path (parquet read/write, bucket pruning) is fully distributed;
+only the manifest merge is driver-side, mirroring Delta/Iceberg driver
+commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_jdbc_sink_connector_spark.functions.keys import BUCKET_COL, bucket_expr
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+_PART_DIR_COL = "__bucket_p"  # partitionBy twin of BUCKET_COL
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first (optimistic
+    concurrency, like Delta's protocol). Retry from the new snapshot."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema: T.StructType
+    n_buckets: int
+    key_fields: list[str]
+    bucket_key: str
+    #: bucket id (str) -> list of file paths relative to table root
+    buckets: dict[str, list[str]]
+    #: streaming source id -> highest applied batch id
+    applied_batches: dict[str, int] = field(default_factory=dict)
+    stats: dict = field(default_factory=dict)
+    parent: int | None = None
+
+    def to_json(self) -> str:
+        d = dict(self.__dict__)
+        d["schema"] = json.loads(self.schema.json())
+        return json.dumps(d, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        d["schema"] = T.StructType.fromJson(d["schema"])
+        return Snapshot(**d)
+
+    def files(self, buckets: list[int] | None = None) -> list[str]:
+        if buckets is None:
+            return [f for fs in self.buckets.values() for f in fs]
+        return [f for b in buckets for f in self.buckets.get(str(b), [])]
+
+
+class LakeTable:
+    """Handle on a snapshot-versioned bucketed parquet table."""
+
+    def __init__(self, spark: SparkSession, path: str, snapshot: Snapshot):
+        self.spark = spark
+        self.path = path
+        self.snapshot = snapshot
+
+    # -- lifecycle ----------------------------------------------------
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        log = os.path.join(path, _LOG_DIR)
+        return os.path.isdir(log) and any(
+            n.startswith("v") and n.endswith(".json") for n in os.listdir(log)
+        )
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        n_buckets: int = 16,
+        key_fields: tuple[str, ...] | list[str] = (),
+        bucket_key: str | None = None,
+    ) -> "LakeTable":
+        if cls.exists(path):
+            raise FileExistsError(f"lake table already exists at {path}")
+        os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        key_fields = list(key_fields)
+        snap = Snapshot(
+            version=0,
+            schema=schema,
+            n_buckets=n_buckets,
+            key_fields=key_fields,
+            bucket_key=bucket_key or (key_fields[0] if key_fields else ""),
+            buckets={},
+        )
+        t = cls(spark, path, snap)
+        t._publish(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        snap = cls._read_latest(path)
+        if snap is None:
+            raise FileNotFoundError(f"no lake table at {path}")
+        return cls(spark, path, snap)
+
+    def refresh(self) -> "LakeTable":
+        snap = self._read_latest(self.path)
+        assert snap is not None
+        self.snapshot = snap
+        return self
+
+    # -- read ---------------------------------------------------------
+
+    @property
+    def schema(self) -> T.StructType:
+        return self.snapshot.schema
+
+    @property
+    def version(self) -> int:
+        return self.snapshot.version
+
+    def read_schema(self, include_bucket: bool = False) -> T.StructType:
+        fields = list(self.snapshot.schema.fields)
+        if include_bucket:
+            fields.append(T.StructField(BUCKET_COL, T.IntegerType(), True))
+        return T.StructType(fields)
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        include_bucket: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read the table (optionally pruned to ``buckets``).
+
+        The explicit schema projection is what makes schema evolution
+        free: files written before a column was added simply yield NULL
+        for it (parquet missing-column semantics), exactly the
+        null-backfill behavior of ``auto.evolve`` in the reference.
+        """
+        snap = self.snapshot if version is None else self._read_version(version)
+        files = [os.path.join(self.path, f) for f in snap.files(buckets)]
+        schema = self.read_schema(include_bucket)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(*files)
+        return df
+
+    def history(self) -> list[int]:
+        log = os.path.join(self.path, _LOG_DIR)
+        return sorted(
+            int(n[1:-5]) for n in os.listdir(log)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def applied_batch(self, source_id: str) -> int:
+        return self.snapshot.applied_batches.get(source_id, -1)
+
+    # -- write --------------------------------------------------------
+
+    def with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            BUCKET_COL, bucket_expr(self.snapshot.bucket_key, self.snapshot.n_buckets)
+        )
+
+    def commit_rewrite(
+        self,
+        new_data: DataFrame,
+        rewrite_buckets: list[int],
+        new_schema: T.StructType | None = None,
+        source_id: str | None = None,
+        batch_id: int | None = None,
+        stats: dict | None = None,
+    ) -> Snapshot:
+        """Copy-on-write commit: replace ``rewrite_buckets`` with the
+        contents of ``new_data`` (which must carry ``__bucket`` and only
+        rows belonging to those buckets); all other buckets carry over
+        untouched. Optionally evolves the schema and records a batch id
+        for exactly-once.
+        """
+        snap = self.snapshot
+        schema = new_schema or snap.schema
+        version = snap.version + 1
+        commit_name = f"commit-{version:010d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.path, _DATA_DIR, commit_name)
+
+        out_cols = [f.name for f in schema.fields] + [BUCKET_COL]
+        (
+            new_data.withColumn(_PART_DIR_COL, F.col(BUCKET_COL))
+            .select(*out_cols, _PART_DIR_COL)
+            .repartition(F.col(BUCKET_COL))
+            .write.partitionBy(_PART_DIR_COL)
+            .parquet(out_dir)
+        )
+
+        # map written files back to buckets from the directory layout
+        written: dict[str, list[str]] = {}
+        for name in os.listdir(out_dir):
+            if not name.startswith(f"{_PART_DIR_COL}="):
+                continue
+            b = name.split("=", 1)[1]
+            files = [
+                os.path.join(_DATA_DIR, commit_name, name, f)
+                for f in os.listdir(os.path.join(out_dir, name))
+                if f.endswith(".parquet")
+            ]
+            written[b] = sorted(files)
+
+        buckets = dict(snap.buckets)
+        for b in rewrite_buckets:
+            buckets.pop(str(b), None)
+        for b, files in written.items():
+            if int(b) not in set(rewrite_buckets):
+                raise ValueError(
+                    f"new_data contained rows for bucket {b} which is not "
+                    f"in rewrite_buckets={rewrite_buckets}"
+                )
+            buckets[b] = files
+
+        applied = dict(snap.applied_batches)
+        if source_id is not None and batch_id is not None:
+            applied[source_id] = max(batch_id, applied.get(source_id, -1))
+
+        new_snap = Snapshot(
+            version=version,
+            schema=schema,
+            n_buckets=snap.n_buckets,
+            key_fields=snap.key_fields,
+            bucket_key=snap.bucket_key,
+            buckets=buckets,
+            applied_batches=applied,
+            stats=stats or {},
+            parent=snap.version,
+        )
+        try:
+            self._publish(new_snap)
+        except CommitConflict:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
+        self.snapshot = new_snap
+        return new_snap
+
+    def commit_append(
+        self,
+        new_data: DataFrame,
+        new_schema: T.StructType | None = None,
+        source_id: str | None = None,
+        batch_id: int | None = None,
+        stats: dict | None = None,
+    ) -> Snapshot:
+        """Append-only commit: new files are *added* to their buckets,
+        existing files are untouched (no copy-on-write)."""
+        snap = self.snapshot
+        schema = new_schema or snap.schema
+        version = snap.version + 1
+        commit_name = f"commit-{version:010d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.path, _DATA_DIR, commit_name)
+        out_cols = [f.name for f in schema.fields] + [BUCKET_COL]
+        (
+            new_data.withColumn(_PART_DIR_COL, F.col(BUCKET_COL))
+            .select(*out_cols, _PART_DIR_COL)
+            .repartition(F.col(BUCKET_COL))
+            .write.partitionBy(_PART_DIR_COL)
+            .parquet(out_dir)
+        )
+        buckets = {b: list(fs) for b, fs in snap.buckets.items()}
+        for name in os.listdir(out_dir):
+            if not name.startswith(f"{_PART_DIR_COL}="):
+                continue
+            b = name.split("=", 1)[1]
+            files = sorted(
+                os.path.join(_DATA_DIR, commit_name, name, f)
+                for f in os.listdir(os.path.join(out_dir, name))
+                if f.endswith(".parquet")
+            )
+            buckets.setdefault(b, []).extend(files)
+        applied = dict(snap.applied_batches)
+        if source_id is not None and batch_id is not None:
+            applied[source_id] = max(batch_id, applied.get(source_id, -1))
+        new_snap = Snapshot(
+            version=version,
+            schema=schema,
+            n_buckets=snap.n_buckets,
+            key_fields=snap.key_fields,
+            bucket_key=snap.bucket_key,
+            buckets=buckets,
+            applied_batches=applied,
+            stats=stats or {},
+            parent=snap.version,
+        )
+        try:
+            self._publish(new_snap)
+        except CommitConflict:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
+        self.snapshot = new_snap
+        return new_snap
+
+    def commit_metadata(
+        self, new_schema: T.StructType, stats: dict | None = None
+    ) -> Snapshot:
+        """Metadata-only commit (e.g. pure schema evolution)."""
+        snap = self.snapshot
+        new_snap = Snapshot(
+            version=snap.version + 1,
+            schema=new_schema,
+            n_buckets=snap.n_buckets,
+            key_fields=snap.key_fields,
+            bucket_key=snap.bucket_key,
+            buckets=dict(snap.buckets),
+            applied_batches=dict(snap.applied_batches),
+            stats=stats or {},
+            parent=snap.version,
+        )
+        self._publish(new_snap)
+        self.snapshot = new_snap
+        return new_snap
+
+    def overwrite(self, df: DataFrame, source_id: str | None = None,
+                  batch_id: int | None = None) -> Snapshot:
+        """Full-table rewrite (used by tests and compaction)."""
+        data = self.with_bucket(df) if BUCKET_COL not in df.columns else df
+        return self.commit_rewrite(
+            data, list(range(self.snapshot.n_buckets)),
+            source_id=source_id, batch_id=batch_id,
+        )
+
+    # -- internals ----------------------------------------------------
+
+    def _publish(self, snap: Snapshot) -> None:
+        log = os.path.join(self.path, _LOG_DIR)
+        final = os.path.join(log, f"v{snap.version:020d}.json")
+        tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            fh.write(snap.to_json())
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            # create-if-absent: atomic on POSIX; on an object store this
+            # would be the catalog/LogStore putIfAbsent instead
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {snap.version} already committed at {final}"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    @staticmethod
+    def _read_latest(path: str) -> Snapshot | None:
+        log = os.path.join(path, _LOG_DIR)
+        if not os.path.isdir(log):
+            return None
+        names = sorted(
+            n for n in os.listdir(log) if n.startswith("v") and n.endswith(".json")
+        )
+        if not names:
+            return None
+        with open(os.path.join(log, names[-1])) as fh:
+            return Snapshot.from_json(fh.read())
+
+    def _read_version(self, version: int) -> Snapshot:
+        with open(
+            os.path.join(self.path, _LOG_DIR, f"v{version:020d}.json")
+        ) as fh:
+            return Snapshot.from_json(fh.read())

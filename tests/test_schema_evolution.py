@@ -1,0 +1,102 @@
+"""Schema evolution (reference O6 + ``BufferedRecordsTest.java:53-89``):
+new nullable columns appear mid-stream, old rows are null-backfilled,
+two evolution steps, A→B→A interleavings, incompatible changes rejected.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+from kafka_jdbc_sink_connector_spark.config import SinkConfig
+from kafka_jdbc_sink_connector_spark.datagen import (
+    GenSpec,
+    generate_cdc_events,
+    slice_schema_version,
+)
+from kafka_jdbc_sink_connector_spark.operators.evolution import (
+    SchemaEvolutionError,
+)
+
+from tests.test_apply_batch import _events_df, audit_col, ev
+
+
+def test_two_step_evolution_with_backfill(spark, tmp_table):
+    cfg = SinkConfig(n_buckets=4)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    spec = GenSpec(n_events=3000, n_conversations=60,
+                   turns_per_conversation=8)
+    events = generate_cdc_events(spark, spec).cache()
+    try:
+        v1, v2, v3 = (slice_schema_version(events, v) for v in (1, 2, 3))
+        r1 = applier.apply_batch(v1, batch_id=0)
+        assert r1.evolved_columns == []
+        cols_after_v1 = [f.name for f in applier.table().schema.fields]
+        assert "tool" not in cols_after_v1
+
+        r2 = applier.apply_batch(v2, batch_id=1)
+        assert r2.evolved_columns == ["tool"]
+        r3 = applier.apply_batch(v3, batch_id=2)
+        assert r3.evolved_columns == ["meta_source"]
+
+        # engine-managed columns stay at the tail
+        names = [f.name for f in applier.table().schema.fields]
+        assert names[-2:] == ["op_type", "audit_ts"]
+        assert "tool" in names and "meta_source" in names
+
+        tgt = applier.read_target()
+        # rows written before step 1 and never updated: tool is NULL
+        assert tgt.filter(F.col("tool").isNull()).count() > 0
+        # v3 rows carry meta_source
+        assert tgt.filter(F.col("meta_source").isNotNull()).count() > 0
+    finally:
+        events.unpersist()
+
+
+def test_a_b_a_interleaving(spark, tmp_table):
+    """Old-schema events arriving *after* evolution (the A,A,A,B,A
+    corpus of correctBatching): the A-shaped batch still applies; its
+    missing columns read as NULL for the rows it writes."""
+    cfg = SinkConfig(n_buckets=2)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    a1 = [ev(1, "c", "conv-a", 0)]
+    b = [ev(2, "c", "conv-b", 0, tool="tool-1")]
+    a2 = [ev(3, "u", "conv-a", 0, text="after-evolution")]
+    applier.apply_batch(_events_df(spark, a1), batch_id=0)
+    applier.apply_batch(_events_df(spark, b, with_optional=("tool",)),
+                        batch_id=1)
+    applier.apply_batch(_events_df(spark, a2), batch_id=2)
+    got = {r["conv_id"]: r for r in applier.read_target().collect()}
+    assert got["conv-b"]["tool"] == "tool-1"
+    assert got["conv-a"]["text"] == "after-evolution"
+    # the A-shaped update overwrote the full row; tool (absent from its
+    # schema) is NULL — matching MERGE UPDATE SET over all non-key cols
+    assert got["conv-a"]["tool"] is None
+
+
+def test_incompatible_type_change_rejected(spark, tmp_table):
+    cfg = SinkConfig(n_buckets=2)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                        batch_id=0)
+    bad = spark.createDataFrame(
+        [(0, 2, "u", "conv-a", 0, 123, None)],
+        "kafka_partition int, kafka_offset long, op string, "
+        "conv_id string, turn_idx int, text int, ts timestamp",
+    )
+    with pytest.raises(SchemaEvolutionError, match="text"):
+        applier.apply_batch(bad, batch_id=1)
+
+
+def test_auto_evolve_disabled_rejects_new_columns(spark, tmp_table):
+    cfg = SinkConfig(n_buckets=2, auto_evolve=False)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                        batch_id=0)
+    with pytest.raises(SchemaEvolutionError, match="auto_evolve"):
+        applier.apply_batch(
+            _events_df(spark, [ev(2, "c", "conv-b", 0, tool="x")],
+                       with_optional=("tool",)),
+            batch_id=1,
+        )

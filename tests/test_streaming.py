@@ -1,0 +1,271 @@
+"""Streaming: file-source micro-batches, checkpoint restart,
+exactly-once replay, Kafka record parsing, multi-table routing.
+
+Ports the intent of the reference's lifecycle/retry paths
+(``JdbcAuditSinkTask.java``) and the at-least-once → exactly-once
+upgrade (SURVEY.md §2 O16/O17, §5 test plan).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+from kafka_jdbc_sink_connector_spark.config import SinkConfig
+from kafka_jdbc_sink_connector_spark.datagen import GenSpec, generate_cdc_events
+from kafka_jdbc_sink_connector_spark.schemas import CDC_EVENT_SCHEMA_V3
+from kafka_jdbc_sink_connector_spark.sources.cdc import file_stream
+from kafka_jdbc_sink_connector_spark.sources.kafka import (
+    KAFKA_WIRE_SCHEMA,
+    parse_kafka_records,
+)
+from kafka_jdbc_sink_connector_spark.streaming.runner import (
+    CdcStreamRunner,
+    MultiTableRunner,
+)
+
+from tests.oracle import replay
+from tests.test_apply_batch import audit_col
+
+
+def _write_chunks(spark, events, n_chunks, src_dir, n_total):
+    for i in range(n_chunks):
+        lo, hi = i * n_total // n_chunks, (i + 1) * n_total // n_chunks
+        (
+            events.filter(
+                (F.col("kafka_offset") >= lo) & (F.col("kafka_offset") < hi)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+
+
+def test_stream_apply_matches_oracle(spark, tmp_path):
+    cfg = SinkConfig(n_buckets=4)
+    src_dir = str(tmp_path / "incoming")
+    spec = GenSpec(n_events=2000, n_conversations=50,
+                   turns_per_conversation=8, delete_fraction=0.05)
+    events = generate_cdc_events(spark, spec).cache()
+    try:
+        _write_chunks(spark, events, 4, src_dir, spec.n_events)
+        applier = CdcApplier(
+            spark, cfg, str(tmp_path / "tgt"), audit_ts=audit_col()
+        )
+        runner = CdcStreamRunner(applier, str(tmp_path / "ckpt"))
+        stream = file_stream(
+            spark, src_dir, CDC_EVENT_SCHEMA_V3, max_files_per_trigger=1
+        )
+        results = runner.run_available(stream)
+        assert len(results) >= 2  # really micro-batched
+        assert sum(r.n_events for r in results) == spec.n_events
+
+        rows = [r.asDict() for r in events.collect()]
+        payload = ["conv_id", "turn_idx", "role", "text", "ts", "tool",
+                   "meta_source"]
+        want = replay(rows, cfg, payload)
+        got = {
+            (r["conv_id"], r["turn_idx"]): r.asDict()
+            for r in applier.read_target().collect()
+        }
+        assert set(got) == set(want)
+        bad = [
+            (k, got[k]["text"], want[k]["text"])
+            for k in want
+            if got[k]["text"] != want[k]["text"]
+        ]
+        assert not bad, bad[:5]
+    finally:
+        events.unpersist()
+
+
+def test_stream_restart_no_duplicates(spark, tmp_path):
+    """Stop after first run, add more data, restart from the same
+    checkpoint: previously-applied files are not re-applied; new files
+    are. Then force-replay an old batch id directly → skipped."""
+    cfg = SinkConfig(n_buckets=4)
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    spec = GenSpec(n_events=1000, n_conversations=30,
+                   turns_per_conversation=6)
+    events = generate_cdc_events(spark, spec).cache()
+    try:
+        _write_chunks(spark, events, 2, src_dir, 600)  # offsets 0..599
+        applier = CdcApplier(
+            spark, cfg, str(tmp_path / "tgt"), audit_ts=audit_col()
+        )
+        runner = CdcStreamRunner(applier, ckpt)
+        stream = file_stream(spark, src_dir, CDC_EVENT_SCHEMA_V3)
+        runner.run_available(stream)
+        v1 = applier.table().version
+        n1 = applier.read_target().count()
+
+        # restart with no new data: nothing applied
+        runner2 = CdcStreamRunner(applier, ckpt)
+        runner2.run_available(file_stream(spark, src_dir, CDC_EVENT_SCHEMA_V3))
+        assert applier.table().version == v1
+        assert applier.read_target().count() == n1
+
+        # add the rest and restart: only new events applied
+        (
+            events.filter(F.col("kafka_offset") >= 600)
+            .coalesce(1).write.mode("append").parquet(src_dir)
+        )
+        runner3 = CdcStreamRunner(applier, ckpt)
+        runner3.run_available(file_stream(spark, src_dir, CDC_EVENT_SCHEMA_V3))
+
+        rows = [r.asDict() for r in events.collect()]
+        want = replay(rows, cfg,
+                      ["conv_id", "turn_idx", "role", "text", "ts", "tool",
+                       "meta_source"])
+        assert applier.read_target().count() == len(want)
+
+        # crash-replay simulation: re-deliver an already-committed batch
+        res = runner3.process_batch(
+            events.filter(F.col("kafka_offset") < 300), batch_id=0
+        )
+        assert res.skipped
+    finally:
+        events.unpersist()
+
+
+def test_retry_then_success(spark, tmp_path, monkeypatch):
+    """First apply attempt fails (transient), runner retries with
+    backoff and succeeds — reference O17 bounded retry."""
+    cfg = SinkConfig(n_buckets=2, max_retries=2, retry_backoff_ms=10)
+    applier = CdcApplier(
+        spark, cfg, str(tmp_path / "tgt"), audit_ts=audit_col()
+    )
+    calls = {"n": 0}
+    real = applier.apply_batch
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient commit failure")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(applier, "apply_batch", flaky)
+    runner = CdcStreamRunner(applier, str(tmp_path / "ckpt"))
+    df = generate_cdc_events(
+        spark, GenSpec(n_events=50, n_conversations=5, turns_per_conversation=4)
+    )
+    res = runner.process_batch(df, batch_id=0)
+    assert calls["n"] == 2 and not res.skipped
+
+
+def test_retry_exhaustion_raises(spark, tmp_path, monkeypatch):
+    cfg = SinkConfig(n_buckets=2, max_retries=1, retry_backoff_ms=1)
+    applier = CdcApplier(spark, cfg, str(tmp_path / "tgt"))
+
+    def always_fail(*a, **kw):
+        raise RuntimeError("permanent failure")
+
+    monkeypatch.setattr(applier, "apply_batch", always_fail)
+    runner = CdcStreamRunner(applier, str(tmp_path / "ckpt"))
+    df = generate_cdc_events(spark, GenSpec(n_events=10, n_conversations=2))
+    with pytest.raises(RuntimeError, match="permanent"):
+        runner.process_batch(df, batch_id=0)
+
+
+def _kafka_row(partition, offset, key=None, value=None):
+    return (
+        json.dumps(key).encode() if key is not None else None,
+        json.dumps(value).encode() if value is not None else None,
+        "transcripts",
+        partition,
+        offset,
+        None,
+        0,
+    )
+
+
+def test_parse_kafka_records_record_value_and_tombstone(spark):
+    cfg = SinkConfig()
+    rows = [
+        _kafka_row(0, 1, key={"conv_id": "a", "turn_idx": 0},
+                   value={"op": "c", "conv_id": "a", "turn_idx": 0,
+                          "role": "user", "text": "hi",
+                          "ts": "2024-01-01T00:00:00Z"}),
+        # Debezium tombstone: null value, key only → delete event
+        _kafka_row(0, 2, key={"conv_id": "a", "turn_idx": 0}, value=None),
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    from pyspark.sql import types as T
+    value_schema = T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    key_schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+    ])
+    parsed = parse_kafka_records(
+        raw, value_schema, cfg, key_schema=key_schema, pk_mode="record_value"
+    ).orderBy("kafka_offset").collect()
+    assert parsed[0]["op"] == "c" and parsed[0]["text"] == "hi"
+    assert parsed[0]["kafka_partition"] == 0 and parsed[0]["kafka_offset"] == 1
+    # tombstone: op=d, keys recovered from the record key
+    assert parsed[1]["op"] == "d"
+    assert parsed[1]["conv_id"] == "a" and parsed[1]["turn_idx"] == 0
+    assert parsed[1]["text"] is None
+
+
+def test_parse_kafka_records_record_key_mode(spark):
+    cfg = SinkConfig()
+    rows = [
+        _kafka_row(1, 7, key={"conv_id": "k", "turn_idx": 3},
+                   value={"op": "u", "role": "assistant", "text": "yo",
+                          "ts": "2024-01-01T00:00:01Z"}),
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    from pyspark.sql import types as T
+    value_schema = T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    key_schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+    ])
+    p = parse_kafka_records(
+        raw, value_schema, cfg, key_schema=key_schema, pk_mode="record_key"
+    ).collect()[0]
+    assert p["conv_id"] == "k" and p["turn_idx"] == 3 and p["op"] == "u"
+
+
+def test_multi_table_routing(spark, tmp_path):
+    """topic column routes each slice to its own lake table
+    (table.name.format=${topic} semantics)."""
+    cfg = SinkConfig(n_buckets=2)
+    made = {}
+
+    def factory(topic):
+        a = CdcApplier(
+            spark, cfg, str(tmp_path / cfg.table_name(topic)),
+            audit_ts=audit_col(),
+        )
+        made[topic] = a
+        return a
+
+    runner = MultiTableRunner(factory, str(tmp_path / "ckpt"))
+    df = generate_cdc_events(
+        spark, GenSpec(n_events=200, n_conversations=10)
+    ).withColumn(
+        "topic",
+        F.when(F.col("kafka_offset") % 2 == 0, "t_even").otherwise("t_odd"),
+    )
+    runner.process_batch(df, batch_id=0)
+    assert set(made) == {"t_even", "t_odd"}
+    n_even = made["t_even"].read_target().count()
+    n_odd = made["t_odd"].read_target().count()
+    assert n_even > 0 and n_odd > 0

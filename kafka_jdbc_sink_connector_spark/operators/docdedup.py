@@ -1,0 +1,199 @@
+"""Document deduplication operators (exact + near-dup) for
+training-data pipelines, DataFrame-native.
+
+Scale design:
+
+* **exact**: hash-groupBy on ``md5(text)`` — one shuffle on a short
+  key; canonical id = min(doc_id) per group (deterministic).
+* **MinHash + LSH**: signature (no shuffle) → band keys → explode to
+  (band_idx, band_key) → self-join *within buckets only* → candidate
+  pairs → exact Jaccard verify on candidates. The classic
+  shingle→minhash→band→bucket-join pipeline; the only joins are on
+  band buckets and candidate pairs, never all-pairs.
+* **n-gram Jaccard**: inverted-index join on *rare* shingles
+  (document-frequency ≤ ``max_df``), which bounds bucket fan-out the
+  same way frequency-pruned posting lists do; exact Jaccard via
+  |A∩B| / (|A| + |B| - |A∩B|) from shared-shingle counts.
+* **SimHash**: 32-bit signature; near-dups = identical signature (or
+  banded sub-signatures for hamming>0 at scale).
+* **embedding cosine**: see ``operators/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_jdbc_sink_connector_spark.operators.text import (
+    minhash_signature,
+    simhash32,
+    word_shingles,
+)
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """doc_id → canonical_id (min doc_id with identical text hash) +
+    is_dup flag."""
+    h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+    canon = h.groupBy("text_md5").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        h.join(canon, "text_md5")
+        .select(
+            id_col,
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+def shingle_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """(doc_id, shingle) inverted-index rows (distinct per doc)."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias(
+                "shingle"
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_df: int = 20,
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over k-word shingle sets,
+    candidate-generated through shingles with document frequency ≤
+    ``max_df`` (rare-feature inverted index join).
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. Pairs whose
+    only shared shingles are frequent (df > max_df) are not candidates
+    — the standard recall/cost trade documented for posting-pruned
+    similarity joins.
+    """
+    idx = shingle_index(docs, id_col, text_col, k)
+    sizes = idx.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    df_counts = idx.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = idx.join(
+        F.broadcast(df_counts.filter(F.col("df") <= max_df)), "shingle"
+    )
+    a = rare.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = rare.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_rare"))
+    )
+    # n_shared_rare counts only rare shingles; compute the *true*
+    # intersection for candidates via a second semi-join pass
+    cand = shared.select("doc_a", "doc_b")
+    ix = (
+        idx.withColumnRenamed(id_col, "doc_a")
+        .join(cand, "doc_a")
+        .join(
+            idx.select(F.col(id_col).alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    out = (
+        ix.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 8,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded MinHash signatures.
+
+    ``n_perm`` permutations split into ``bands`` bands of
+    ``n_perm // bands`` rows; docs sharing any band key are candidates.
+    Returns (doc_a, doc_b, n_bands_shared), doc_a < doc_b.
+    """
+    rows = n_perm // bands
+    if rows * bands != n_perm:
+        raise ValueError("bands must divide n_perm")
+    sig = docs.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), n_perm, k).alias("sig"),
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band_{b}").alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band_idx", "bk.band_key")
+    a = stacked.select(
+        F.col(id_col).alias("doc_a"), "band_idx", "band_key"
+    )
+    b = stacked.select(
+        F.col(id_col).alias("doc_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+def simhash_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """doc_id, simhash, canonical id per identical-simhash group."""
+    sh = docs.select(
+        F.col(id_col), simhash32(F.col(text_col)).alias("simhash")
+    )
+    canon = sh.groupBy("simhash").agg(F.min(id_col).alias("canonical_id"))
+    return sh.join(canon, "simhash").select(id_col, "simhash", "canonical_id")

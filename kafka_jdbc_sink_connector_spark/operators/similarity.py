@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`knn_bruteforce` — exact cosine top-k for a (small) query set:
+  broadcast the queries, one scan over the corpus, per-query top-k via
+  window. The baseline every ANN variant is measured against.
+* :func:`lsh_buckets` / :func:`lsh_ann_candidates` — random-hyperplane
+  (sign) LSH: ``n_planes`` deterministic hyperplanes (seeded, generated
+  driver-side so the plane constants are plain literals in the plan —
+  and reproducible in the SQL oracle); bucket = sign-bit int. ANN =
+  exact rerank within the query's bucket only.
+
+All arithmetic is JVM-side (``zip_with``/``aggregate`` fold in element
+order, cast to double) — deterministic and engine-portable.
+
+Scale: brute force is O(corpus × queries) but embarrassingly parallel
+and shuffle-free until the final top-k (window over query_id — small).
+LSH cuts the scan to one bucket per query; at 100 TB the bucketed
+corpus would be written bucket-partitioned so a query reads one
+partition (same layout idea as the lake table's key buckets).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _det_unit_floats(seed: int, n: int) -> list[float]:
+    """Deterministic pseudo-uniform floats in [-1, 1) from md5 — no
+    RNG state, reproducible anywhere (incl. the SQL oracle)."""
+    out = []
+    for i in range(n):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        out.append(int(h[:8], 16) / float(2**31) - 1.0)
+    return out
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    return [
+        _det_unit_floats(seed * 1000 + p, dim) for p in range(n_planes)
+    ]
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rank) — exact top-k by cosine,
+    self-matches excluded; ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def plane_dot(vec_col, plane: list[float]):
+    """Dot of an array column with a literal plane, as an ordered fold
+    (element i × constant i) — expressible identically in SQL."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(float(w)) for w in plane]),
+            lambda x, w: x.cast("double") * w,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_buckets(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, bucket) — sign-LSH bucket id in [0, 2^n_planes)."""
+    planes = hyperplanes(n_planes, dim, seed)
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        bucket = bucket + F.when(
+            plane_dot(F.col(vec_col), plane) >= 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return vectors.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_ann_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: exact cosine rerank restricted to the
+    query's LSH bucket (recall < 1, cost ≈ 1/2^n_planes of the scan).
+    """
+    cb = lsh_buckets(corpus, n_planes, seed, id_col, vec_col, dim)
+    qb = lsh_buckets(queries, n_planes, seed, id_col, vec_col, dim)
+    c = corpus.join(cb, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "bucket",
+    )
+    q = queries.join(qb, id_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` expressions (JVM-side, codegen'd,
+no Python in the hot path), designed so an ANSI-SQL oracle (DuckDB)
+can reproduce them bit-for-bit:
+
+* tokenization = trim + split on ``\\s+`` (both engines agree),
+* hashing = ``md5`` hex strings (identical in Spark and DuckDB);
+  hex strings compare lexicographically, so ``min(md5(...))`` is a
+  portable 1-permutation MinHash,
+* simhash bits = the high bit of each md5 hex digit (``8..f`` → 1),
+  avoiding engine-specific hex→int conversions.
+
+At 100 TB these run as a single scan with whole-stage codegen — no
+shuffle at all for the per-document columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny built-in stopword list (public knowledge; keep in sync with the
+#: SQL oracle in __spark_entry__)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+_HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def tokens(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: str | Column) -> Column:
+    return F.size(
+        F.filter(tokens(text), lambda w: F.lower(w).isin(*STOPWORDS))
+    )
+
+
+def avg_word_len(text: str | Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, w: acc + F.length(w)
+    )
+    return F.round(total / F.size(toks), 4)
+
+
+def quality_columns(text: str | Column) -> dict[str, Column]:
+    """Length/word/stopword-based quality features + a coarse bucket
+    (the standard heuristic pre-filter for LLM training corpora)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c)
+    sw_ratio = F.round(stopword_count(c) / n_tok, 4)
+    awl = avg_word_len(c)
+    bucket = (
+        F.when((n_tok < 5) | (awl > 12), F.lit("low"))
+        .when(sw_ratio >= 0.05, F.lit("high"))
+        .otherwise(F.lit("mid"))
+    )
+    return {
+        "n_chars_calc": F.length(c),
+        "n_tokens": n_tok,
+        "avg_word_len": awl,
+        "stopword_ratio": sw_ratio,
+        "quality_bucket": bucket,
+    }
+
+
+def lang_id(text: str | Column) -> Column:
+    """N-gram/stopword language heuristic: English stopword density →
+    'en', else 'unknown'. (A real model would score per-language
+    marker sets; the shape — density argmax over marker lists — is
+    identical and SQL-mirrorable.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(
+        stopword_count(c) / token_count(c) >= 0.02, F.lit("en")
+    ).otherwise(F.lit("unknown"))
+
+
+def word_shingles(text: str | Column, k: int = 5) -> Column:
+    """Overlapping k-word shingles as space-joined strings; documents
+    shorter than k words yield one whole-document shingle."""
+    toks = tokens(text)
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+def fingerprint(text: str | Column, k: int = 5) -> Column:
+    """Document fingerprint = min(md5(shingle)) — a 1-perm MinHash on
+    the shingle set; stable under duplication/reordering of identical
+    content windows."""
+    return F.array_min(F.transform(word_shingles(text, k), F.md5))
+
+
+def minhash_signature(text: str | Column, n_perm: int = 8, k: int = 5) -> Column:
+    """n_perm-permutation MinHash: permutation j = md5 keyed with the
+    permutation index; each signature element is a hex string (string
+    min is portable across engines)."""
+    sh = word_shingles(text, k)
+
+    def perm_hash(j: int):
+        prefix = f"{j}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, perm_hash(j)))
+            for j in range(n_perm)
+        ]
+    )
+
+
+def simhash32(text: str | Column) -> Column:
+    """32-bit SimHash over word tokens. Bit b is the sign of
+    Σ_words (±1), where the word votes +1 iff hex digit b of
+    md5(word) has its high bit set (digit ∈ 8..f)."""
+    toks = tokens(text)
+
+    def bit_vote(b: int):
+        return lambda acc, w: acc + F.when(
+            F.substring(F.md5(w), b + 1, 1).isin(*_HIGH_HEX), 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for b in range(32):
+        vote = F.aggregate(toks, F.lit(0).cast("long"), bit_vote(b))
+        out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return out

@@ -1,0 +1,123 @@
+"""Training-data operator suite: sanity + invariants (the line-by-line
+engine-vs-SQL equivalence is covered by tools/check_oracles.py and the
+driver's DuckDB harness)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from kafka_jdbc_sink_connector_spark.operators import (
+    docdedup,
+    multimodal,
+    similarity,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF, "documents.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet")).cache()
+
+
+def test_exact_dedup_canonical_invariants(docs):
+    out = docdedup.exact_dedup(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r["canonical_id"] <= r["doc_id"]
+        assert r["is_dup"] == (r["canonical_id"] != r["doc_id"])
+
+
+def test_minhash_candidates_catch_exact_dups(spark, docs):
+    """Any two docs with identical text share every band — LSH must
+    propose them."""
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 100000)
+    widened = docs.unionByName(dup)
+    pairs = docdedup.minhash_lsh_candidates(widened, n_perm=8, bands=4)
+    first_id = docs.limit(1).collect()[0]["doc_id"]
+    hit = pairs.filter(
+        (F.col("doc_a") == first_id) & (F.col("doc_b") == first_id + 100000)
+    ).collect()
+    assert len(hit) == 1 and hit[0]["n_bands_shared"] == 4
+
+
+def test_ngram_jaccard_exact_dup_scores_one(spark, docs):
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 100000)
+    widened = docs.unionByName(dup)
+    pairs = docdedup.ngram_jaccard_pairs(widened, threshold=0.99, max_df=1000)
+    first_id = docs.limit(1).collect()[0]["doc_id"]
+    hit = pairs.filter(
+        (F.col("doc_a") == first_id) & (F.col("doc_b") == first_id + 100000)
+    ).collect()
+    assert len(hit) == 1 and hit[0]["jaccard"] == 1.0
+
+
+def test_knn_bruteforce_properties(emb):
+    out = similarity.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 3), k=4)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]  # self excluded
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_lsh_ann_subset_of_bucket(emb):
+    """ANN results must score identically to brute force for the pairs
+    it does return (it only restricts the candidate set)."""
+    ann = similarity.lsh_ann_candidates(
+        emb, emb.filter(F.col("vec_id") < 3), k=4
+    ).collect()
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.knn_bruteforce(
+            emb, emb.filter(F.col("vec_id") < 3), k=500
+        ).collect()
+    }
+    for r in ann:
+        assert bf[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+
+
+def test_multimodal_decode_plumbing(docs):
+    media = multimodal.attach_binary_payload(docs)
+    out = multimodal.decode_metadata(media).collect()
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(out) == len(src)
+    for r in out[:50]:
+        n = len(src[r["doc_id"]].encode())
+        assert r["n_bytes"] == n
+        assert r["width"] == n % 640
+        assert r["n_frames"] == n % 30
+        assert len(r["checksum"]) == 32
+
+
+def test_multimodal_real_decoder_is_gated(docs):
+    media = multimodal.attach_binary_payload(docs.limit(1))
+    with pytest.raises(Exception, match="NotImplementedError|decoding"):
+        multimodal.decode_metadata(media, use_real_decoder=True).collect()
+
+
+def test_entry_contract_consistency(spark):
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # documented rows-only exceptions
+    assert set(qs) - set(oracles) == {"emb_lsh_ann"}
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert df.schema is not None

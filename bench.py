@@ -1,0 +1,259 @@
+"""Engine benchmark. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "cdc_events_per_sec": <headline throughput>, ...}
+
+Default: runs the headline CDC apply (deterministic generated
+transcript events, batched through the full validate→collapse→MERGE
+path into a lake table) plus representative operator queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``.
+
+``--scaling``: runs the identical CDC apply (same pre-generated input
+files) at two parallelism levels (default 8 and 32 cores) and writes
+BENCH/BASELINE.md with both throughputs and the scaling efficiency
+(BASELINE.json criterion: efficiency >= 0.8 from N to 4N).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: events for the headline CDC apply, proportional to sf
+EVENTS_PER_SF = 10_000_000  # sf0.1 -> 1M events
+
+QUERY_NAMES = [
+    "cdc_last_event_per_key",
+    "cdc_lineage_agg",
+    "events_sessionize",
+    "doc_quality_score",
+    "doc_minhash_lsh_pairs",
+    "emb_knn_bruteforce",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def gen_input(spark, n_events: int, out_dir: str, partitions: int) -> None:
+    """One-time, untimed: deterministic transcript CDC events to
+    parquet (the 'Kafka topic contents' the timed job replays)."""
+    from kafka_jdbc_sink_connector_spark.datagen import (
+        GenSpec,
+        generate_cdc_events,
+    )
+
+    spec = GenSpec(
+        n_events=n_events,
+        n_conversations=max(1000, n_events // 100),
+        turns_per_conversation=20,
+        n_partitions=32,
+        delete_fraction=0.01,
+    )
+    df = generate_cdc_events(spark, spec, partitions=partitions)
+    df.write.mode("overwrite").parquet(out_dir)
+
+
+def run_cdc_apply(spark, input_dir: str, table_dir: str, n_batches: int,
+                  n_buckets: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+    from kafka_jdbc_sink_connector_spark.config import SinkConfig
+
+    events = spark.read.parquet(input_dir)
+    lo = events.agg(F.min("kafka_offset"), F.max("kafka_offset")).collect()[0]
+    mn, mx = lo[0], lo[1] + 1
+    n_events = events.count()
+
+    cfg = SinkConfig(n_buckets=n_buckets)
+    applier = CdcApplier(spark, cfg, table_dir)
+    t0 = time.monotonic()
+    for i in range(n_batches):
+        blo = mn + (mx - mn) * i // n_batches
+        bhi = mn + (mx - mn) * (i + 1) // n_batches
+        b = events.filter(
+            (F.col("kafka_offset") >= blo) & (F.col("kafka_offset") < bhi)
+        )
+        applier.apply_batch(b, batch_id=i)
+    dt = time.monotonic() - t0
+    final_rows = applier.read_target().count()
+    return {
+        "seconds": dt,
+        "n_events": n_events,
+        "events_per_sec": n_events / dt,
+        "final_rows": final_rows,
+        "n_batches": n_batches,
+    }
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.monotonic()
+        n = qs[name](spark, sf_dir).count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def build(cores: str):
+    from kafka_jdbc_sink_connector_spark.session import build_session
+
+    n = int(cores) if cores.isdigit() else 32
+    return build_session(
+        app_name="bench",
+        cores=cores,
+        shuffle_partitions=n * 2,
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g"),
+            # keep scan tasks >= cores even on modest inputs, so the
+            # map-side (scan + partial collapse) saturates the executor
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            # the sandbox's single virtio disk is the bottleneck (high
+            # loadavg at ~idle CPU = D-state I/O); shuffle through
+            # tmpfs so the bench measures the engine, not one shared
+            # disk. A real cluster has per-node NVMe for exactly this.
+            "spark.local.dir": _tmpfs_dir("spark-local"),
+        },
+    )
+
+
+def _tmpfs_dir(name: str) -> str:
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    d = os.path.join(base, f"bench-{name}-{os.getpid()}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def main_default(args) -> None:
+    sf = sf_of(args.sf_dir)
+    n_events = args.events or max(20_000, int(EVENTS_PER_SF * sf))
+    spark = build(args.cpus)
+    work = tempfile.mkdtemp(prefix="bench_cdc_",
+                            dir="/dev/shm" if os.path.isdir("/dev/shm")
+                            else None)
+    try:
+        gen_input(spark, n_events, os.path.join(work, "input"),
+                  int(args.cpus) * 2 if args.cpus.isdigit() else 64)
+        cdc = run_cdc_apply(
+            spark, os.path.join(work, "input"), os.path.join(work, "tgt"),
+            n_batches=args.batches, n_buckets=args.buckets,
+        )
+        queries = {} if args.skip_queries else run_queries(spark, args.sf_dir)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+    total = round(cdc["seconds"] + sum(queries.values()), 3)
+    queries = {"cdc_apply": round(cdc["seconds"], 3), **queries}
+    print(json.dumps({
+        "metric": "cdc-apply+operator suite wall seconds "
+                  "(headline: change-events/sec end-to-end)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cdc_events_per_sec": round(cdc["events_per_sec"], 1),
+        "cdc_n_events": cdc["n_events"],
+        "cdc_final_rows": cdc["final_rows"],
+        "cpus": args.cpus,
+    }))
+
+
+def main_scaling(args) -> None:
+    """Same job + same input at N and 4N cores; efficiency =
+    (T_n / T_4n) / 4 (time ratio) == throughput ratio / 4."""
+    here = os.path.abspath(__file__)
+    results = {}
+    for cores in (args.scale_low, args.scale_high):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cores)
+        out = subprocess.run(
+            [sys.executable, here, "--sf-dir", args.sf_dir,
+             "--events", str(args.events or 0), "--batches",
+             str(args.batches), "--buckets", str(args.buckets),
+             "--skip-queries"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    lo, hi = args.scale_low, args.scale_high
+    tput_lo = results[lo]["cdc_events_per_sec"]
+    tput_hi = results[hi]["cdc_events_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    md = f"""# BENCH/BASELINE.md — scaling evidence
+
+Criterion (BASELINE.json): throughput scaling efficiency >= 0.8 going
+from N to {hi // lo}N parallelism, same job, same input.
+
+Job: headline CDC apply — {results[lo]['cdc_n_events']:,} deterministic
+transcript change events (1% deletes), {args.batches} micro-batches,
+validate -> collapse(max_by) -> MERGE into a {args.buckets}-bucket lake
+table. Input parquet generated once per run with identical seed/spec.
+
+| cores | wall sec | events/sec |
+|---|---|---|
+| local[{lo}] | {results[lo]['queries']['cdc_apply']} | {tput_lo:,.0f} |
+| local[{hi}] | {results[hi]['queries']['cdc_apply']} | {tput_hi:,.0f} |
+
+**Scaling efficiency ({lo} -> {hi} cores): {eff:.3f}**
+(= ({tput_hi:,.0f} / {tput_lo:,.0f}) / {hi // lo})
+"""
+    os.makedirs(os.path.join(os.path.dirname(here), "BENCH"), exist_ok=True)
+    with open(os.path.join(os.path.dirname(here), "BENCH", "BASELINE.md"),
+              "w") as fh:
+        fh.write(md)
+    print(json.dumps({
+        "metric": f"cdc-apply scaling efficiency {lo}->{hi} cores",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {f"cores_{c}": results[c]["queries"]["cdc_apply"]
+                    for c in results},
+        "sf": sf_of(args.sf_dir),
+        "events_per_sec": {str(c): results[c]["cdc_events_per_sec"]
+                           for c in results},
+    }))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--cpus", default=CPUS)
+    ap.add_argument("--events", type=int, default=0)
+    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scale-low", type=int, default=8)
+    ap.add_argument("--scale-high", type=int, default=32)
+    args = ap.parse_args()
+    if args.events == 0:
+        args.events = None
+    if args.scaling:
+        main_scaling(args)
+    else:
+        main_default(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,7 +36,10 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
+
+_DEBUG_TIMING = os.environ.get("SPARK_GRAFT_DEBUG_TIMING") == "1"
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -219,6 +222,7 @@ class LakeTable:
         out_dir = os.path.join(self.path, _DATA_DIR, commit_name)
 
         out_cols = [f.name for f in schema.fields] + [BUCKET_COL]
+        _t0 = time.monotonic()
         (
             new_data.withColumn(_PART_DIR_COL, F.col(BUCKET_COL))
             .select(*out_cols, _PART_DIR_COL)
@@ -226,6 +230,9 @@ class LakeTable:
             .write.partitionBy(_PART_DIR_COL)
             .parquet(out_dir)
         )
+        if _DEBUG_TIMING:
+            print(f"    [timing] rewrite data write: "
+                  f"{time.monotonic() - _t0:.2f}s", flush=True)
 
         # map written files back to buckets from the directory layout
         written: dict[str, list[str]] = {}

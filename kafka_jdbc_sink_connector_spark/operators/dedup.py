@@ -52,30 +52,42 @@ def collapse_last_writer(
     """Collapse ``events`` to one row per ``cfg.pk_fields``.
 
     Output: pk fields + ``__upsert`` (payload struct of the latest
-    non-delete event incl. its op, or NULL), ``__delete`` (payload
-    struct of the latest delete event, or NULL), ``__upsert_off`` /
-    ``__delete_off`` (their offsets).
+    non-delete event incl. its op, or NULL), ``__delete`` (struct of
+    the latest delete event's *retained* fields, or NULL),
+    ``__upsert_off`` / ``__delete_off`` (their offsets).
 
     ``payload_cols`` are the event columns to carry (the target table's
     data columns minus engine-managed marker/audit columns); events
     lacking one (older schema versions) contribute NULL.
+
+    Width matters: the structs exclude the pk fields (they are the
+    grouping keys) and the delete struct carries only the soft-delete
+    retain fields — the aggregate is sort-based (struct buffers), so
+    every byte is sorted and shuffled once.
     """
     salt = cfg.dedup_salt if salt is None else salt
     op = F.col(cfg.op_column)
     off = F.col(cfg.offset_column)
     is_del = op == F.lit(cfg.op_delete_value)
 
+    keys = list(cfg.pk_fields)
     carried = [
         (F.col(c) if c in events.columns else F.lit(None)).alias(c)
         for c in payload_cols
+        if c not in keys
     ]
     payload = F.struct(*carried, op.alias(EVENT_OP))
+    retained = [
+        (F.col(c) if c in events.columns else F.lit(None)).alias(c)
+        for c in cfg.delete_retain_fields
+        if c not in keys
+    ]
+    del_payload = F.struct(*retained, op.alias(EVENT_OP))
 
-    keys = list(cfg.pk_fields)
     aggs = [
         F.max_by(payload, F.when(~is_del, off)).alias(UPSERT_STRUCT),
         F.max(F.when(~is_del, off)).alias(UPSERT_OFF),
-        F.max_by(payload, F.when(is_del, off)).alias(DELETE_STRUCT),
+        F.max_by(del_payload, F.when(is_del, off)).alias(DELETE_STRUCT),
         F.max(F.when(is_del, off)).alias(DELETE_OFF),
     ]
 
@@ -112,23 +124,28 @@ def collapse_last_writer_window(
     carried = [
         (F.col(c) if c in events.columns else F.lit(None)).alias(c)
         for c in payload_cols
+        if c not in keys
     ]
     payload = F.struct(*carried, F.col(cfg.op_column).alias(EVENT_OP))
-    tagged = events.withColumn("__payload", payload).withColumn(
-        "__is_del", is_del
-    )
+    retained = [
+        (F.col(c) if c in events.columns else F.lit(None)).alias(c)
+        for c in cfg.delete_retain_fields
+        if c not in keys
+    ]
+    del_payload = F.struct(*retained, F.col(cfg.op_column).alias(EVENT_OP))
+    tagged = events.withColumn("__is_del", is_del)
     w = W.partitionBy(*keys, "__is_del").orderBy(off.desc())
     last = tagged.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
     )
     ups = last.filter(~F.col("__is_del")).select(
         *keys,
-        F.col("__payload").alias(UPSERT_STRUCT),
+        payload.alias(UPSERT_STRUCT),
         off.alias(UPSERT_OFF),
     )
     dels = last.filter(F.col("__is_del")).select(
         *keys,
-        F.col("__payload").alias(DELETE_STRUCT),
+        del_payload.alias(DELETE_STRUCT),
         off.alias(DELETE_OFF),
     )
     return ups.join(dels, keys, "full_outer")

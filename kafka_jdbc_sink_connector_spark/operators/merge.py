@@ -76,9 +76,15 @@ def merge_into(
     audit_ts: Column | None = None,
     source_id: str | None = None,
     batch_id: int | None = None,
+    affected_buckets: list[int] | None = None,
     stats: dict | None = None,
 ) -> Snapshot:
-    """Apply a collapsed (≤1 row/key) change set and commit a snapshot."""
+    """Apply a collapsed (≤1 row/key) change set and commit a snapshot.
+
+    ``affected_buckets`` lets the caller reuse a bucket set it already
+    computed (the applier folds it into its lineage pass), avoiding an
+    extra distinct+collect job here.
+    """
     audit = audit_ts if audit_ts is not None else F.current_timestamp()
     snap = table.snapshot
     keys = list(cfg.pk_fields)
@@ -88,9 +94,11 @@ def merge_into(
     src = collapsed.withColumn(
         BUCKET_COL, bucket_expr(snap.bucket_key, snap.n_buckets)
     )
-    affected = [
-        r[0] for r in src.select(BUCKET_COL).distinct().collect()
-    ]
+    affected = (
+        affected_buckets
+        if affected_buckets is not None
+        else [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
+    )
     if not affected:
         return table.commit_rewrite(
             table.read(buckets=[], include_bucket=True).limit(0),
@@ -100,18 +108,34 @@ def merge_into(
             stats=stats,
         )
 
-    tgt = table.read(buckets=affected, include_bucket=True).withColumn(
-        "__t", F.lit(True)
-    )
     s = src.withColumn("__s", F.lit(True))
-    # join on key equality; both sides carry BUCKET_COL (identical by
-    # construction) so we coalesce it afterwards
-    t_pref = tgt.select(
-        *[F.col(c).alias(f"t_{c}") for c in tgt.columns]
-    )
     s_pref = s.select(*[F.col(c).alias(f"s_{c}") for c in s.columns])
-    cond = [t_pref[f"t_{k}"].eqNullSafe(s_pref[f"s_{k}"]) for k in keys]
-    j = t_pref.join(s_pref, cond, "full_outer")
+    if not snap.files(affected):
+        # bootstrap fast path: no target files in the affected buckets
+        # (first load / brand-new buckets) — skip the outer join and
+        # synthesize an all-NULL target side, which makes the case
+        # logic below behave exactly like unmatched-source rows. Saves
+        # the join shuffle + sort on initial loads.
+        t_schema = table.read_schema(include_bucket=True)
+        null_t = [
+            F.lit(None).cast(fld.dataType).alias(f"t_{fld.name}")
+            for fld in t_schema.fields
+        ] + [F.lit(None).cast("boolean").alias("t___t")]
+        j = s_pref.select(*null_t, *[F.col(c) for c in s_pref.columns])
+    else:
+        tgt = table.read(buckets=affected, include_bucket=True).withColumn(
+            "__t", F.lit(True)
+        )
+        # Plain-equality join on the pk (keys are validated non-null
+        # upstream, O2): this lets Catalyst reuse the collapse
+        # aggregate's hash partitioning for the source side instead of
+        # re-shuffling on null-safe composite keys. Both sides carry
+        # BUCKET_COL (identical by construction); coalesced afterwards.
+        t_pref = tgt.select(
+            *[F.col(c).alias(f"t_{c}") for c in tgt.columns]
+        )
+        cond = [t_pref[f"t_{k}"] == s_pref[f"s_{k}"] for k in keys]
+        j = t_pref.join(s_pref, cond, "full_outer")
 
     t = lambda c: F.col(f"t_{c}")  # noqa: E731
     sc = lambda c: F.col(f"s_{c}")  # noqa: E731
@@ -181,6 +205,8 @@ def merge_into(
             return audit
         if soft and c == cfg.soft_delete_column:
             return F.upper(sc(UPSERT_STRUCT)[EVENT_OP])
+        if c in keys:
+            return sc(c)  # top-level key column of the collapsed frame
         if c in payload:
             return sc(UPSERT_STRUCT)[c]
         return F.lit(None)

@@ -35,6 +35,10 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # single-JVM local mode: every task is PROCESS_LOCAL by
+        # definition; any locality wait is pure scheduler stall (3s
+        # default was costing seconds per tiny job)
+        .config("spark.locality.wait", "0ms")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )
     for k, v in (extra_conf or {}).items():

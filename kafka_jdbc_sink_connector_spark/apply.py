@@ -53,7 +53,10 @@ from kafka_jdbc_sink_connector_spark.config import (
 from kafka_jdbc_sink_connector_spark.functions.keys import bucket_expr
 from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
 from kafka_jdbc_sink_connector_spark.operators import merge as merge_ops
-from kafka_jdbc_sink_connector_spark.operators.dedup import collapse_last_writer
+from kafka_jdbc_sink_connector_spark.operators.dedup import (
+    collapse_deletes_by_key,
+    collapse_last_writer,
+)
 from kafka_jdbc_sink_connector_spark.operators.evolution import (
     evolve_for_batch,
     event_payload_schema,
@@ -227,12 +230,26 @@ class CdcApplier:
             )
         else:
             payload = merge_ops.payload_columns(table.schema, cfg)
-            collapsed = collapse_last_writer(valid, cfg, payload)
+            subset_dels = None
+            to_collapse = valid
+            if (
+                cfg.delete_mode is not DeleteMode.NONE
+                and cfg.subset_delete_key
+            ):
+                # delete.as.update.key is a proper pk subset: deletes
+                # get their own collapse + overlay join (one delete
+                # event soft-deletes every row sharing the subset key)
+                subset_dels = collapse_deletes_by_key(valid, cfg)
+                to_collapse = valid.filter(
+                    F.col(cfg.op_column) != F.lit(cfg.op_delete_value)
+                )
+            collapsed = collapse_last_writer(to_collapse, cfg, payload)
             snap = merge_ops.merge_into(
                 table, collapsed, cfg,
                 audit_ts=self.audit_ts,
                 source_id=source_id, batch_id=batch_id,
                 affected_buckets=affected, stats=stats,
+                subset_deletes=subset_dels,
             )
         _t = _tick("merge commit", _t)
 

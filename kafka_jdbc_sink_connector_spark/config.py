@@ -176,6 +176,28 @@ class SinkConfig:
             self.soft_delete_value = value
         if self.delete_as_update_key is None:
             self.delete_as_update_key = tuple(self.pk_fields)
+        else:
+            self.delete_as_update_key = tuple(self.delete_as_update_key)
+            extra = set(self.delete_as_update_key) - set(self.pk_fields)
+            if extra:
+                raise ConfigError(
+                    f"delete_as_update_key fields {sorted(extra)} are not "
+                    f"pk fields (the delete match key must be a subset of "
+                    f"the primary key, like the reference's "
+                    f"delete.as.update.key=RECID with pk [RECID,V_M,V_S])"
+                )
+            if not self.delete_as_update_key:
+                raise ConfigError("delete_as_update_key must be non-empty")
+            if (
+                self.delete_as_update_key != tuple(self.pk_fields)
+                and self.pk_fields[0] not in self.delete_as_update_key
+            ):
+                raise ConfigError(
+                    f"delete_as_update_key must include the bucketing key "
+                    f"{self.pk_fields[0]!r} so delete events route to "
+                    f"target buckets"
+                )
+
         if self.n_buckets < 1:
             raise ConfigError("n_buckets must be >= 1")
         if self.dedup_salt < 0:
@@ -187,6 +209,12 @@ class SinkConfig:
             self.delete_retain_fields = tuple(
                 f for f in self.delete_retain_fields if f not in overlap
             )
+
+    @property
+    def subset_delete_key(self) -> bool:
+        """True when deletes match on a proper subset of the pk (one
+        delete event then affects every row sharing those fields)."""
+        return tuple(self.delete_as_update_key) != tuple(self.pk_fields)
 
     def table_name(self, topic: str) -> str:
         """Topic → destination table name (reference

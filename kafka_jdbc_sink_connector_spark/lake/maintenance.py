@@ -1,0 +1,92 @@
+"""Table maintenance: compaction and vacuum.
+
+The reference has no equivalent (the JDBC database compacts itself);
+for a lake table these are the operations that keep a
+continuously-merged 100 TB table healthy:
+
+* **compact** — every COW merge commit writes fresh files per touched
+  bucket and append commits add more; small-file count grows with
+  batch cadence. Compaction rewrites chosen buckets into one file set
+  and commits a snapshot that references only those (bin-packing
+  rewrite, same idea as Iceberg's rewrite_data_files).
+* **vacuum** — snapshots are immutable and old ones stay readable
+  (time travel); vacuum deletes data files not referenced by the
+  last ``keep_versions`` snapshots plus the older manifests, bounding
+  storage. Equivalent of Delta VACUUM / Iceberg expire_snapshots.
+
+Both are driver-coordinated (manifest edits) with the data work fully
+distributed; both commit through the same atomic publish as writes, so
+readers never observe a partial state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from kafka_jdbc_sink_connector_spark.functions.keys import BUCKET_COL
+from kafka_jdbc_sink_connector_spark.lake.table import LakeTable, _DATA_DIR, _LOG_DIR
+
+
+def compact(
+    table: LakeTable,
+    buckets: list[int] | None = None,
+    min_files: int = 2,
+) -> list[int]:
+    """Rewrite buckets that have >= ``min_files`` data files into a
+    single file set each. Returns the buckets compacted."""
+    snap = table.snapshot
+    candidates = [
+        int(b)
+        for b, files in snap.buckets.items()
+        if len(files) >= min_files
+        and (buckets is None or int(b) in set(buckets))
+    ]
+    if not candidates:
+        return []
+    data = table.read(buckets=candidates, include_bucket=True)
+    table.commit_rewrite(
+        data,
+        candidates,
+        stats={"compacted_buckets": candidates},
+    )
+    return candidates
+
+
+def vacuum(table: LakeTable, keep_versions: int = 1) -> dict:
+    """Delete data files unreferenced by the newest ``keep_versions``
+    snapshots, and drop older snapshot manifests. Time travel remains
+    available for the kept versions only."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    versions = table.history()
+    keep = set(versions[-keep_versions:])
+    live: set[str] = set()
+    for v in keep:
+        snap = table._read_version(v)
+        live.update(snap.files())
+
+    removed_files = 0
+    data_root = os.path.join(table.path, _DATA_DIR)
+    for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+        for fn in filenames:
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, table.path)
+            if rel not in live and fn.endswith(".parquet"):
+                os.unlink(full)
+                removed_files += 1
+        # prune empty commit dirs
+        if not os.listdir(dirpath) and dirpath != data_root:
+            os.rmdir(dirpath)
+
+    removed_snapshots = 0
+    for v in versions:
+        if v not in keep:
+            os.unlink(
+                os.path.join(table.path, _LOG_DIR, f"v{v:020d}.json")
+            )
+            removed_snapshots += 1
+    return {
+        "removed_files": removed_files,
+        "removed_snapshots": removed_snapshots,
+        "kept_versions": sorted(keep),
+    }

@@ -108,6 +108,33 @@ def collapse_last_writer(
     return events.groupBy(*keys).agg(*aggs)
 
 
+def collapse_deletes_by_key(
+    events: DataFrame, cfg: SinkConfig
+) -> DataFrame:
+    """Collapse delete events to one row per ``delete_as_update_key``
+    (used when the delete match key is a proper pk *subset* — the
+    reference's ``delete.as.update.key=RECID`` with pk [RECID,V_M,V_S]:
+    one delete then soft-deletes every row sharing the subset key).
+
+    Output: delete-key fields + ``__delete`` (retain-field struct of
+    the latest delete) + ``__delete_off``.
+    """
+    op = F.col(cfg.op_column)
+    off = F.col(cfg.offset_column)
+    keys = list(cfg.delete_as_update_key)
+    dels = events.filter(op == F.lit(cfg.op_delete_value))
+    retained = [
+        (F.col(c) if c in events.columns else F.lit(None)).alias(c)
+        for c in cfg.delete_retain_fields
+        if c not in keys
+    ]
+    del_payload = F.struct(*retained, op.alias(EVENT_OP))
+    return dels.groupBy(*keys).agg(
+        F.max_by(del_payload, off).alias(DELETE_STRUCT),
+        F.max(off).alias(DELETE_OFF),
+    )
+
+
 def collapse_last_writer_window(
     events: DataFrame, cfg: SinkConfig, payload_cols: list[str]
 ) -> DataFrame:

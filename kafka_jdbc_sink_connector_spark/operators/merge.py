@@ -77,6 +77,7 @@ def merge_into(
     source_id: str | None = None,
     batch_id: int | None = None,
     affected_buckets: list[int] | None = None,
+    subset_deletes: DataFrame | None = None,
     stats: dict | None = None,
 ) -> Snapshot:
     """Apply a collapsed (≤1 row/key) change set and commit a snapshot.
@@ -84,6 +85,14 @@ def merge_into(
     ``affected_buckets`` lets the caller reuse a bucket set it already
     computed (the applier folds it into its lineage pass), avoiding an
     extra distinct+collect job here.
+
+    ``subset_deletes`` (from :func:`collapse_deletes_by_key`) carries
+    delete events keyed by a proper pk subset
+    (``delete.as.update.key=RECID`` semantics): after the pk-level
+    merge, every surviving row joins against it on the subset key and
+    is overlaid/removed when the delete is newer than the row's last
+    upsert and the not-already-deleted guard passes. When provided,
+    ``collapsed`` must contain upsert events only.
     """
     audit = audit_ts if audit_ts is not None else F.current_timestamp()
     snap = table.snapshot
@@ -243,13 +252,80 @@ def merge_into(
         F.coalesce(t(BUCKET_COL), sc(BUCKET_COL)).alias(BUCKET_COL)
     )
 
+    if subset_deletes is not None:
+        out_cols.append(
+            F.when(
+                (action == A_UPSERT) | (action == A_SOFT_UPS),
+                sc(UPSERT_OFF),
+            ).alias("__row_ups_off")
+        )
     result = j.filter(action != A_DROP).select(*out_cols)
+    if subset_deletes is not None:
+        result = _apply_subset_deletes(result, subset_deletes, cfg, audit)
     return table.commit_rewrite(
         result,
         affected,
         source_id=source_id,
         batch_id=batch_id,
         stats=stats,
+    )
+
+
+def _apply_subset_deletes(
+    result: DataFrame, dels: DataFrame, cfg: SinkConfig, audit: Column
+) -> DataFrame:
+    """Overlay subset-key deletes on the pk-merged rows (see
+    :func:`merge_into`). ``result`` carries ``__row_ups_off`` = the
+    batch offset that last wrote each row (NULL for untouched rows)."""
+    dkeys = list(cfg.delete_as_update_key)
+    d = dels.select(
+        *[F.col(k).alias(f"d_{k}") for k in dkeys],
+        F.col(DELETE_STRUCT).alias("d_struct"),
+        F.col(DELETE_OFF).alias("d_off"),
+    )
+    cond = [result[k] == d[f"d_{k}"] for k in dkeys]
+    j = result.join(d, cond, "left")
+
+    newer = F.col("d_off").isNotNull() & (
+        F.col("d_off") > F.coalesce(F.col("__row_ups_off"), F.lit(_LONG_MIN))
+    )
+    if cfg.delete_mode is DeleteMode.UPDATE:
+        guard_parts = []
+        for col, value in cfg.soft_delete_conditions:
+            if value is None:
+                guard_parts.append(
+                    F.col(col).isNotNull()
+                    if cfg.guard_null_is_not_null
+                    else F.lit(False)
+                )
+            else:
+                guard_parts.append(F.col(col) != F.lit(value))
+        guard_ok = guard_parts[0]
+        for g in guard_parts[1:]:
+            guard_ok = guard_ok | g
+        overlay = newer & guard_ok
+        retain = set(cfg.delete_retain_fields)
+        out = []
+        for c in result.columns:
+            if c == "__row_ups_off":
+                continue
+            if c == cfg.soft_delete_column:
+                expr = F.when(
+                    overlay, F.lit(cfg.soft_delete_value)
+                ).otherwise(F.col(c))
+            elif c == cfg.audit_ts_column:
+                expr = F.when(overlay, audit).otherwise(F.col(c))
+            elif c in retain:
+                expr = F.when(overlay, F.col("d_struct")[c]).otherwise(
+                    F.col(c)
+                )
+            else:
+                expr = F.col(c)
+            out.append(expr.alias(c))
+        return j.select(*out)
+    # hard delete: remove matching rows not re-written afterwards
+    return j.filter(~newer).select(
+        *[F.col(c) for c in result.columns if c != "__row_ups_off"]
     )
 
 

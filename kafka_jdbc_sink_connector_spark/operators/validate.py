@@ -43,16 +43,31 @@ def check_retain_fields(
 
 
 def error_expr(cfg: SinkConfig, columns: list[str]):
-    """First-match error reason per row, NULL when valid."""
+    """First-match error reason per row, NULL when valid.
+
+    Delete events only need their match key (``delete_as_update_key``,
+    possibly a pk subset — the reference's tombstone-projected records
+    carry only those fields); upserts need the full pk.
+    """
+    op = F.col(cfg.op_column)
+    is_del = op == F.lit(cfg.op_delete_value)
+    del_keys = set(cfg.delete_as_update_key or cfg.pk_fields)
     checks = []
     for k in cfg.pk_fields:
+        required = (
+            F.lit(True) if k in del_keys else ~is_del
+        )
         if k in columns:
             checks.append(
-                F.when(F.col(k).isNull(), F.lit(f"null key field {k}"))
+                F.when(
+                    required & F.col(k).isNull(),
+                    F.lit(f"null key field {k}"),
+                )
             )
         else:
-            checks.append(F.when(F.lit(True), F.lit(f"missing key field {k}")))
-    op = F.col(cfg.op_column)
+            checks.append(
+                F.when(required, F.lit(f"missing key field {k}"))
+            )
     checks.append(F.when(op.isNull(), F.lit("null op")))
     checks.append(
         F.when(~op.isin(*VALID_OPS_DEFAULT), F.concat(F.lit("unknown op "), op))

@@ -206,23 +206,37 @@ def main_scaling(args) -> None:
     finally:
         gen_spark.stop()
     have_taskset = shutil.which("taskset") is not None
-    results = {}
+    results: dict[int, dict] = {}
+    trials: dict[int, list] = {args.scale_low: [], args.scale_high: []}
     try:
-        for cores in (args.scale_low, args.scale_high):
-            env = dict(os.environ)
-            env["SPARK_GRAFT_CPUS"] = str(cores)
-            cmd = [sys.executable, here, "--sf-dir", args.sf_dir,
-                   "--events", str(n_events), "--batches",
-                   str(args.batches), "--buckets", str(args.buckets),
-                   "--input-dir", gen_dir, "--skip-queries"]
-            if have_taskset:
-                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-            out = subprocess.run(
-                cmd, env=env, capture_output=True, text=True, check=True,
+        # interleave trials so external host noise hits both core
+        # budgets alike; keep the best of each (approximates the
+        # uncontended capability on a shared sandbox)
+        for _trial in range(args.trials):
+            for cores in (args.scale_low, args.scale_high):
+                env = dict(os.environ)
+                env["SPARK_GRAFT_CPUS"] = str(cores)
+                cmd = [sys.executable, here, "--sf-dir", args.sf_dir,
+                       "--events", str(n_events), "--batches",
+                       str(args.batches), "--buckets", str(args.buckets),
+                       "--input-dir", gen_dir, "--skip-queries"]
+                if have_taskset:
+                    cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+                with open("/proc/loadavg") as fh:
+                    load = fh.read().split()[0]
+                out = subprocess.run(
+                    cmd, env=env, capture_output=True, text=True,
+                    check=True,
+                )
+                line = [l for l in out.stdout.splitlines()
+                        if l.startswith("{")][-1]
+                r = json.loads(line)
+                r["loadavg_at_start"] = load
+                trials[cores].append(r)
+        for cores, runs in trials.items():
+            results[cores] = max(
+                runs, key=lambda r: r["cdc_events_per_sec"]
             )
-            line = [l for l in out.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            results[cores] = json.loads(line)
     finally:
         shutil.rmtree(gen_dir, ignore_errors=True)
     lo, hi = args.scale_low, args.scale_high
@@ -244,10 +258,18 @@ other cores, inflating small-N throughput), shuffling through tmpfs
 (the sandbox's single virtio disk would otherwise serialize both runs
 — a real cluster has per-node local disks).
 
-| cores | wall sec | events/sec |
-|---|---|---|
-| local[{lo}] | {results[lo]['queries']['cdc_apply']} | {tput_lo:,.0f} |
-| local[{hi}] | {results[hi]['queries']['cdc_apply']} | {tput_hi:,.0f} |
+Best of {args.trials} interleaved trials per core budget (external
+load on the shared sandbox host is recorded per run; all trials listed
+below the headline table).
+
+| cores | wall sec | events/sec | loadavg at start |
+|---|---|---|---|
+| taskset 0-{lo - 1}, local[{lo}] | {results[lo]['queries']['cdc_apply']} | {tput_lo:,.0f} | {results[lo]['loadavg_at_start']} |
+| taskset 0-{hi - 1}, local[{hi}] | {results[hi]['queries']['cdc_apply']} | {tput_hi:,.0f} | {results[hi]['loadavg_at_start']} |
+
+All trials:
+
+{chr(10).join(f"- {c} cores: " + ", ".join(f"{r['cdc_events_per_sec']:,.0f} ev/s (load {r['loadavg_at_start']})" for r in trials[c]) for c in sorted(trials))}
 
 **Scaling efficiency ({lo} -> {hi} cores): {eff:.3f}**
 (= ({tput_hi:,.0f} / {tput_lo:,.0f}) / {hi // lo})
@@ -278,8 +300,9 @@ def main() -> None:
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument("--input-dir", default=None)
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--scale-low", type=int, default=8)
-    ap.add_argument("--scale-high", type=int, default=32)
+    ap.add_argument("--scale-low", type=int, default=4)
+    ap.add_argument("--scale-high", type=int, default=16)
+    ap.add_argument("--trials", type=int, default=2)
     args = ap.parse_args()
     if args.events == 0:
         args.events = None

@@ -1,0 +1,214 @@
+"""spark-submit entry point.
+
+On a cluster::
+
+    spark-submit --py-files kafka_jdbc_sink_connector_spark.zip \
+        -m kafka_jdbc_sink_connector_spark.cli stream \
+        --source kafka --bootstrap broker:9092 --topic transcripts \
+        --table s3://lake/transcripts --checkpoint s3://lake/_ckpt
+
+In the sandbox the same pipeline runs with ``--source files`` over a
+parquet drop directory. ``getOrCreate`` picks up the cluster's
+SparkSession (master/executors from spark-submit); local runs build
+one via the engine defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _session(args) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from kafka_jdbc_sink_connector_spark.session import build_session
+
+    return build_session(cores=args.cores)
+
+
+def _config(args):
+    from kafka_jdbc_sink_connector_spark.config import SinkConfig
+
+    return SinkConfig(
+        pk_fields=tuple(args.pk.split(",")),
+        insert_mode=args.insert_mode,
+        delete_mode=args.delete_mode,
+        delete_retain_fields=tuple(
+            f for f in args.retain_fields.split(",") if f
+        ),
+        delete_as_update_key=(
+            tuple(args.delete_key.split(",")) if args.delete_key else None
+        ),
+        soft_delete_conditions=args.delete_identifier,
+        n_buckets=args.buckets,
+        max_retries=args.max_retries,
+        retry_backoff_ms=args.retry_backoff_ms,
+    )
+
+
+def cmd_apply(args) -> None:
+    from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+
+    spark = _session(args)
+    applier = CdcApplier(spark, _config(args), args.table)
+    events = spark.read.parquet(args.input)
+    res = applier.apply_batch(events, batch_id=args.batch_id)
+    print(json.dumps({
+        "batch_id": res.batch_id, "skipped": res.skipped,
+        "n_events": res.n_events, "n_quarantined": res.n_quarantined,
+        "snapshot_version": res.snapshot_version,
+        "evolved_columns": res.evolved_columns,
+        "seconds": round(res.seconds, 3),
+    }))
+
+
+def cmd_stream(args) -> None:
+    from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+    from kafka_jdbc_sink_connector_spark.schemas import CDC_EVENT_SCHEMAS
+    from kafka_jdbc_sink_connector_spark.sources import cdc as cdc_src
+    from kafka_jdbc_sink_connector_spark.streaming.runner import (
+        CdcStreamRunner,
+    )
+
+    spark = _session(args)
+    cfg = _config(args)
+    applier = CdcApplier(spark, cfg, args.table)
+    if args.source == "kafka":
+        from kafka_jdbc_sink_connector_spark.sources.kafka import (
+            kafka_stream,
+            parse_kafka_records,
+        )
+
+        raw = kafka_stream(
+            spark, args.bootstrap, args.topic,
+            max_offsets_per_trigger=args.max_offsets_per_trigger,
+        )
+        schema_version = CDC_EVENT_SCHEMAS[args.schema_version]
+        from pyspark.sql import types as T
+
+        value_schema = T.StructType(
+            [f for f in schema_version.fields
+             if f.name not in ("kafka_partition", "kafka_offset")]
+        )
+        stream = parse_kafka_records(raw, value_schema, cfg)
+    else:
+        stream = cdc_src.file_stream(
+            spark, args.input, CDC_EVENT_SCHEMAS[args.schema_version],
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+    runner = CdcStreamRunner(applier, args.checkpoint)
+    if args.once:
+        results = runner.run_available(stream)
+        print(json.dumps({
+            "batches": len(results),
+            "n_events": sum(r.n_events for r in results),
+            "skipped": sum(1 for r in results if r.skipped),
+        }))
+    else:
+        q = runner.start(
+            stream, available_now=False,
+            processing_time=args.processing_time,
+        )
+        q.awaitTermination()
+
+
+def cmd_compact(args) -> None:
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import compact
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    spark = _session(args)
+    t = LakeTable.load(spark, args.table)
+    done = compact(t, min_files=args.min_files)
+    print(json.dumps({"compacted_buckets": done, "version": t.version}))
+
+
+def cmd_vacuum(args) -> None:
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import vacuum
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    spark = _session(args)
+    t = LakeTable.load(spark, args.table)
+    print(json.dumps(vacuum(t, keep_versions=args.keep_versions)))
+
+
+def cmd_show(args) -> None:
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    spark = _session(args)
+    t = LakeTable.load(spark, args.table)
+    snap = t.snapshot
+    print(json.dumps({
+        "version": snap.version,
+        "history": t.history(),
+        "n_buckets": snap.n_buckets,
+        "n_files": len(snap.files()),
+        "rows": t.read().count(),
+        "schema": [f"{f.name}:{f.dataType.simpleString()}"
+                   for f in snap.schema.fields],
+        "applied_batches": snap.applied_batches,
+    }, indent=2))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="kafka_jdbc_sink_connector_spark")
+    ap.add_argument("--cores", default="*")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_cfg(p):
+        p.add_argument("--table", required=True)
+        p.add_argument("--pk", default="conv_id,turn_idx")
+        p.add_argument("--insert-mode", default="upsert")
+        p.add_argument("--delete-mode", default="update")
+        p.add_argument("--retain-fields", default="ts")
+        p.add_argument("--delete-key", default=None)
+        p.add_argument("--delete-identifier", default="op_type=D")
+        p.add_argument("--buckets", type=int, default=64)
+        p.add_argument("--max-retries", type=int, default=3)
+        p.add_argument("--retry-backoff-ms", type=int, default=1000)
+        p.add_argument("--schema-version", type=int, default=3)
+
+    p = sub.add_parser("apply", help="apply one parquet batch")
+    add_cfg(p)
+    p.add_argument("--input", required=True)
+    p.add_argument("--batch-id", type=int, default=0)
+    p.set_defaults(fn=cmd_apply)
+
+    p = sub.add_parser("stream", help="run the streaming pipeline")
+    add_cfg(p)
+    p.add_argument("--source", choices=["files", "kafka"], default="files")
+    p.add_argument("--input", help="drop directory (files source)")
+    p.add_argument("--bootstrap", help="kafka bootstrap servers")
+    p.add_argument("--topic", help="kafka topic")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--once", action="store_true",
+                   help="availableNow: drain and exit")
+    p.add_argument("--processing-time", default="10 seconds")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--max-offsets-per-trigger", type=int, default=None)
+    p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("compact")
+    p.add_argument("--table", required=True)
+    p.add_argument("--min-files", type=int, default=2)
+    p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("vacuum")
+    p.add_argument("--table", required=True)
+    p.add_argument("--keep-versions", type=int, default=2)
+    p.set_defaults(fn=cmd_vacuum)
+
+    p = sub.add_parser("show")
+    p.add_argument("--table", required=True)
+    p.set_defaults(fn=cmd_show)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

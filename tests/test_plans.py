@@ -1,0 +1,94 @@
+"""Physical-plan assertions: the properties SCALE.md claims must be
+visible in `.explain` output — pushdown, partial aggregation,
+broadcast, codegen."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_jdbc_sink_connector_spark.config import SinkConfig
+from kafka_jdbc_sink_connector_spark.datagen import GenSpec, generate_cdc_events
+from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+from kafka_jdbc_sink_connector_spark.operators.dedup import collapse_last_writer
+from kafka_jdbc_sink_connector_spark.operators.similarity import knn_bruteforce
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_collapse_has_partial_aggregation(spark):
+    """The dedup must combine map-side (partial_max_by) before the
+    shuffle — the at-least-once-duplicate-storm defense."""
+    events = generate_cdc_events(spark, GenSpec(n_events=1000))
+    plan = plan_of(
+        collapse_last_writer(events, SinkConfig(),
+                             ["conv_id", "turn_idx", "text", "ts"])
+    )
+    assert "partial_max_by" in plan
+    assert plan.count("Exchange") == 1  # exactly one shuffle
+
+
+def test_parquet_filter_pushdown(spark):
+    df = (
+        spark.read.parquet(os.path.join(SF, "events.parquet"))
+        .filter(F.col("event_id") < 100)
+        .select("event_id", "user_id")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan and "LessThan(event_id,100)" in plan
+    # column pruning: only the two selected columns in ReadSchema
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint>" in plan
+
+
+def test_lake_read_prunes_files_and_pushes_filters(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([("a", 1)], "k string, v long").schema,
+        n_buckets=8, key_fields=["k"],
+    )
+    t.overwrite(
+        spark.createDataFrame([(f"k{i}", i) for i in range(50)],
+                              "k string, v long")
+    )
+    pruned = t.read(buckets=[0, 1])
+    full = t.read()
+    # bucket pruning happens at the file-list level
+    assert pruned.count() < full.count()
+    plan = plan_of(t.read().filter(F.col("v") > 10))
+    assert "GreaterThan(v,10)" in plan
+
+
+def test_knn_broadcasts_queries(spark):
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    plan = plan_of(
+        knn_bruteforce(emb, emb.filter(F.col("vec_id") < 3), k=3)
+    )
+    assert "BroadcastExchange" in plan  # queries shipped, corpus scanned
+
+
+def test_codegen_in_scan_pipeline(spark):
+    """Text analysis stays inside whole-stage codegen (no Python)."""
+    from kafka_jdbc_sink_connector_spark.operators.text import (
+        quality_columns,
+    )
+
+    d = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    cols = quality_columns("text")
+    df = d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    plan = plan_of(df)
+    # the scan pipeline is codegen'd ("*(1)" stage marker); the
+    # higher-order-function lambdas sit above it as a JVM Project
+    # (HOFs don't participate in whole-stage codegen) — the property
+    # that matters is that NO Python evaluation nodes appear
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

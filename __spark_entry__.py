@@ -566,6 +566,51 @@ SELECT bucket, count(*) AS n_vectors FROM b GROUP BY bucket
 """
 
 
+def q_emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: LSH-bucket candidates + exact cosine
+    verify at threshold 0.3 (the synthetic corpus's top ~0.1%% of
+    pairs; its max pairwise cosine is ~0.51)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_dup_pairs(emb, threshold=0.3, n_planes=8,
+                                       dim=64, round_digits=4)
+
+
+def _sql_cosine_dup_pairs() -> str:
+    planes = similarity.hyperplanes(8, 64, seed=42)
+    with_planes = ", ".join(
+        f"[{', '.join(repr(w) for w in plane)}] AS w{p}"
+        for p, plane in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * w{p}[i] "
+        f"FOR i IN range(1, 65)]) >= 0 THEN {1 << p} ELSE 0 END"
+        for p in range(8)
+    )
+    return f"""
+WITH pl AS (SELECT {with_planes}),
+b AS (
+  SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+  FROM embeddings CROSS JOIN pl
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+         round(
+           list_sum([CAST(a.embedding[i] AS DOUBLE)
+                     * CAST(x.embedding[i] AS DOUBLE)
+                     FOR i IN range(1, 65)])
+           / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE)
+                             * CAST(a.embedding[i] AS DOUBLE)
+                             FOR i IN range(1, 65)]))
+              * sqrt(list_sum([CAST(x.embedding[i] AS DOUBLE)
+                               * CAST(x.embedding[i] AS DOUBLE)
+                               FOR i IN range(1, 65)]))), 4
+         ) AS cos_sim
+  FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
+"""
+
+
 def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via in-bucket rerank (rows-only check: bucket membership at
     the sign boundary is float-order sensitive across engines)."""
@@ -626,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard_dups": q_doc_ngram_jaccard_dups,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_lsh_buckets": q_emb_lsh_buckets,
+        "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
         "emb_lsh_ann": q_emb_lsh_ann,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -650,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard_dups": _sql_ngram_jaccard(),
         "emb_knn_bruteforce": _sql_knn(),
         "emb_lsh_buckets": _sql_lsh_buckets(),
+        "emb_cosine_dup_pairs": _sql_cosine_dup_pairs(),
         # emb_lsh_ann: intentionally rows-only (see docstring)
         "multimodal_decode": _sql_multimodal(),
     }

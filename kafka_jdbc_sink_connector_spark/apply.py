@@ -293,7 +293,11 @@ class CdcApplier:
         return self.spark.read.parquet(self.lineage_path)
 
     def read_quarantine(self) -> DataFrame:
-        return self.spark.read.schema(
+        schema = (
             "raw string, error string, kafka_partition int, "
             "kafka_offset long, batch_id long"
-        ).parquet(self.quarantine_path)
+        )
+        if not os.path.isdir(self.quarantine_path):
+            # nothing was ever quarantined — present an empty table
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(self.quarantine_path)

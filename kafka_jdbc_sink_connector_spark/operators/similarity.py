@@ -135,6 +135,47 @@ def lsh_buckets(
     return vectors.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def cosine_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share a
+    sign-LSH bucket (2^n_planes buckets ⇒ ~1/2^n_planes of all pairs
+    scored), then exact cosine verifies. Returns (id_a, id_b, cos_sim)
+    with id_a < id_b and cos_sim >= threshold.
+
+    Note the standard LSH recall trade: a true near-dup pair split
+    across buckets is missed; more bands (running with several seeds
+    and unioning) raises recall.
+    """
+    b = lsh_buckets(vectors, n_planes, seed, id_col, vec_col, dim)
+    v = vectors.join(b, id_col)
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    c = v.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_ann_candidates(
     corpus: DataFrame,
     queries: DataFrame,

@@ -139,6 +139,7 @@ def build(cores: str):
             # tmpfs so the bench measures the engine, not one shared
             # disk. A real cluster has per-node NVMe for exactly this.
             "spark.local.dir": _tmpfs_dir("spark-local"),
+            **json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}")),
         },
     )
 
@@ -275,8 +276,9 @@ All trials:
 (= ({tput_hi:,.0f} / {tput_lo:,.0f}) / {hi // lo})
 """
     os.makedirs(os.path.join(os.path.dirname(here), "BENCH"), exist_ok=True)
-    with open(os.path.join(os.path.dirname(here), "BENCH", "BASELINE.md"),
-              "w") as fh:
+    # auto output; BENCH/BASELINE.md is the curated evidence document
+    with open(os.path.join(os.path.dirname(here), "BENCH",
+                           "SCALING_auto.md"), "w") as fh:
         fh.write(md)
     print(json.dumps({
         "metric": f"cdc-apply scaling efficiency {lo}->{hi} cores",

@@ -403,7 +403,7 @@ FROM sh
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", text.simhash32("text").alias("simhash"))
+    return text.simhash32_table(d)
 
 
 def _sql_simhash() -> str:

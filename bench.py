@@ -33,7 +33,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 #: events for the headline CDC apply, proportional to sf
-EVENTS_PER_SF = 10_000_000  # sf0.1 -> 1M events
+EVENTS_PER_SF = 40_000_000  # sf0.1 -> 4M events
 
 QUERY_NAMES = [
     "cdc_last_event_per_key",
@@ -297,7 +297,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--cpus", default=CPUS)
     ap.add_argument("--events", type=int, default=0)
-    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--batches", type=int, default=2)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument("--input-dir", default=None)

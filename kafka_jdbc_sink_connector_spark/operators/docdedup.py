@@ -25,8 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_jdbc_sink_connector_spark.operators.text import (
-    minhash_signature,
-    simhash32,
+    simhash32_table,
     word_shingles,
 )
 
@@ -149,13 +148,26 @@ def minhash_lsh_candidates(
     rows = n_perm // bands
     if rows * bands != n_perm:
         raise ValueError("bands must divide n_perm")
-    sig = docs.select(
-        F.col(id_col),
-        minhash_signature(F.col(text_col), n_perm, k).alias("sig"),
+    # signature via explode + codegen'd hash aggregate, NOT the
+    # array/higher-order-function form (`text.minhash_signature`):
+    # HOF lambdas evaluate interpreted (outside whole-stage codegen,
+    # no common-subexpression elimination) and measured ~10x slower;
+    # min() over exploded shingles gets partial aggregation and
+    # codegen. Identical values: min over a multiset ignores dups.
+    idx = shingle_index(docs, id_col, text_col, k)
+    sig = idx.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(
+                f"s{j}"
+            )
+            for j in range(n_perm)
+        ]
     )
     band_cols = [
         F.md5(
-            F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)])
+            F.concat_ws(
+                "|", *[F.col(f"s{b * rows + r}") for r in range(rows)]
+            )
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
@@ -174,6 +186,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band_idx", "bk.band_key")
+    # materialize once: both self-join sides would otherwise recompute
+    # the signature aggregation
+    stacked = stacked.localCheckpoint(eager=False)
     a = stacked.select(
         F.col(id_col).alias("doc_a"), "band_idx", "band_key"
     )
@@ -192,8 +207,6 @@ def simhash_groups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """doc_id, simhash, canonical id per identical-simhash group."""
-    sh = docs.select(
-        F.col(id_col), simhash32(F.col(text_col)).alias("simhash")
-    )
+    sh = simhash32_table(docs, id_col, text_col)
     canon = sh.groupBy("simhash").agg(F.min(id_col).alias("canonical_id"))
     return sh.join(canon, "simhash").select(id_col, "simhash", "canonical_id")

@@ -118,6 +118,34 @@ def minhash_signature(text: str | Column, n_perm: int = 8, k: int = 5) -> Column
     )
 
 
+def simhash32_table(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """(id, simhash) for a whole table via explode + codegen'd hash
+    aggregation — same values as :func:`simhash32` but ~10x faster at
+    scale (the per-row HOF fold evaluates interpreted; 32 conditional
+    SUMs over exploded tokens get partial aggregation + codegen)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+    )
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring(F.md5("__w"), b + 1, 1).isin(*_HIGH_HEX), 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for b in range(32):
+        out = out + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(0)
+    return votes.select(F.col(id_col), out.alias("simhash"))
+
+
 def simhash32(text: str | Column) -> Column:
     """32-bit SimHash over word tokens. Bit b is the sign of
     Σ_words (±1), where the word votes +1 iff hex digit b of

@@ -37,12 +37,24 @@ def test_conversation_progress_across_batches(spark, tmp_path):
             progress.writeStream.outputMode("update")
             .format("memory").queryName("conv_progress")
             .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
-        if q.isActive:
-            q.stop()
+        # ProcessingTimeTimeout keeps firing empty batches, so
+        # processAllAvailable()/availableNow never settle — poll until
+        # all 1200 events went through, then stop
+        import time
+
+        seen = 0
+        deadline = time.monotonic() + 180
+        last_batch = -1
+        while time.monotonic() < deadline and seen < 1200:
+            time.sleep(2)
+            lp = q.lastProgress
+            if lp and lp["batchId"] != last_batch:
+                last_batch = lp["batchId"]
+                seen += lp["numInputRows"]
+        q.stop()
+        assert seen == 1200, f"only {seen} events processed"
 
         # the LAST update row per conversation carries the final state
         out = spark.sql(

@@ -3,10 +3,10 @@
 ``entry(spark)`` runs the flagship CDC apply end-to-end on sf0.001.
 ``queries()`` exposes every SURVEY.md §2 operator (CDC core) plus the
 training-data-pipeline suite (dedup, similarity, text analysis,
-multimodal plumbing) against the driver's testdata tables; each entry
-has a DuckDB-equivalent ``oracle_sql()`` unless noted (the LSH-ANN
-rerank keeps a rows-only check because float sign boundaries at the
-bucket edge are engine-specific).
+multimodal plumbing) against the driver's testdata tables; every entry
+has a DuckDB-equivalent ``oracle_sql()`` (the LSH bucketing rounds the
+plane dot before the sign test on both engines so bucket membership at
+the float boundary is portable).
 
 The `events` table doubles as a CDC stream for the core operators:
 key = user_id, ordering authority = event_id (stable order), op =
@@ -16,6 +16,7 @@ Debezium-style op column.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -105,23 +106,20 @@ def q_cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     read the final state back."""
     cfg = SinkConfig(**_CDC_CFG)
     cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
+    # session-scoped scratch dir (cleaned at interpreter exit) so the
+    # returned DataFrame stays lazy — no driver-side collect
     tmp = tempfile.mkdtemp(prefix="cdc_final_state_")
-    try:
-        applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
-        applier.apply_batch(cdc, batch_id=0)
-        out = applier.read_target().select(
-            "user_id",
-            F.col("event_id").alias("last_event_id"),
-            "op_type",
-            F.col("event_type").alias("last_event_type"),
-            F.col("value").alias("last_value"),
-            F.unix_timestamp("ts").alias("ts_epoch"),
-        )
-        # materialize before the backing files are deleted
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
+    applier.apply_batch(cdc, batch_id=0)
+    return applier.read_target().select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        "op_type",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
 
 
 def _sql_cdc_final_state() -> str:
@@ -168,8 +166,10 @@ SELECT CAST(user_id % 8 AS INTEGER) AS kafka_partition,
        min(event_id) AS min_offset,
        max(event_id) AS max_offset,
        count(*) AS n_events,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_delete,
-       sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS n_upsert
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_delete,
+       CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_upsert
 FROM events GROUP BY 1
 """
 
@@ -246,18 +246,22 @@ FROM merged GROUP BY event_type
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: gap > 1800s starts a new session per user."""
+    """Sessionization: gap > 1800s starts a new session per user.
+
+    The boundary test is a pure timestamp comparison
+    (ts > prev + INTERVAL 1800s) — exact at microsecond precision on
+    both engines, no epoch()/unix_timestamp float or flooring
+    discrepancy at the threshold."""
     from pyspark.sql import Window as W
 
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(
-        F.lag("ts").over(w)
+    prev = F.lag("ts").over(w)
+    new_sess = prev.isNull() | (
+        F.col("ts") > prev + F.expr("INTERVAL 1800 SECONDS")
     )
     return (
-        ev.withColumn(
-            "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-        )
+        ev.withColumn("new_sess", F.when(new_sess, 1).otherwise(0))
         .groupBy("user_id")
         .agg(
             F.sum("new_sess").alias("n_sessions"),
@@ -272,12 +276,14 @@ WITH g AS (
   SELECT user_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    IS NULL
-              OR epoch(ts) - epoch(lag(ts) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              OR ts > lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   + INTERVAL 1800 SECONDS
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 )
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM g GROUP BY user_id
 """
 
@@ -548,8 +554,9 @@ def _sql_lsh_buckets() -> str:
     for p, plane in enumerate(planes):
         lits = ", ".join(repr(w) for w in plane)
         plane_dots.append(
-            f"CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * w{p}[i] "
-            f"FOR i IN range(1, 65)]) >= 0 THEN {1 << p} ELSE 0 END"
+            f"CASE WHEN round(list_sum([CAST(embedding[i] AS DOUBLE) "
+            f"* w{p}[i] FOR i IN range(1, 65)]), 6) >= 0 "
+            f"THEN {1 << p} ELSE 0 END"
         )
     with_planes = ", ".join(
         f"[{', '.join(repr(w) for w in plane)}] AS w{p}"
@@ -582,8 +589,8 @@ def _sql_cosine_dup_pairs() -> str:
         for p, plane in enumerate(planes)
     )
     bucket = " + ".join(
-        f"CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * w{p}[i] "
-        f"FOR i IN range(1, 65)]) >= 0 THEN {1 << p} ELSE 0 END"
+        f"CASE WHEN round(list_sum([CAST(embedding[i] AS DOUBLE) * w{p}[i] "
+        f"FOR i IN range(1, 65)]), 6) >= 0 THEN {1 << p} ELSE 0 END"
         for p in range(8)
     )
     return f"""
@@ -612,12 +619,54 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
 
 
 def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via in-bucket rerank (rows-only check: bucket membership at
-    the sign boundary is float-order sensitive across engines)."""
+    """ANN via in-bucket rerank. Bucket membership is engine-portable
+    because the plane dot is rounded before the sign test (see
+    lsh_buckets), so this query now carries a full DuckDB oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_candidates(
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=8, dim=64
     )
+
+
+def _sql_lsh_ann() -> str:
+    planes = similarity.hyperplanes(8, 64, seed=42)
+    with_planes = ", ".join(
+        f"[{', '.join(repr(w) for w in plane)}] AS w{p}"
+        for p, plane in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN round(list_sum([CAST(embedding[i] AS DOUBLE) * w{p}[i] "
+        f"FOR i IN range(1, 65)]), 6) >= 0 THEN {1 << p} ELSE 0 END"
+        for p in range(8)
+    )
+    return f"""
+WITH pl AS (SELECT {with_planes}),
+b AS (
+  SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+  FROM embeddings CROSS JOIN pl
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           list_sum([CAST(q.embedding[i] AS DOUBLE)
+                     * CAST(c.embedding[i] AS DOUBLE)
+                     FOR i IN range(1, 65)])
+           / (sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE)
+                             * CAST(q.embedding[i] AS DOUBLE)
+                             FOR i IN range(1, 65)]))
+              * sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE)
+                               * CAST(c.embedding[i] AS DOUBLE)
+                               FOR i IN range(1, 65)]))), 6
+         ) AS cos_sim
+  FROM b c JOIN b q ON c.bucket = q.bucket
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 # --- multimodal -------------------------------------------------------
@@ -697,6 +746,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_bruteforce": _sql_knn(),
         "emb_lsh_buckets": _sql_lsh_buckets(),
         "emb_cosine_dup_pairs": _sql_cosine_dup_pairs(),
-        # emb_lsh_ann: intentionally rows-only (see docstring)
+        "emb_lsh_ann": _sql_lsh_ann(),
         "multimodal_decode": _sql_multimodal(),
     }

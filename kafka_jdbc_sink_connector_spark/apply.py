@@ -58,6 +58,7 @@ from kafka_jdbc_sink_connector_spark.operators.dedup import (
     collapse_last_writer,
 )
 from kafka_jdbc_sink_connector_spark.operators.evolution import (
+    coerce_for_target,
     evolve_for_batch,
     event_payload_schema,
     target_schema_for,
@@ -145,50 +146,19 @@ class CdcApplier:
         cfg = self.cfg
         table = self.ensure_table(events)
         if batch_id <= table.applied_batch(source_id):
+            # already merged — but a crash between the merge commit and
+            # the lineage append may have lost this batch's side
+            # tables; recompute them (stats + quarantine only, no
+            # merge) so replay converges instead of dropping lineage
+            self._backfill_side_tables(events, table, batch_id)
             return BatchResult(batch_id=batch_id, skipped=True,
                                snapshot_version=table.version)
 
         check_retain_fields(
             cfg, events.columns, [f.name for f in table.schema.fields]
         )
-        op = F.col(cfg.op_column)
-        # NOTE deliberately NOT persisted: the 2-3 consumer jobs
-        # (stats, optional quarantine, merge) re-run the vectorized
-        # columnar scan, which measures ~20x cheaper than building a
-        # row cache of a wide micro-batch (cache build was the single
-        # largest cost in profiling). Sources that are expensive to
-        # re-read (e.g. Kafka without replay) should materialize the
-        # batch to parquet first, which is what the file-stream source
-        # already provides.
-        tagged = events.withColumn(
-            "__error", error_expr(cfg, events.columns)
-        ).withColumn(
-            "__b", bucket_expr(cfg.pk_fields[0], table.snapshot.n_buckets)
-        )
-        ok = F.col("__error").isNull()
-        part = (
-            F.col(cfg.partition_column).cast("int")
-            if cfg.partition_column in events.columns
-            else F.lit(None).cast("int")
-        )
-        # --- job 1: combined lineage / quarantine-count / bucket set
-        stats_rows = (
-            tagged.groupBy(part.alias("kafka_partition"))
-            .agg(
-                F.min(F.when(ok, F.col(cfg.offset_column)))
-                .cast("long").alias("min_offset"),
-                F.max(F.when(ok, F.col(cfg.offset_column)))
-                .cast("long").alias("max_offset"),
-                F.sum(F.when(ok & (op == "c"), 1).otherwise(0))
-                .alias("n_insert"),
-                F.sum(F.when(ok & ((op == "u") | (op == "r")), 1)
-                      .otherwise(0)).alias("n_update"),
-                F.sum(F.when(ok & (op == cfg.op_delete_value), 1)
-                      .otherwise(0)).alias("n_delete"),
-                F.sum(F.when(~ok, 1).otherwise(0)).alias("n_quarantined"),
-                F.collect_set(F.when(ok, F.col("__b"))).alias("__bs"),
-            )
-            .collect()
+        tagged, casts, stats_rows = self._stats_and_quarantine(
+            events, table, batch_id
         )
         _t = _tick("stats job", t0)
         n_quarantined = int(sum(r["n_quarantined"] for r in stats_rows))
@@ -198,24 +168,10 @@ class CdcApplier:
         )
         affected = sorted({b for r in stats_rows for b in r["__bs"]})
 
-        # --- job 2 (conditional): quarantine write
-        if n_quarantined:
-            (
-                tagged.filter(~ok)
-                .select(
-                    F.to_json(F.struct(*[F.col(c) for c in events.columns]))
-                    .alias("raw"),
-                    F.col("__error").alias("error"),
-                    part.alias("kafka_partition"),
-                    F.col(cfg.offset_column).cast("long")
-                    .alias("kafka_offset"),
-                    F.lit(batch_id).cast("long").alias("batch_id"),
-                )
-                .write.mode("append")
-                .parquet(self.quarantine_path)
-            )
-
+        ok = F.col("__error").isNull()
         valid = tagged.filter(ok).drop("__error", "__b")
+        if casts:
+            valid = valid.withColumns(casts)
         evolved = evolve_for_batch(table, valid, cfg)
         _t = _tick("quarantine+evolve", _t)
 
@@ -253,25 +209,8 @@ class CdcApplier:
             )
         _t = _tick("merge commit", _t)
 
-        # --- lineage append from the already-collected stats
-        lineage = self.spark.createDataFrame(
-            [
-                (
-                    batch_id,
-                    r["kafka_partition"],
-                    r["min_offset"],
-                    r["max_offset"],
-                    int(r["n_insert"]),
-                    int(r["n_update"]),
-                    int(r["n_delete"]),
-                    int(r["n_quarantined"]),
-                    snap.version,
-                )
-                for r in stats_rows
-            ],
-            LINEAGE_SCHEMA,
-        )
-        lineage.write.mode("append").parquet(self.lineage_path)
+        # --- lineage write from the already-collected stats
+        self._write_lineage(stats_rows, batch_id, snap.version)
         _t = _tick("lineage write", _t)
 
         return BatchResult(
@@ -283,6 +222,127 @@ class CdcApplier:
         seconds=time.monotonic() - t0,
         )
 
+    # -- stats / quarantine / lineage helpers --------------------------
+
+    def _stats_and_quarantine(self, events, table, batch_id):
+        """Jobs 1+2 of the batch: one combined aggregation producing
+        per-partition lineage counts, the quarantine count, and the
+        affected-bucket set; plus the (conditional) quarantine write.
+        Deterministic and merge-free, so it is replay-safe."""
+        cfg = self.cfg
+        op = F.col(cfg.op_column)
+        # NOTE deliberately NOT persisted: the 2-3 consumer jobs
+        # (stats, optional quarantine, merge) re-run the vectorized
+        # columnar scan, which measures ~20x cheaper than building a
+        # row cache of a wide micro-batch (cache build was the single
+        # largest cost in profiling). Sources that are expensive to
+        # re-read (e.g. Kafka without replay) should materialize the
+        # batch to parquet first, which is what the file-stream source
+        # already provides.
+        # per-record type rescue (O18): mistyped values quarantine
+        # individually; the rest of the batch applies with try_cast
+        casts, cast_err = coerce_for_target(table.schema, events, cfg)
+        err = error_expr(cfg, events.columns)
+        if cast_err is not None:
+            err = F.coalesce(err, cast_err)
+        tagged = events.withColumn("__error", err).withColumn(
+            "__b", bucket_expr(cfg.pk_fields[0], table.snapshot.n_buckets)
+        )
+        ok = F.col("__error").isNull()
+        part = (
+            F.col(cfg.partition_column).cast("int")
+            if cfg.partition_column in events.columns
+            else F.lit(None).cast("int")
+        )
+        # --- job 1: combined lineage / quarantine-count / bucket set
+        stats_rows = (
+            tagged.groupBy(part.alias("kafka_partition"))
+            .agg(
+                F.min(F.when(ok, F.col(cfg.offset_column)))
+                .cast("long").alias("min_offset"),
+                F.max(F.when(ok, F.col(cfg.offset_column)))
+                .cast("long").alias("max_offset"),
+                F.sum(F.when(ok & (op == cfg.op_insert_value), 1)
+                      .otherwise(0)).alias("n_insert"),
+                # valid non-delete non-insert ops = updates (covers
+                # custom op vocabularies, not just Debezium u/r)
+                F.sum(F.when(ok & (op != cfg.op_insert_value)
+                             & (op != cfg.op_delete_value), 1)
+                      .otherwise(0)).alias("n_update"),
+                F.sum(F.when(ok & (op == cfg.op_delete_value), 1)
+                      .otherwise(0)).alias("n_delete"),
+                F.sum(F.when(~ok, 1).otherwise(0)).alias("n_quarantined"),
+                F.collect_set(F.when(ok, F.col("__b"))).alias("__bs"),
+            )
+            .collect()
+        )
+        n_quarantined = int(sum(r["n_quarantined"] for r in stats_rows))
+
+        # --- job 2 (conditional): quarantine write
+        if n_quarantined:
+            (
+                tagged.filter(~ok)
+                .select(
+                    F.to_json(F.struct(*[F.col(c) for c in events.columns]))
+                    .alias("raw"),
+                    F.col("__error").alias("error"),
+                    part.alias("kafka_partition"),
+                    F.col(cfg.offset_column).cast("long")
+                    .alias("kafka_offset"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                )
+                # batch_id-partitioned dynamic overwrite, not a blind
+                # append: a retried/replayed batch replaces its own
+                # partition instead of duplicating quarantine rows
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(self.quarantine_path)
+            )
+        return tagged, casts, stats_rows
+
+    def _write_lineage(
+        self, stats_rows, batch_id: int, snapshot_version: int | None
+    ) -> None:
+        lineage = self.spark.createDataFrame(
+            [
+                (
+                    batch_id,
+                    r["kafka_partition"],
+                    r["min_offset"],
+                    r["max_offset"],
+                    int(r["n_insert"]),
+                    int(r["n_update"]),
+                    int(r["n_delete"]),
+                    int(r["n_quarantined"]),
+                    snapshot_version,
+                )
+                for r in stats_rows
+            ],
+            LINEAGE_SCHEMA,
+        )
+        # idempotent per batch (see quarantine write): replaying a
+        # batch after a crash between merge commit and this write
+        # rewrites rather than duplicates its lineage partition
+        (
+            lineage.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.lineage_path)
+        )
+
+    def _backfill_side_tables(self, events, table, batch_id: int) -> None:
+        """Replay of an already-merged batch: re-derive quarantine +
+        lineage only if this batch's lineage partition is missing
+        (crash between merge commit and the side-table writes)."""
+        part_dir = os.path.join(self.lineage_path, f"batch_id={batch_id}")
+        if os.path.isdir(part_dir):
+            return
+        _, _, stats_rows = self._stats_and_quarantine(
+            events, table, batch_id
+        )
+        self._write_lineage(stats_rows, batch_id, table.version)
+
     def read_target(self) -> DataFrame:
         t = self.table()
         if t is None:
@@ -290,7 +350,11 @@ class CdcApplier:
         return t.read()
 
     def read_lineage(self) -> DataFrame:
-        return self.spark.read.parquet(self.lineage_path)
+        # explicit schema: batch_id comes back from the partition dirs
+        # and must read as long, not the discovery-inferred int
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(
+            self.lineage_path
+        )
 
     def read_quarantine(self) -> DataFrame:
         schema = (

@@ -110,6 +110,11 @@ class SinkConfig:
     #: condition `delete.as.update.identifier=OP_TYPE=D`).
     op_column: str = "op"
     op_delete_value: str = "d"
+    #: op value classified as insert for lineage counts; any other
+    #: non-delete valid op counts as update (Debezium: u=update,
+    #: r=snapshot read).
+    op_insert_value: str = "c"
+    op_update_values: tuple[str, ...] = ("u", "r")
     #: soft-delete marker + guard conditions, first entry is the marker
     #: written on soft delete (reference `delete.as.update.identifier`).
     soft_delete_conditions: tuple[tuple[str, str | None], ...] = (
@@ -152,12 +157,34 @@ class SinkConfig:
     # derived, filled by __post_init__
     soft_delete_column: str = field(init=False, default="op_type")
     soft_delete_value: str = field(init=False, default="D")
+    #: full valid-op vocabulary (insert ∪ updates ∪ delete) — the set
+    #: the validator accepts; anything else quarantines as unknown op.
+    valid_ops: tuple[str, ...] = field(init=False, default=("c", "u", "r", "d"))
 
     def __post_init__(self) -> None:
         self.insert_mode = InsertMode(self.insert_mode)
         self.delete_mode = DeleteMode(self.delete_mode)
         if not self.pk_fields:
             raise ConfigError("pk_fields must be non-empty")
+        if not self.op_delete_value:
+            raise ConfigError("op_delete_value must be non-empty")
+        self.op_update_values = tuple(self.op_update_values)
+        if self.op_delete_value == self.op_insert_value or (
+            self.op_delete_value in self.op_update_values
+        ):
+            # a reference-style custom marker (e.g. 'D') must stay
+            # distinguishable from the upsert vocabulary, else every
+            # delete would be applied as an upsert
+            raise ConfigError(
+                f"op_delete_value {self.op_delete_value!r} collides with "
+                f"the insert/update op vocabulary"
+            )
+        self.valid_ops = tuple(
+            dict.fromkeys(
+                (self.op_insert_value, *self.op_update_values,
+                 self.op_delete_value)
+            )
+        )
         if isinstance(self.soft_delete_conditions, str):
             self.soft_delete_conditions = tuple(
                 parse_conditions(self.soft_delete_conditions)

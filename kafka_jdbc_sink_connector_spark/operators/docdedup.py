@@ -84,9 +84,11 @@ def ngram_jaccard_pairs(
     idx = shingle_index(docs, id_col, text_col, k)
     sizes = idx.groupBy(id_col).agg(F.count("*").alias("set_size"))
     df_counts = idx.groupBy("shingle").agg(F.count("*").alias("df"))
-    rare = idx.join(
-        F.broadcast(df_counts.filter(F.col("df") <= max_df)), "shingle"
-    )
+    # no broadcast hint: most shingles are rare, so the df<=max_df
+    # side is proportional to corpus vocabulary and would OOM the
+    # driver at scale — let AQE pick the join strategy from measured
+    # sizes (it will broadcast only when genuinely small)
+    rare = idx.join(df_counts.filter(F.col("df") <= max_df), "shingle")
     a = rare.select(F.col(id_col).alias("doc_a"), "shingle")
     b = rare.select(F.col(id_col).alias("doc_b"), "shingle")
     shared = (

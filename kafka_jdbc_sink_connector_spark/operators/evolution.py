@@ -22,6 +22,7 @@ types; incompatible records would fail and dead-letter).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kafka_jdbc_sink_connector_spark.config import DeleteMode, SinkConfig
@@ -35,6 +36,70 @@ from kafka_jdbc_sink_connector_spark.schemas import (
 
 class SchemaEvolutionError(ValueError):
     pass
+
+
+#: atomic types a per-row try_cast can attempt between; complex-type
+#: mismatches (array/map/struct) have no row-level rescue.
+_ATOMIC = (
+    T.StringType, T.BooleanType, T.ByteType, T.ShortType, T.IntegerType,
+    T.LongType, T.FloatType, T.DoubleType, T.DecimalType, T.DateType,
+    T.TimestampType, T.TimestampNTZType, T.BinaryType,
+)
+
+
+def coerce_for_target(
+    target: T.StructType, events: DataFrame, cfg: SinkConfig
+) -> tuple[dict[str, "F.Column"], "F.Column | None"]:
+    """Per-record type rescue (reference O18 second half:
+    ``JdbcAuditSinkTask.unrollAndRetry``, ``JdbcAuditSinkTask.java:123-140``
+    dead-letters individually failing records and applies the rest).
+
+    For each payload column whose batch type differs from the target's,
+    returns a ``try_cast`` replacement plus an error expression that
+    fires on rows whose value cannot be represented in the target type
+    (non-null in, null out). Those rows quarantine with a reason while
+    the rest of the batch applies — instead of poisoning the whole
+    batch the way a blanket :class:`SchemaEvolutionError` would.
+
+    Complex-type mismatches (array vs int, …) have no row-level cast;
+    every row with a non-null value quarantines and the column reads
+    as NULL for the survivors.
+    """
+    by_name = {f.name: f for f in target.fields}
+    payload = event_payload_schema(events, cfg)
+    casts: dict[str, F.Column] = {}
+    errors: list[F.Column] = []
+    for f in payload.fields:
+        t = by_name.get(f.name)
+        if t is None or t.dataType == f.dataType:
+            continue
+        if f.name in cfg.pk_fields:
+            # a mistyped key can't be partially rescued: matching
+            # against the target key would be undefined
+            raise SchemaEvolutionError(
+                f"key column {f.name}: incompatible type change "
+                f"{t.dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()}"
+            )
+        src, dst = f.dataType, t.dataType
+        reason = (
+            f"cast failed: {f.name} "
+            f"{src.simpleString()} -> {dst.simpleString()}"
+        )
+        if isinstance(src, _ATOMIC) and isinstance(dst, _ATOMIC):
+            c = F.col(f.name).try_cast(dst)
+            casts[f.name] = c
+            errors.append(
+                F.when(F.col(f.name).isNotNull() & c.isNull(),
+                       F.lit(reason))
+            )
+        else:
+            casts[f.name] = F.lit(None).cast(dst)
+            errors.append(
+                F.when(F.col(f.name).isNotNull(), F.lit(reason))
+            )
+    err = F.coalesce(*errors) if errors else None
+    return casts, err
 
 
 def event_payload_schema(events: DataFrame, cfg: SinkConfig) -> T.StructType:
@@ -78,6 +143,13 @@ def evolve_for_batch(
     if problems:
         raise SchemaEvolutionError("; ".join(problems))
     missing = missing_nullable_fields(table.schema, payload)
+    if cfg.fields_whitelist is not None:
+        # the reference amends only whitelisted fields
+        # (FieldsMetadata.extract with fields.whitelist,
+        # BufferedRecords.java:189); evolving non-whitelisted columns
+        # would add permanently-NULL dead weight to the target
+        allowed = set(cfg.fields_whitelist)
+        missing = [f for f in missing if f.name in allowed]
     if not missing:
         return []
     if not cfg.auto_evolve:

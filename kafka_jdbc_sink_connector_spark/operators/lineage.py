@@ -27,10 +27,17 @@ def lineage_for_batch(
     agg = valid.groupBy(F.col(part).cast("int").alias("kafka_partition")).agg(
         F.min(off).cast("long").alias("min_offset"),
         F.max(off).cast("long").alias("max_offset"),
-        F.sum(F.when(op == "c", 1).otherwise(0)).alias("n_insert"),
-        F.sum(F.when((op == "u") | (op == "r"), 1).otherwise(0)).alias(
-            "n_update"
+        F.sum(F.when(op == cfg.op_insert_value, 1).otherwise(0)).alias(
+            "n_insert"
         ),
+        # any valid non-delete, non-insert op counts as update, so
+        # custom (non-Debezium) vocabularies classify correctly
+        F.sum(
+            F.when(
+                (op != cfg.op_insert_value) & (op != cfg.op_delete_value),
+                1,
+            ).otherwise(0)
+        ).alias("n_update"),
         F.sum(
             F.when(op == cfg.op_delete_value, 1).otherwise(0)
         ).alias("n_delete"),

@@ -124,13 +124,21 @@ def lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    dot_round: int = 6,
 ) -> DataFrame:
-    """(vec_id, bucket) — sign-LSH bucket id in [0, 2^n_planes)."""
+    """(vec_id, bucket) — sign-LSH bucket id in [0, 2^n_planes).
+
+    The plane dot is rounded to ``dot_round`` digits before the sign
+    test so bucket membership at the zero boundary is stable across
+    engines/summation orders (a |dot| below the rounding granularity
+    lands on +0.0 on both sides); the SQL oracle applies the same
+    round()."""
     planes = hyperplanes(n_planes, dim, seed)
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         bucket = bucket + F.when(
-            plane_dot(F.col(vec_col), plane) >= 0, F.lit(1 << p).cast("long")
+            F.round(plane_dot(F.col(vec_col), plane), dot_round) >= 0,
+            F.lit(1 << p).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
     return vectors.select(F.col(id_col), bucket.alias("bucket"))
 

@@ -69,8 +69,11 @@ def error_expr(cfg: SinkConfig, columns: list[str]):
                 F.when(required, F.lit(f"missing key field {k}"))
             )
     checks.append(F.when(op.isNull(), F.lit("null op")))
+    # validated against the *configured* vocabulary (insert ∪ update ∪
+    # delete ops) so a custom op_delete_value like 'D' — or Kafka
+    # tombstones, which are assigned op=op_delete_value — passes
     checks.append(
-        F.when(~op.isin(*VALID_OPS_DEFAULT), F.concat(F.lit("unknown op "), op))
+        F.when(~op.isin(*cfg.valid_ops), F.concat(F.lit("unknown op "), op))
     )
     checks.append(
         F.when(F.col(cfg.offset_column).isNull(), F.lit("null offset"))

@@ -25,6 +25,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from kafka_jdbc_sink_connector_spark.apply import BatchResult, CdcApplier
+from kafka_jdbc_sink_connector_spark.config import ConfigError
+from kafka_jdbc_sink_connector_spark.operators.evolution import (
+    SchemaEvolutionError,
+)
+from kafka_jdbc_sink_connector_spark.operators.validate import (
+    MissingRetainFieldError,
+)
+
+#: deterministic failures — retrying replays the identical input
+#: through the identical code, so fail fast instead of burning the
+#: retry budget (the reference's RetriableException is reserved for
+#: transient SQL/connection errors, JdbcAuditSinkTask.java:96-103)
+NON_RETRIABLE = (ConfigError, SchemaEvolutionError, MissingRetainFieldError)
 
 
 class CdcStreamRunner:
@@ -53,6 +66,8 @@ class CdcStreamRunner:
                 )
                 self.results.append(res)
                 return res
+            except NON_RETRIABLE:
+                raise
             except Exception as e:  # noqa: BLE001 — mirror catch(SQLException)
                 last_err = e
                 if attempt < attempts - 1:

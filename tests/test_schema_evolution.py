@@ -75,18 +75,81 @@ def test_a_b_a_interleaving(spark, tmp_table):
     assert got["conv-a"]["tool"] is None
 
 
-def test_incompatible_type_change_rejected(spark, tmp_table):
+def test_type_change_rescued_per_record(spark, tmp_table):
+    """O18 second half (JdbcAuditSinkTask.java:123-140): a mistyped
+    column no longer poisons the batch. Representable values apply via
+    try_cast (int 123 → text '123'); values that cannot be represented
+    in the target type quarantine individually while the rest of the
+    batch applies."""
     cfg = SinkConfig(n_buckets=2)
     applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
     applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
                         batch_id=0)
-    bad = spark.createDataFrame(
+    # int text → string target: always representable, applies
+    castable = spark.createDataFrame(
         [(0, 2, "u", "conv-a", 0, 123, None)],
         "kafka_partition int, kafka_offset long, op string, "
         "conv_id string, turn_idx int, text int, ts timestamp",
     )
-    with pytest.raises(SchemaEvolutionError, match="text"):
-        applier.apply_batch(bad, batch_id=1)
+    r = applier.apply_batch(castable, batch_id=1)
+    assert r.n_quarantined == 0
+    got = {x["conv_id"]: x for x in applier.read_target().collect()}
+    assert got["conv-a"]["text"] == "123"
+
+
+def test_unrepresentable_value_quarantines_rest_applies(spark, tmp_table):
+    """One incompatible-typed record dead-letters; the other 3 apply
+    (mirrors the reference's unroll-and-retry DLQ behavior)."""
+    cfg = SinkConfig(n_buckets=2)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    # bootstrap with an int-typed turn-count-ish extra column
+    base = spark.createDataFrame(
+        [(0, 1, "c", "conv-a", 0, "hello", None, 5)],
+        "kafka_partition int, kafka_offset long, op string, "
+        "conv_id string, turn_idx int, text string, ts timestamp, "
+        "n_tool_calls int",
+    )
+    applier.apply_batch(base, batch_id=0)
+    # batch where n_tool_calls arrives as string; one value is not an int
+    mixed = spark.createDataFrame(
+        [
+            (0, 2, "u", "conv-a", 0, "t0", None, "7"),
+            (0, 3, "c", "conv-b", 0, "t1", None, "not-a-number"),
+            (0, 4, "c", "conv-c", 0, "t2", None, "11"),
+            (0, 5, "c", "conv-d", 0, "t3", None, None),
+        ],
+        "kafka_partition int, kafka_offset long, op string, "
+        "conv_id string, turn_idx int, text string, ts timestamp, "
+        "n_tool_calls string",
+    )
+    r = applier.apply_batch(mixed, batch_id=1)
+    assert r.n_quarantined == 1
+    assert r.n_events == 3
+    got = {x["conv_id"]: x for x in applier.read_target().collect()}
+    assert set(got) == {"conv-a", "conv-c", "conv-d"}  # conv-b DLQ'd
+    assert got["conv-a"]["n_tool_calls"] == 7
+    assert got["conv-c"]["n_tool_calls"] == 11
+    assert got["conv-d"]["n_tool_calls"] is None
+    q = applier.read_quarantine().collect()
+    assert len(q) == 1
+    assert "cast failed: n_tool_calls" in q[0]["error"]
+    assert q[0]["kafka_offset"] == 3
+
+
+def test_mistyped_key_column_still_rejected(spark, tmp_table):
+    """A wrong-typed *key* column has no per-record rescue: matching
+    against the target key would be undefined, so the batch fails."""
+    cfg = SinkConfig(n_buckets=2)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                        batch_id=0)
+    bad_key = spark.createDataFrame(
+        [(0, 2, "u", "conv-a", "zero", "x", None)],
+        "kafka_partition int, kafka_offset long, op string, "
+        "conv_id string, turn_idx string, text string, ts timestamp",
+    )
+    with pytest.raises(SchemaEvolutionError, match="turn_idx"):
+        applier.apply_batch(bad_key, batch_id=1)
 
 
 def test_auto_evolve_disabled_rejects_new_columns(spark, tmp_table):

@@ -41,18 +41,19 @@ def test_conversation_progress_across_batches(spark, tmp_path):
         )
         # ProcessingTimeTimeout keeps firing empty batches, so
         # processAllAvailable()/availableNow never settle — poll until
-        # all 1200 events went through, then stop
+        # all 1200 events went through, then stop. recentProgress (the
+        # complete retained list), not lastProgress: two micro-batches
+        # completing within one poll interval must both be counted.
         import time
 
         seen = 0
         deadline = time.monotonic() + 180
-        last_batch = -1
+        rows_by_batch: dict[int, int] = {}
         while time.monotonic() < deadline and seen < 1200:
             time.sleep(2)
-            lp = q.lastProgress
-            if lp and lp["batchId"] != last_batch:
-                last_batch = lp["batchId"]
-                seen += lp["numInputRows"]
+            for p in q.recentProgress:
+                rows_by_batch[p["batchId"]] = p["numInputRows"]
+            seen = sum(rows_by_batch.values())
         q.stop()
         assert seen == 1200, f"only {seen} events processed"
 

@@ -116,8 +116,9 @@ def test_entry_contract_consistency(spark):
     qs = entry.queries()
     oracles = entry.oracle_sql()
     assert set(oracles) <= set(qs)
-    # documented rows-only exceptions
-    assert set(qs) - set(oracles) == {"emb_lsh_ann"}
+    # every query carries a DuckDB oracle (emb_lsh_ann gained one once
+    # the bucket sign test was quantized on both engines)
+    assert set(qs) == set(oracles)
     df = entry.entry(spark)
     assert df.count() > 0
     assert df.schema is not None

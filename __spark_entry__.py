@@ -669,6 +669,236 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+# --- relational suite (TPC-H-shaped, SURVEY §2b joins/aggs/set ops) ---
+#
+# Money columns are reduced to exact integer cents BEFORE summation
+# (round(x*100) per row, then integer sums) so the result is invariant
+# to float summation order across engines.
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100, 0).cast("long")
+
+
+def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy aggregate with pushdown-able date
+    filter; exercises map-side partial aggregation on a 6-column
+    projection of the widest table."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("sum_disc_cents"),
+        F.avg(F.col("l_quantity")).alias("avg_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _sql_tpch_q1() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       avg(l_quantity) AS avg_qty,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (small filtered dim × two big
+    tables), aggregate, deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    ords = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _sql_tpch_q3() -> str:
+    return """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tpch_region_customer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-chain broadcast join: customer → nation → region rollup of
+    customer counts and exact-cents balances (both dims broadcast)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region),
+              nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+        )
+    )
+
+
+def _sql_tpch_region_customer() -> str:
+    return """
+SELECT r_name, n_name,
+       count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over (status, priority) with subtotals and
+    a grand total."""
+    ords = _t(spark, sf_dir, "orders")
+    return ords.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+    )
+
+
+def _sql_tpch_rollup() -> str:
+    return """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_tpch_custkey_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: high-balance customers split by whether they
+    also placed an urgent order (INTERSECT) or not (EXCEPT)."""
+    cust = _t(spark, sf_dir, "customer")
+    ords = _t(spark, sf_dir, "orders")
+    high = cust.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = ords.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = high.intersect(urgent).withColumn("tag", F.lit("urgent"))
+    only = high.subtract(urgent).withColumn("tag", F.lit("no_urgent"))
+    return both.unionByName(only)
+
+
+def _sql_tpch_setops() -> str:
+    return """
+WITH high AS (SELECT c_custkey AS custkey FROM customer
+              WHERE c_acctbal > 9000),
+urgent AS (SELECT o_custkey AS custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT')
+SELECT custkey, 'urgent' AS tag
+FROM (SELECT custkey FROM high INTERSECT SELECT custkey FROM urgent)
+UNION ALL
+SELECT custkey, 'no_urgent' AS tag
+FROM (SELECT custkey FROM high EXCEPT SELECT custkey FROM urgent)
+"""
+
+
+def q_tpch_scalar_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface: date parts, string slicing/casing/
+    concat, exact-cents conversion — one codegen'd scan projection."""
+    ords = _t(spark, sf_dir, "orders")
+    return ords.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias(
+            "status_key"
+        ),
+        _cents(F.col("o_totalprice")).alias("total_cents"),
+    )
+
+
+def _sql_tpch_scalar() -> str:
+    return """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+       substr(o_orderpriority, 1, 1) AS prio_code,
+       lower(o_orderpriority) AS prio_lower,
+       CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+       o_orderstatus || '#' || o_orderpriority AS status_key,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders
+"""
+
+
+def q_tpch_cust_latest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over a large join key: latest 2 orders per customer with
+    a per-customer running count."""
+    from pyspark.sql import Window as W
+
+    ords = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        ords.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "rn")
+    )
+
+
+def _sql_tpch_latest_orders() -> str:
+    return """
+SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 2
+"""
+
+
 # --- multimodal -------------------------------------------------------
 
 
@@ -710,6 +940,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution_backfill": q_cdc_schema_evolution_backfill,
         "events_sessionize": q_events_sessionize,
         "events_topk_per_type": q_events_topk_per_type,
+        "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+        "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+        "tpch_region_customer_agg": q_tpch_region_customer_agg,
+        "tpch_orders_rollup": q_tpch_orders_rollup,
+        "tpch_custkey_setops": q_tpch_custkey_setops,
+        "tpch_scalar_orders": q_tpch_scalar_orders,
+        "tpch_cust_latest_orders": q_tpch_cust_latest_orders,
         "doc_token_count": q_doc_token_count,
         "doc_quality_score": q_doc_quality_score,
         "doc_lang_id": q_doc_lang_id,
@@ -735,6 +972,13 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_evolution_backfill": _sql_cdc_evolution(),
         "events_sessionize": _sql_sessionize(),
         "events_topk_per_type": _sql_topk(),
+        "tpch_q1_pricing_summary": _sql_tpch_q1(),
+        "tpch_q3_shipping_priority": _sql_tpch_q3(),
+        "tpch_region_customer_agg": _sql_tpch_region_customer(),
+        "tpch_orders_rollup": _sql_tpch_rollup(),
+        "tpch_custkey_setops": _sql_tpch_setops(),
+        "tpch_scalar_orders": _sql_tpch_scalar(),
+        "tpch_cust_latest_orders": _sql_tpch_latest_orders(),
         "doc_token_count": _sql_token_count(),
         "doc_quality_score": _sql_quality(),
         "doc_lang_id": _sql_lang_id(),

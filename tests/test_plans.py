@@ -92,3 +92,36 @@ def test_codegen_in_scan_pipeline(spark):
     # that matters is that NO Python evaluation nodes appear
     assert "*(1)" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_dim_joins_broadcast(spark):
+    """The nation/region dim chain must broadcast (no shuffle of the
+    customer fact side for a 25-row dim)."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q_tpch_region_customer_agg(spark, SF))
+    assert plan.count("BroadcastExchange") >= 2
+    # the fact side is never shuffled for the join itself: the only
+    # Exchange is the final groupBy aggregation
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q1_pushdown_and_partial_agg(spark):
+    """Q1's date filter reaches the parquet scan and the aggregate
+    combines map-side before the shuffle."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q_tpch_q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+    assert "partial_sum" in plan  # map-side combine
+    assert plan.count("Exchange") == 1
+
+
+def test_tpch_q3_fact_join_strategy(spark):
+    """orders x lineitem is a fact-fact join: the filtered BUILDING
+    customer dim broadcasts, and no Python appears anywhere."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q_tpch_q3_shipping_priority(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -12,8 +12,11 @@ the Spark equivalent reads the topic directly. Two separable pieces:
   (key/value binary + topic/partition/offset/timestamp) into the
   engine's change-event frame. Supports:
 
-  - JSON-encoded key and value structs (Avro needs the schema-registry
-    package — same ``from_avro`` shape, config-gated),
+  - JSON-encoded key and value structs,
+  - Avro-encoded key/value (``value_format="avro"``) with optional
+    Confluent wire-format framing — the reference's production format
+    (``BufferedRecordsTest.java:94-99``); see :mod:`.avro` for the
+    spark-avro / fallback decoder split,
   - **pk_mode=record_key**: key fields taken from the record key
     (the reference hard-codes record_value, ``BufferedRecords.java:45``;
     the engine supports both),
@@ -76,29 +79,76 @@ KAFKA_WIRE_SCHEMA = T.StructType(
 
 def parse_kafka_records(
     records: DataFrame,
-    value_schema: T.StructType,
+    value_schema: T.StructType | None,
     cfg: SinkConfig,
     key_schema: T.StructType | None = None,
     pk_mode: str = "record_value",
     keep_topic: bool = False,
+    value_format: str = "json",
+    avro_value_schema: str | None = None,
+    avro_key_schema: str | None = None,
+    confluent_wire: bool = False,
+    avro_decoder: str = "auto",
 ) -> DataFrame:
     """Kafka wire records → engine change-event DataFrame.
 
     Column mapping (SURVEY.md §1 table): ``partition`` →
-    ``kafka_partition``, ``offset`` → ``kafka_offset``, value JSON →
-    payload columns, tombstones → op='d'.
+    ``kafka_partition``, ``offset`` → ``kafka_offset``, value JSON/Avro
+    → payload columns, tombstones → op='d'.
+
+    ``value_format="avro"`` decodes the binary key/value with the
+    writer schemas given as Avro JSON (``avro_value_schema`` /
+    ``avro_key_schema``); ``value_schema``/``key_schema`` may then be
+    omitted (derived from the Avro schema). ``confluent_wire`` strips
+    the Schema Registry framing byte+id first.
     """
     if pk_mode not in ("record_value", "record_key"):
         raise ValueError(f"unsupported pk_mode {pk_mode!r}")
+    if value_format not in ("json", "avro"):
+        raise ValueError(f"unsupported value_format {value_format!r}")
+
+    if value_format == "avro":
+        from kafka_jdbc_sink_connector_spark.sources import avro as avro_mod
+
+        if avro_value_schema is None:
+            raise ValueError("value_format='avro' requires avro_value_schema")
+        if value_schema is None:
+            value_schema = avro_mod.avro_schema_to_struct(avro_value_schema)
+        spark = records.sparkSession
+        # a tombstone's value is NULL: bypass the decoder so it cannot
+        # trip on the missing payload
+        val = F.when(
+            F.col("value").isNotNull(),
+            avro_mod.avro_decode_column(
+                spark, F.col("value"), avro_value_schema,
+                confluent_wire=confluent_wire, decoder=avro_decoder,
+            ),
+        )
+        out = records.withColumn("__v", val)
+        if avro_key_schema is not None:
+            if key_schema is None:
+                key_schema = avro_mod.avro_schema_to_struct(avro_key_schema)
+            out = out.withColumn(
+                "__k",
+                F.when(
+                    F.col("key").isNotNull(),
+                    avro_mod.avro_decode_column(
+                        spark, F.col("key"), avro_key_schema,
+                        confluent_wire=confluent_wire, decoder=avro_decoder,
+                    ),
+                ),
+            )
+    else:
+        if value_schema is None:
+            raise ValueError("value_format='json' requires value_schema")
+        val = F.from_json(F.col("value").cast("string"), value_schema)
+        out = records.withColumn("__v", val)
+        if key_schema is not None:
+            out = out.withColumn(
+                "__k", F.from_json(F.col("key").cast("string"), key_schema)
+            )
     if pk_mode == "record_key" and key_schema is None:
         raise ValueError("pk_mode=record_key requires key_schema")
-
-    val = F.from_json(F.col("value").cast("string"), value_schema)
-    out = records.withColumn("__v", val)
-    if key_schema is not None:
-        out = out.withColumn(
-            "__k", F.from_json(F.col("key").cast("string"), key_schema)
-        )
 
     is_tombstone = F.col("value").isNull()
     op_from_value = F.col(f"__v.{cfg.op_column}") if cfg.op_column in [

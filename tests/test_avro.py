@@ -1,0 +1,169 @@
+"""Avro decode path (the reference's production wire format: Avro
+converters + Schema Registry, ``BufferedRecordsTest.java:94-99``).
+
+The fixtures are Avro-binary-encoded with the in-repo writer (public
+Avro 1.x spec) and framed with the Confluent magic+schema-id header,
+then parsed through the same ``parse_kafka_records`` entry the JSON
+tests use.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import struct
+
+import pytest
+from pyspark.sql import types as T
+
+from kafka_jdbc_sink_connector_spark.config import SinkConfig
+from kafka_jdbc_sink_connector_spark.sources.avro import (
+    AvroDecodeError,
+    avro_schema_to_struct,
+    decode_record,
+    encode_record,
+    spark_avro_available,
+)
+from kafka_jdbc_sink_connector_spark.sources.kafka import (
+    KAFKA_WIRE_SCHEMA,
+    parse_kafka_records,
+)
+
+VALUE_SCHEMA = """
+{"type": "record", "name": "transcript_event", "fields": [
+  {"name": "op", "type": "string"},
+  {"name": "conv_id", "type": "string"},
+  {"name": "turn_idx", "type": "int"},
+  {"name": "role", "type": ["null", "string"]},
+  {"name": "text", "type": ["null", "string"]},
+  {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}}
+]}
+"""
+
+KEY_SCHEMA = """
+{"type": "record", "name": "transcript_key", "fields": [
+  {"name": "conv_id", "type": "string"},
+  {"name": "turn_idx", "type": "int"}
+]}
+"""
+
+TS = dt.datetime(2024, 1, 1, 12, 30, 45, 123456)
+
+
+def _confluent(payload: bytes, schema_id: int = 7) -> bytes:
+    return b"\x00" + struct.pack(">I", schema_id) + payload
+
+
+def test_codec_roundtrip():
+    rec = {"op": "c", "conv_id": "conv-1", "turn_idx": 3,
+           "role": "user", "text": "héllo wörld", "ts": TS}
+    blob = encode_record(VALUE_SCHEMA, rec)
+    assert decode_record(VALUE_SCHEMA, blob) == rec
+    # nullable fields roundtrip as None
+    rec2 = dict(rec, role=None, text=None)
+    assert decode_record(VALUE_SCHEMA, encode_record(VALUE_SCHEMA, rec2)) == rec2
+
+
+def test_schema_mapping():
+    st = avro_schema_to_struct(VALUE_SCHEMA)
+    assert st["turn_idx"].dataType == T.IntegerType()
+    assert st["role"].nullable and not st["op"].nullable
+    assert isinstance(st["ts"].dataType, T.TimestampNTZType)
+    with pytest.raises(AvroDecodeError, match="union"):
+        avro_schema_to_struct(
+            '{"type":"record","name":"x","fields":'
+            '[{"name":"a","type":["int","string"]}]}'
+        )
+
+
+def _avro_kafka_row(partition, offset, key, value, schema_id=7):
+    return (
+        _confluent(encode_record(KEY_SCHEMA, key), schema_id)
+        if key is not None else None,
+        _confluent(encode_record(VALUE_SCHEMA, value), schema_id)
+        if value is not None else None,
+        "transcripts",
+        partition,
+        offset,
+        None,
+        0,
+    )
+
+
+def test_parse_avro_records_with_confluent_framing(spark):
+    cfg = SinkConfig()
+    rows = [
+        _avro_kafka_row(0, 1, {"conv_id": "a", "turn_idx": 0},
+                        {"op": "c", "conv_id": "a", "turn_idx": 0,
+                         "role": "user", "text": "hi", "ts": TS}),
+        # tombstone: null value → delete, keys from the Avro record key
+        _avro_kafka_row(0, 2, {"conv_id": "a", "turn_idx": 0}, None),
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    parsed = parse_kafka_records(
+        raw, None, cfg,
+        value_format="avro",
+        avro_value_schema=VALUE_SCHEMA,
+        avro_key_schema=KEY_SCHEMA,
+        confluent_wire=True,
+    ).orderBy("kafka_offset").collect()
+    assert parsed[0]["op"] == "c" and parsed[0]["text"] == "hi"
+    assert parsed[0]["ts"] == TS  # timestamp-micros survives exactly
+    assert parsed[1]["op"] == "d"
+    assert parsed[1]["conv_id"] == "a" and parsed[1]["turn_idx"] == 0
+    assert parsed[1]["text"] is None
+
+
+def test_parse_avro_record_key_mode(spark):
+    """pk_mode=record_key with an Avro-encoded key (keys absent from
+    the value payload)."""
+    value_schema = """
+    {"type": "record", "name": "v", "fields": [
+      {"name": "op", "type": "string"},
+      {"name": "role", "type": ["null", "string"]},
+      {"name": "text", "type": ["null", "string"]},
+      {"name": "ts", "type": {"type": "long",
+                              "logicalType": "timestamp-micros"}}
+    ]}
+    """
+    cfg = SinkConfig()
+    rows = [(
+        _confluent(encode_record(KEY_SCHEMA,
+                                 {"conv_id": "k", "turn_idx": 3})),
+        _confluent(encode_record(value_schema,
+                                 {"op": "u", "role": "assistant",
+                                  "text": "yo", "ts": TS})),
+        "transcripts", 1, 7, None, 0,
+    )]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    parsed = parse_kafka_records(
+        raw, None, cfg,
+        pk_mode="record_key",
+        value_format="avro",
+        avro_value_schema=value_schema,
+        avro_key_schema=KEY_SCHEMA,
+        confluent_wire=True,
+    ).collect()
+    assert parsed[0]["conv_id"] == "k" and parsed[0]["turn_idx"] == 3
+    assert parsed[0]["op"] == "u" and parsed[0]["text"] == "yo"
+
+
+def test_decoder_selection(spark):
+    """'auto' must fall back to the Arrow UDF when the external
+    spark-avro module is absent (it is not bundled with pyspark)."""
+    assert isinstance(spark_avro_available(spark), bool)
+    cfg = SinkConfig()
+    rows = [_avro_kafka_row(0, 1, {"conv_id": "a", "turn_idx": 0},
+                            {"op": "c", "conv_id": "a", "turn_idx": 0,
+                             "role": None, "text": "x", "ts": TS})]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    out = parse_kafka_records(
+        raw, None, cfg, value_format="avro",
+        avro_value_schema=VALUE_SCHEMA, confluent_wire=True,
+        avro_decoder="python",  # explicit fallback works everywhere
+    ).collect()
+    assert out[0]["text"] == "x"
+    with pytest.raises(ValueError, match="unknown decoder"):
+        parse_kafka_records(
+            raw, None, cfg, value_format="avro",
+            avro_value_schema=VALUE_SCHEMA, avro_decoder="bogus",
+        ).collect()

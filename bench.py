@@ -73,7 +73,7 @@ def gen_input(spark, n_events: int, out_dir: str, partitions: int) -> None:
 
 
 def run_cdc_apply(spark, input_dir: str, table_dir: str, n_batches: int,
-                  n_buckets: int) -> dict:
+                  n_buckets: int, merge_mode: str = "cow") -> dict:
     from pyspark.sql import functions as F
 
     from kafka_jdbc_sink_connector_spark.apply import CdcApplier
@@ -84,7 +84,7 @@ def run_cdc_apply(spark, input_dir: str, table_dir: str, n_batches: int,
     mn, mx = lo[0], lo[1] + 1
     n_events = events.count()
 
-    cfg = SinkConfig(n_buckets=n_buckets)
+    cfg = SinkConfig(n_buckets=n_buckets, merge_mode=merge_mode)
     applier = CdcApplier(spark, cfg, table_dir)
     t0 = time.monotonic()
     for i in range(n_batches):
@@ -103,6 +103,68 @@ def run_cdc_apply(spark, input_dir: str, table_dir: str, n_batches: int,
         "final_rows": final_rows,
         "n_batches": n_batches,
     }
+
+
+def run_write_amp(spark, input_dir: str, work: str,
+                  n_buckets: int) -> dict:
+    """Steady-state write amplification: bootstrap half the stream,
+    then 6 small batches (~2% each) in COW vs MOR; report bytes
+    written per steady batch and throughput for both modes. This is
+    the 100 TB shape — micro-batches tiny relative to the table —
+    where copy-on-write rewrites nearly every bucket every batch."""
+    from pyspark.sql import functions as F
+
+    from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+    from kafka_jdbc_sink_connector_spark.config import SinkConfig
+
+    def data_bytes(path: str) -> int:
+        total = 0
+        for dirpath, _d, files in os.walk(os.path.join(path, "data")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    events = spark.read.parquet(input_dir)
+    lo = events.agg(F.min("kafka_offset"), F.max("kafka_offset")).collect()[0]
+    mn, mx = lo[0], lo[1] + 1
+    span = mx - mn
+    half = mn + span // 2
+    # steady batches are 0.5% of the stream each — the 100 TB shape
+    # (micro-batch << table); bigger fractions understate the COW
+    # rewrite penalty
+    step = max(1, span // 200)
+    out = {}
+    for mode in ("cow", "mor"):
+        table_dir = os.path.join(work, f"wa_{mode}")
+        applier = CdcApplier(
+            spark, SinkConfig(n_buckets=n_buckets, merge_mode=mode),
+            table_dir,
+        )
+        applier.apply_batch(
+            events.filter(F.col("kafka_offset") < half), batch_id=0
+        )
+        base = data_bytes(table_dir)
+        t0 = time.monotonic()
+        n_steady = 6
+        for i in range(n_steady):
+            blo = half + i * step
+            b = events.filter(
+                (F.col("kafka_offset") >= blo)
+                & (F.col("kafka_offset") < blo + step)
+            )
+            applier.apply_batch(b, batch_id=i + 1)
+        dt = time.monotonic() - t0
+        out[mode] = {
+            "bytes_per_batch": (data_bytes(table_dir) - base) // n_steady,
+            "steady_sec": round(dt, 3),
+            "steady_events_per_sec": round(n_steady * step / dt, 1),
+        }
+    out["write_amp_reduction"] = round(
+        out["cow"]["bytes_per_batch"]
+        / max(1, out["mor"]["bytes_per_batch"]), 1
+    )
+    return out
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -168,14 +230,23 @@ def main_default(args) -> None:
         cdc = run_cdc_apply(
             spark, input_dir, os.path.join(work, "tgt"),
             n_batches=args.batches, n_buckets=args.buckets,
+            merge_mode=args.merge_mode,
+        )
+        wa = (
+            {} if args.skip_write_amp
+            else run_write_amp(spark, input_dir, work, args.buckets)
         )
         queries = {} if args.skip_queries else run_queries(spark, args.sf_dir)
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
-    total = round(cdc["seconds"] + sum(queries.values()), 3)
+    wa_sec = sum(wa[m]["steady_sec"] for m in ("cow", "mor")) if wa else 0
+    total = round(cdc["seconds"] + sum(queries.values()) + wa_sec, 3)
     queries = {"cdc_apply": round(cdc["seconds"], 3), **queries}
-    print(json.dumps({
+    if wa:
+        queries["mor_steady_apply"] = wa["mor"]["steady_sec"]
+        queries["cow_steady_apply"] = wa["cow"]["steady_sec"]
+    payload = {
         "metric": "cdc-apply+operator suite wall seconds "
                   "(headline: change-events/sec end-to-end)",
         "value": total,
@@ -186,7 +257,19 @@ def main_default(args) -> None:
         "cdc_n_events": cdc["n_events"],
         "cdc_final_rows": cdc["final_rows"],
         "cpus": args.cpus,
-    }))
+        "merge_mode": args.merge_mode,
+    }
+    if wa:
+        payload["mor_write_bytes_per_batch"] = wa["mor"]["bytes_per_batch"]
+        payload["cow_write_bytes_per_batch"] = wa["cow"]["bytes_per_batch"]
+        payload["mor_write_amp_reduction"] = wa["write_amp_reduction"]
+        payload["mor_steady_events_per_sec"] = (
+            wa["mor"]["steady_events_per_sec"]
+        )
+        payload["cow_steady_events_per_sec"] = (
+            wa["cow"]["steady_events_per_sec"]
+        )
+    print(json.dumps(payload))
 
 
 def main_scaling(args) -> None:
@@ -220,7 +303,8 @@ def main_scaling(args) -> None:
                 cmd = [sys.executable, here, "--sf-dir", args.sf_dir,
                        "--events", str(n_events), "--batches",
                        str(args.batches), "--buckets", str(args.buckets),
-                       "--input-dir", gen_dir, "--skip-queries"]
+                       "--input-dir", gen_dir, "--skip-queries",
+                       "--skip-write-amp"]
                 if have_taskset:
                     cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
                 with open("/proc/loadavg") as fh:
@@ -300,6 +384,8 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=2)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--skip-write-amp", action="store_true")
+    ap.add_argument("--merge-mode", default="cow", choices=["cow", "mor"])
     ap.add_argument("--input-dir", default=None)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scale-low", type=int, default=4)

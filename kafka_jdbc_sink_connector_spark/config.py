@@ -143,6 +143,12 @@ class SinkConfig:
     offset_column: str = "kafka_offset"
 
     # --- target layout / scale ---------------------------------------
+    #: "cow" rewrites every affected bucket per batch (read-optimized);
+    #: "mor" appends per-bucket delta files and merges at read
+    #: (write-optimized — the 100 TB steady-state default; compact()
+    #: folds deltas back into base files). MOR requires the delete
+    #: match key to be the full pk (subset-key deletes stay COW).
+    merge_mode: str = "cow"
     n_buckets: int = 16
     auto_create: bool = True
     auto_evolve: bool = True
@@ -225,6 +231,17 @@ class SinkConfig:
                     f"target buckets"
                 )
 
+        if self.merge_mode not in ("cow", "mor"):
+            raise ConfigError(
+                f"merge_mode must be 'cow' or 'mor', got "
+                f"{self.merge_mode!r}"
+            )
+        if self.merge_mode == "mor" and self.subset_delete_key:
+            raise ConfigError(
+                "merge_mode='mor' requires delete_as_update_key == "
+                "pk_fields (subset-key delete overlays need the "
+                "copy-on-write path)"
+            )
         if self.n_buckets < 1:
             raise ConfigError("n_buckets must be >= 1")
         if self.dedup_salt < 0:

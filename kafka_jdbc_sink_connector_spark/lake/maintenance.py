@@ -35,10 +35,16 @@ def compact(
     """Rewrite buckets that have >= ``min_files`` data files into a
     single file set each. Returns the buckets compacted."""
     snap = table.snapshot
+    all_ids = set(snap.buckets) | set(snap.delta_buckets)
     candidates = [
         int(b)
-        for b, files in snap.buckets.items()
-        if len(files) >= min_files
+        for b in all_ids
+        if (
+            # any merge-on-read delta is worth folding into base;
+            # otherwise bin-pack buckets with enough small files
+            len(snap.delta_buckets.get(b, []))
+            or len(snap.buckets.get(b, [])) >= min_files
+        )
         and (buckets is None or int(b) in set(buckets))
     ]
     if not candidates:
@@ -63,7 +69,7 @@ def vacuum(table: LakeTable, keep_versions: int = 1) -> dict:
     live: set[str] = set()
     for v in keep:
         snap = table._read_version(v)
-        live.update(snap.files())
+        live.update(snap.all_files())
 
     removed_files = 0
     data_root = os.path.join(table.path, _DATA_DIR)

@@ -9,7 +9,11 @@ table format is built from scratch on two public, well-known ideas:
 * **hash-bucketed layout** (Hive/Iceberg bucketing): every row lives in
   bucket ``xxhash64(bucket_key) % n_buckets``; a MERGE only rewrites
   the buckets that contain touched keys (copy-on-write at bucket
-  granularity) and a key lookup reads exactly one bucket.
+  granularity) and a key lookup reads exactly one bucket. A
+  **merge-on-read** mode (``commit_delta`` + :mod:`.mor`) appends
+  per-bucket delta files instead and folds them at read/compaction —
+  the Hudi-MOR / Iceberg-v2 idea, for steady-state CDC where COW
+  would rewrite ~the whole table per micro-batch.
 * **manifest-log snapshots** (Delta/Iceberg transaction log): a commit
   writes new data files, then atomically publishes a JSON snapshot
   ``_log/v<N>.json`` listing, per bucket, the exact files of this
@@ -71,6 +75,13 @@ class Snapshot:
     applied_batches: dict[str, int] = field(default_factory=dict)
     stats: dict = field(default_factory=dict)
     parent: int | None = None
+    #: merge-on-read: bucket id (str) -> ORDERED list of delta files
+    #: (commit order = resolution order); empty in pure-COW tables
+    delta_buckets: dict[str, list[str]] = field(default_factory=dict)
+    #: merge-on-read resolution spec (delete mode, guard, overlay
+    #: columns) — written by the first delta commit so readers resolve
+    #: without the writer's SinkConfig
+    mor_meta: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         d = dict(self.__dict__)
@@ -87,6 +98,16 @@ class Snapshot:
         if buckets is None:
             return [f for fs in self.buckets.values() for f in fs]
         return [f for b in buckets for f in self.buckets.get(str(b), [])]
+
+    def delta_files(self, buckets: list[int] | None = None) -> list[str]:
+        if buckets is None:
+            return [f for fs in self.delta_buckets.values() for f in fs]
+        return [
+            f for b in buckets for f in self.delta_buckets.get(str(b), [])
+        ]
+
+    def all_files(self) -> list[str]:
+        return self.files() + self.delta_files()
 
 
 class LakeTable:
@@ -174,14 +195,42 @@ class LakeTable:
         free: files written before a column was added simply yield NULL
         for it (parquet missing-column semantics), exactly the
         null-backfill behavior of ``auto.evolve`` in the reference.
+
+        When the snapshot carries merge-on-read delta files for the
+        requested buckets, base rows and deltas are merged per key at
+        read time (see :mod:`.mor`); otherwise this is a plain
+        bucket-pruned parquet scan.
         """
         snap = self.snapshot if version is None else self._read_version(version)
+        base = self._read_base(snap, buckets)
+        if snap.delta_files(buckets):
+            from kafka_jdbc_sink_connector_spark.lake import mor
+
+            df = mor.resolve(base, self._read_deltas(snap, buckets), snap)
+        else:
+            df = base
+        return df if include_bucket else df.drop(BUCKET_COL)
+
+    def _read_base(self, snap: Snapshot, buckets: list[int] | None) -> DataFrame:
         files = [os.path.join(self.path, f) for f in snap.files(buckets)]
-        schema = self.read_schema(include_bucket)
+        schema = T.StructType(
+            list(snap.schema.fields)
+            + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
+        )
         if not files:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*files)
-        return df
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def _read_deltas(
+        self, snap: Snapshot, buckets: list[int] | None
+    ) -> DataFrame:
+        from kafka_jdbc_sink_connector_spark.lake import mor
+
+        files = [os.path.join(self.path, f) for f in snap.delta_files(buckets)]
+        schema = mor.delta_schema(snap.schema, snap.key_fields)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
 
     def history(self) -> list[int]:
         log = os.path.join(self.path, _LOG_DIR)
@@ -248,8 +297,13 @@ class LakeTable:
             written[b] = sorted(files)
 
         buckets = dict(snap.buckets)
+        # a rewrite replaces the bucket's *resolved* contents, so its
+        # delta files are folded in and dropped from the new snapshot
+        # (callers obtain new_data via read(), which resolves deltas)
+        delta_buckets = dict(snap.delta_buckets)
         for b in rewrite_buckets:
             buckets.pop(str(b), None)
+            delta_buckets.pop(str(b), None)
         for b, files in written.items():
             if int(b) not in set(rewrite_buckets):
                 raise ValueError(
@@ -272,6 +326,8 @@ class LakeTable:
             applied_batches=applied,
             stats=stats or {},
             parent=snap.version,
+            delta_buckets=delta_buckets,
+            mor_meta=dict(snap.mor_meta),
         )
         try:
             self._publish(new_snap)
@@ -328,6 +384,74 @@ class LakeTable:
             applied_batches=applied,
             stats=stats or {},
             parent=snap.version,
+            delta_buckets=dict(snap.delta_buckets),
+            mor_meta=dict(snap.mor_meta),
+        )
+        try:
+            self._publish(new_snap)
+        except CommitConflict:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
+        self.snapshot = new_snap
+        return new_snap
+
+    def commit_delta(
+        self,
+        delta_rows: DataFrame,
+        mor_meta: dict,
+        new_schema: T.StructType | None = None,
+        source_id: str | None = None,
+        batch_id: int | None = None,
+        stats: dict | None = None,
+    ) -> Snapshot:
+        """Merge-on-read commit: append the batch's collapsed change
+        set as per-bucket **delta files**; base files are untouched
+        (bytes written ~ batch size, not table size). ``delta_rows``
+        must have the :mod:`.mor` delta layout minus ``__seq`` — the
+        committing version stamps it (the cross-batch resolution
+        order)."""
+        snap = self.snapshot
+        schema = new_schema or snap.schema
+        version = snap.version + 1
+        commit_name = f"delta-{version:010d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.path, _DATA_DIR, commit_name)
+        (
+            delta_rows.withColumn(
+                "__seq", F.lit(version).cast("long")
+            )
+            .withColumn(_PART_DIR_COL, F.col(BUCKET_COL))
+            .repartition(F.col(BUCKET_COL))
+            .write.partitionBy(_PART_DIR_COL)
+            .parquet(out_dir)
+        )
+        delta_buckets = {
+            b: list(fs) for b, fs in snap.delta_buckets.items()
+        }
+        for name in os.listdir(out_dir):
+            if not name.startswith(f"{_PART_DIR_COL}="):
+                continue
+            b = name.split("=", 1)[1]
+            files = sorted(
+                os.path.join(_DATA_DIR, commit_name, name, f)
+                for f in os.listdir(os.path.join(out_dir, name))
+                if f.endswith(".parquet")
+            )
+            delta_buckets.setdefault(b, []).extend(files)
+        applied = dict(snap.applied_batches)
+        if source_id is not None and batch_id is not None:
+            applied[source_id] = max(batch_id, applied.get(source_id, -1))
+        new_snap = Snapshot(
+            version=version,
+            schema=schema,
+            n_buckets=snap.n_buckets,
+            key_fields=snap.key_fields,
+            bucket_key=snap.bucket_key,
+            buckets=dict(snap.buckets),
+            applied_batches=applied,
+            stats=stats or {},
+            parent=snap.version,
+            delta_buckets=delta_buckets,
+            mor_meta=mor_meta,
         )
         try:
             self._publish(new_snap)
@@ -352,6 +476,8 @@ class LakeTable:
             applied_batches=dict(snap.applied_batches),
             stats=stats or {},
             parent=snap.version,
+            delta_buckets=dict(snap.delta_buckets),
+            mor_meta=dict(snap.mor_meta),
         )
         self._publish(new_snap)
         self.snapshot = new_snap

@@ -41,9 +41,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kafka_jdbc_sink_connector_spark.config import DeleteMode, InsertMode, SinkConfig
 from kafka_jdbc_sink_connector_spark.functions.keys import BUCKET_COL, bucket_expr
+from kafka_jdbc_sink_connector_spark.lake import mor
 from kafka_jdbc_sink_connector_spark.lake.table import LakeTable, Snapshot
 from kafka_jdbc_sink_connector_spark.operators.dedup import (
     DELETE_OFF,
@@ -67,6 +69,100 @@ def payload_columns(table_schema, cfg: SinkConfig) -> list[str]:
         keep = set(cfg.fields_whitelist) | set(cfg.pk_fields)
         cols = [c for c in cols if c in keep]
     return cols
+
+
+def _mor_meta(cfg: SinkConfig) -> dict:
+    """Resolution spec persisted in the snapshot so merge-on-read
+    readers don't need the writer's SinkConfig."""
+    soft = cfg.delete_mode is DeleteMode.UPDATE
+    overlay: list[str] = []
+    if soft:
+        overlay = [cfg.soft_delete_column, cfg.audit_ts_column] + [
+            f for f in cfg.delete_retain_fields
+        ]
+    return {
+        "soft": soft,
+        "hard": cfg.delete_mode is DeleteMode.DELETE,
+        "upd_only": cfg.insert_mode is InsertMode.UPDATE,
+        "guard": [list(g) for g in cfg.soft_delete_conditions]
+        if soft
+        else [],
+        "guard_null_is_not_null": cfg.guard_null_is_not_null,
+        "overlay_cols": overlay,
+    }
+
+
+def _build_delta_rows(
+    snap: Snapshot, src: DataFrame, cfg: SinkConfig, audit: Column
+) -> DataFrame:
+    """Collapsed change set (+bucket) → merge-on-read delta rows: the
+    fully materialized upsert row (marker/audit applied, exactly what
+    the COW path would write for action=upsert) plus the soft-delete
+    overlay values. See lake/mor.py for the layout and resolution."""
+    keys = list(cfg.pk_fields)
+    payload = payload_columns(snap.schema, cfg)
+    soft = cfg.delete_mode is DeleteMode.UPDATE
+    retain = set(cfg.delete_retain_fields)
+    row_fields = mor.row_struct_fields(snap.schema, keys)
+
+    def ups_val(c: str) -> Column:
+        if c == cfg.audit_ts_column:
+            return audit
+        if soft and c == cfg.soft_delete_column:
+            return F.upper(F.col(UPSERT_STRUCT)[EVENT_OP])
+        if c in payload:
+            return F.col(UPSERT_STRUCT)[c]
+        return F.lit(None)
+
+    def del_val(c: str) -> Column:
+        if c == cfg.audit_ts_column:
+            return audit
+        if soft and c == cfg.soft_delete_column:
+            return F.lit(cfg.soft_delete_value)
+        if c in retain:
+            return F.col(DELETE_STRUCT)[c]
+        return F.lit(None)
+
+    ups = F.when(
+        F.col(UPSERT_OFF).isNotNull(),
+        F.struct(
+            *[ups_val(f.name).cast(f.dataType).alias(f.name)
+              for f in row_fields]
+        ),
+    )
+    if cfg.delete_mode is DeleteMode.NONE:
+        # deletes are ignored in this mode — don't persist them
+        row_t = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in row_fields]
+        )
+        dels = F.lit(None).cast(row_t)
+        del_off = F.lit(None).cast("long")
+    else:
+        # hard mode needs only the delete's position; the overlay
+        # struct stays NULL (nulls cost ~nothing in parquet)
+        body = (
+            F.struct(
+                *[del_val(f.name).cast(f.dataType).alias(f.name)
+                  for f in row_fields]
+            )
+            if soft
+            else F.lit(None).cast(
+                T.StructType(
+                    [T.StructField(f.name, f.dataType, True)
+                     for f in row_fields]
+                )
+            )
+        )
+        dels = F.when(F.col(DELETE_OFF).isNotNull(), body)
+        del_off = F.col(DELETE_OFF).cast("long")
+    return src.select(
+        *keys,
+        ups.alias(mor.DELTA_UPS),
+        F.col(UPSERT_OFF).cast("long").alias(mor.DELTA_UPS_OFF),
+        dels.alias(mor.DELTA_DEL),
+        del_off.alias(mor.DELTA_DEL_OFF),
+        F.col(BUCKET_COL),
+    )
 
 
 def merge_into(
@@ -108,6 +204,24 @@ def merge_into(
         if affected_buckets is not None
         else [r[0] for r in src.select(BUCKET_COL).distinct().collect()]
     )
+    if (
+        cfg.merge_mode == "mor"
+        and affected
+        and (snap.files(affected) or snap.delta_files(affected))
+    ):
+        # merge-on-read steady state: append the collapsed change set
+        # as per-bucket delta files — bytes written ~ batch size, no
+        # bucket rewrite. (The very first batch into empty buckets
+        # falls through to the COW bootstrap below, so the table
+        # always starts from clean base files.)
+        delta = _build_delta_rows(snap, src, cfg, audit)
+        return table.commit_delta(
+            delta,
+            mor_meta=_mor_meta(cfg),
+            source_id=source_id,
+            batch_id=batch_id,
+            stats=stats,
+        )
     if not affected:
         return table.commit_rewrite(
             table.read(buckets=[], include_bucket=True).limit(0),

@@ -81,9 +81,9 @@ def _compare_to_oracle(applier, events_rows, cfg, extra_payload=()):
             assert gval == wval, (key, col, gval, wval)
 
 
-@pytest.fixture()
-def applier(spark, tmp_table):
-    cfg = SinkConfig(n_buckets=4)
+@pytest.fixture(params=["cow", "mor"])
+def applier(spark, tmp_table, request):
+    cfg = SinkConfig(n_buckets=4, merge_mode=request.param)
     return CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
 
 
@@ -158,15 +158,19 @@ def test_delete_then_reinsert_lww(spark, applier):
     _compare_to_oracle(applier, rows, applier.cfg)
 
 
-def test_hard_delete_mode(spark, tmp_table):
-    cfg = SinkConfig(delete_mode="delete", n_buckets=4)
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_hard_delete_mode(spark, tmp_table, merge_mode):
+    cfg = SinkConfig(delete_mode="delete", n_buckets=4,
+                     merge_mode=merge_mode)
     applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
     rows = [
         ev(1, "c", "conv-a", 0),
         ev(2, "c", "conv-a", 1),
         ev(3, "d", "conv-a", 0),
     ]
-    applier.apply_batch(_events_df(spark, rows), batch_id=0)
+    # two batches so merge-on-read exercises the delta path
+    applier.apply_batch(_events_df(spark, rows[:2]), batch_id=0)
+    applier.apply_batch(_events_df(spark, rows[2:]), batch_id=1)
     _compare_to_oracle(applier, rows, cfg)
     got = applier.read_target().collect()
     assert len(got) == 1 and got[0]["turn_idx"] == 1
@@ -182,10 +186,11 @@ def test_delete_mode_none_ignores_deletes(spark, tmp_table):
     _compare_to_oracle(applier, rows, cfg)
 
 
-def test_multi_batch_replay_matches_oracle(spark, tmp_table):
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_multi_batch_replay_matches_oracle(spark, tmp_table, merge_mode):
     """Randomized-shape (but deterministic) generator stream applied in
     3 micro-batches equals a single sequential replay."""
-    cfg = SinkConfig(n_buckets=8)
+    cfg = SinkConfig(n_buckets=8, merge_mode=merge_mode)
     applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
     spec = GenSpec(n_events=3000, n_conversations=80,
                    turns_per_conversation=10, delete_fraction=0.05)

@@ -1,0 +1,253 @@
+"""Merge-on-read mode: delta commits, read resolution across batches,
+compaction fold-in, write-amplification, vacuum/time-travel.
+
+MOR exists because steady-state copy-on-write rewrites ~the whole table
+per micro-batch under Zipf keys (the write amplification the reference
+never pays — Oracle's MERGE is in-place, ``BufferedRecords.java:241-245``);
+delta commits write ~batch-sized files instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+from kafka_jdbc_sink_connector_spark.config import ConfigError, SinkConfig
+from kafka_jdbc_sink_connector_spark.datagen import GenSpec, generate_cdc_events
+from kafka_jdbc_sink_connector_spark.lake.maintenance import compact, vacuum
+from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+from tests.oracle import replay
+from tests.test_apply_batch import _events_df, audit_col, ev
+
+
+def _mk(spark, tmp_table, **cfg_kw):
+    cfg = SinkConfig(n_buckets=4, merge_mode="mor", **cfg_kw)
+    return CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+
+
+def _data_bytes(table_path: str) -> int:
+    total = 0
+    for dirpath, _d, files in os.walk(os.path.join(table_path, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def test_mor_rejects_subset_delete_key():
+    with pytest.raises(ConfigError, match="mor"):
+        SinkConfig(merge_mode="mor", pk_fields=("a", "b"),
+                   delete_as_update_key=("a",))
+    with pytest.raises(ConfigError, match="merge_mode"):
+        SinkConfig(merge_mode="bogus")
+
+
+def test_mor_second_batch_is_delta_commit(spark, tmp_table):
+    applier = _mk(spark, tmp_table)
+    applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                        batch_id=0)
+    t = applier.table()
+    assert t.snapshot.delta_buckets == {}  # bootstrap wrote base files
+    applier.apply_batch(
+        _events_df(spark, [ev(2, "u", "conv-a", 0, text="v2"),
+                           ev(3, "c", "conv-b", 0)]),
+        batch_id=1,
+    )
+    t = applier.table()
+    assert t.snapshot.delta_files(), "second batch must be a delta commit"
+    assert t.snapshot.mor_meta["soft"] is True
+    got = {r["conv_id"]: r for r in applier.read_target().collect()}
+    assert got["conv-a"]["text"] == "v2"
+    assert got["conv-b"]["op_type"] == "C"
+
+
+def test_mor_upsert_delete_upsert_across_batches(spark, tmp_table):
+    """Sequential fold across three delta generations: the middle
+    delete is superseded by the later upsert (LWW by (seq, offset))."""
+    applier = _mk(spark, tmp_table)
+    applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                        batch_id=0)
+    applier.apply_batch(_events_df(spark, [ev(2, "d", "conv-a", 0)]),
+                        batch_id=1)
+    row = applier.read_target().collect()[0]
+    assert row["op_type"] == "D"
+    applier.apply_batch(
+        _events_df(spark, [ev(3, "u", "conv-a", 0, text="revived")]),
+        batch_id=2,
+    )
+    row = applier.read_target().collect()[0]
+    assert row["op_type"] == "U" and row["text"] == "revived"
+
+
+def test_mor_guard_earliest_delete_wins_across_batches(spark, tmp_table):
+    """Two deletes in different batches after one upsert: the guard
+    blocks the second, so retain fields keep the FIRST delete's values
+    (reference `!= 'D'` guard, BufferedRecords.java:287-303)."""
+    applier = _mk(spark, tmp_table)
+    applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                        batch_id=0)
+    applier.apply_batch(_events_df(spark, [ev(5, "d", "conv-a", 0)]),
+                        batch_id=1)
+    ts_first = applier.read_target().collect()[0]["ts"]
+    applier.apply_batch(_events_df(spark, [ev(9, "d", "conv-a", 0)]),
+                        batch_id=2)
+    row = applier.read_target().collect()[0]
+    assert row["op_type"] == "D"
+    assert row["ts"] == ts_first  # second delete blocked by the guard
+
+
+def test_mor_matches_cow_and_oracle_on_generator(spark, tmp_path):
+    """Strong equivalence: 4 micro-batches of the Zipf generator stream
+    produce identical final state under COW, MOR, and the sequential
+    replay oracle."""
+    spec = GenSpec(n_events=4000, n_conversations=60,
+                   turns_per_conversation=8, delete_fraction=0.08)
+    events = generate_cdc_events(spark, spec).cache()
+    try:
+        finals = {}
+        for mode in ("cow", "mor"):
+            cfg = SinkConfig(n_buckets=8, merge_mode=mode)
+            applier = CdcApplier(spark, cfg, str(tmp_path / mode),
+                                 audit_ts=audit_col())
+            n = spec.n_events
+            for i in range(4):
+                b = events.filter(
+                    (F.col("kafka_offset") >= i * n // 4)
+                    & (F.col("kafka_offset") < (i + 1) * n // 4)
+                )
+                applier.apply_batch(b, batch_id=i)
+            finals[mode] = {
+                (r["conv_id"], r["turn_idx"]): r.asDict()
+                for r in applier.read_target().collect()
+            }
+        assert set(finals["cow"]) == set(finals["mor"])
+        for key, crow in finals["cow"].items():
+            assert crow == finals["mor"][key], key
+        rows = [r.asDict() for r in events.collect()]
+        want = replay(rows, SinkConfig(n_buckets=8),
+                      ["conv_id", "turn_idx", "role", "text", "ts",
+                       "tool", "meta_source"])
+        assert set(finals["mor"]) == set(want)
+    finally:
+        events.unpersist()
+
+
+def test_mor_compaction_folds_deltas(spark, tmp_table):
+    applier = _mk(spark, tmp_table)
+    for i in range(4):
+        rows = [ev(10 * i + 1, "c" if i == 0 else "u", "conv-a", 0,
+                   text=f"v{i}"),
+                ev(10 * i + 2, "c" if i == 0 else "u", "conv-b", 0)]
+        applier.apply_batch(_events_df(spark, rows), batch_id=i)
+    t = applier.table()
+    assert t.snapshot.delta_files()
+    before = {r["conv_id"]: r.asDict()
+              for r in applier.read_target().collect()}
+    compacted = compact(t)
+    assert compacted
+    t = applier.table()
+    assert not t.snapshot.delta_files(), "compaction must fold deltas"
+    after = {r["conv_id"]: r.asDict()
+             for r in applier.read_target().collect()}
+    assert before == after
+    # post-compaction writes keep working
+    applier.apply_batch(
+        _events_df(spark, [ev(100, "u", "conv-a", 0, text="post")]),
+        batch_id=4,
+    )
+    assert {r["conv_id"]: r["text"] for r in
+            applier.read_target().collect()}["conv-a"] == "post"
+
+
+def test_mor_write_amplification_vs_cow(spark, tmp_path):
+    """The reason MOR exists: steady-state bytes written per batch must
+    collapse vs COW when batches are small relative to the table (the
+    100 TB shape). High-entropy text so data bytes — not parquet file
+    overhead — dominate the measurement at test scale."""
+    spec = GenSpec(n_events=60000, n_conversations=4000,
+                   turns_per_conversation=10, delete_fraction=0.05)
+    wide_text = F.when(
+        F.col("op") != "d",
+        F.concat_ws(
+            "",
+            *[
+                F.md5(F.concat(F.col("kafka_offset").cast("string"),
+                               F.lit(f":{i}")))
+                for i in range(8)
+            ],
+        ),
+    )
+    events = (
+        generate_cdc_events(spark, spec)
+        .withColumn("text", wide_text)
+        .cache()
+    )
+    try:
+        written = {}
+        n = spec.n_events
+        for mode in ("cow", "mor"):
+            path = str(tmp_path / mode)
+            cfg = SinkConfig(n_buckets=8, merge_mode=mode)
+            applier = CdcApplier(spark, cfg, path, audit_ts=audit_col())
+            # batch 0 bootstraps 90% of the stream (identical base in
+            # both modes); measure bytes written by 3 steady-state
+            # batches of ~3% each
+            applier.apply_batch(
+                events.filter(F.col("kafka_offset") < n * 9 // 10),
+                batch_id=0,
+            )
+            base = _data_bytes(path)
+            step = n // 30
+            for i in range(3):
+                lo = n * 9 // 10 + i * step
+                b = events.filter(
+                    (F.col("kafka_offset") >= lo)
+                    & (F.col("kafka_offset") < lo + step)
+                )
+                applier.apply_batch(b, batch_id=i + 1)
+            written[mode] = _data_bytes(path) - base
+        assert written["mor"] * 10 <= written["cow"], written
+    finally:
+        events.unpersist()
+
+
+def test_mor_time_travel_and_vacuum(spark, tmp_table):
+    applier = _mk(spark, tmp_table)
+    applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                        batch_id=0)
+    v1 = applier.table().version
+    applier.apply_batch(
+        _events_df(spark, [ev(2, "u", "conv-a", 0, text="v2")]),
+        batch_id=1,
+    )
+    t = applier.table()
+    # time travel to the pre-delta version resolves without the delta
+    old = t.read(version=v1).collect()
+    assert old[0]["text"] == "msg conv-a/0 rev 1"
+    assert t.read().collect()[0]["text"] == "v2"
+    # vacuum keeps live delta files: reads still work afterwards
+    res = vacuum(t, keep_versions=1)
+    assert res["removed_snapshots"] >= 1
+    assert LakeTable.load(spark, tmp_table).read().collect()[0]["text"] == "v2"
+
+
+def test_mor_schema_evolution_across_deltas(spark, tmp_table):
+    """A delta commit carrying a newly evolved column resolves against
+    base files that predate the column (nested null-backfill)."""
+    applier = _mk(spark, tmp_table)
+    applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0),
+                                           ev(2, "c", "conv-b", 0)]),
+                        batch_id=0)
+    r = applier.apply_batch(
+        _events_df(spark, [ev(3, "u", "conv-a", 0, tool="search")],
+                   with_optional=("tool",)),
+        batch_id=1,
+    )
+    assert r.evolved_columns == ["tool"]
+    got = {x["conv_id"]: x for x in applier.read_target().collect()}
+    assert got["conv-a"]["tool"] == "search"
+    assert got["conv-b"]["tool"] is None  # base-row null backfill

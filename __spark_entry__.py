@@ -148,6 +148,29 @@ FROM ups u LEFT JOIN del d ON u.user_id = d.user_id
 """
 
 
+def q_cdc_apply_final_state_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same write path in merge-on-read mode, applied as two
+    offset-ranged micro-batches so the second batch commits per-bucket
+    delta files and the read resolves base+delta per key — must equal
+    the same sequential-replay oracle as the COW flagship."""
+    cfg = SinkConfig(merge_mode="mor", **_CDC_CFG)
+    cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
+    mid = cdc.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    tmp = tempfile.mkdtemp(prefix="cdc_final_state_mor_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
+    applier.apply_batch(cdc.filter(F.col("kafka_offset") <= mid), batch_id=0)
+    applier.apply_batch(cdc.filter(F.col("kafka_offset") > mid), batch_id=1)
+    return applier.read_target().select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        "op_type",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 def q_cdc_lineage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source-partition lineage (F5): offset ranges + op counts."""
     cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
@@ -314,6 +337,30 @@ SELECT event_type, event_id, value, rank FROM (
 
 
 # --- text analysis ----------------------------------------------------
+
+
+def q_doc_textnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched text canonicalization (the one justified Python
+    stage): NFC + control strip + whitespace collapse. The synthetic
+    corpus is ASCII, so the SQL oracle's regex pipeline is equivalent
+    (NFC is the identity on ASCII)."""
+    from kafka_jdbc_sink_connector_spark.functions.textnorm import (
+        canonicalize_text,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", canonicalize_text("text").alias("text_norm"))
+
+
+def _sql_textnorm() -> str:
+    return r"""
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(text,
+           '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+         '[ \t\f\v]+', ' ', 'g')) AS text_norm
+FROM documents
+"""
 
 
 def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_last_event_per_key": q_cdc_last_event_per_key,
         "cdc_apply_final_state": q_cdc_apply_final_state,
+        "cdc_apply_final_state_mor": q_cdc_apply_final_state_mor,
         "cdc_lineage_agg": q_cdc_lineage_agg,
         "cdc_quarantine_split": q_cdc_quarantine_split,
         "cdc_schema_evolution_backfill": q_cdc_schema_evolution_backfill,
@@ -947,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_custkey_setops": q_tpch_custkey_setops,
         "tpch_scalar_orders": q_tpch_scalar_orders,
         "tpch_cust_latest_orders": q_tpch_cust_latest_orders,
+        "doc_textnorm": q_doc_textnorm,
         "doc_token_count": q_doc_token_count,
         "doc_quality_score": q_doc_quality_score,
         "doc_lang_id": q_doc_lang_id,
@@ -967,6 +1016,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_last_event_per_key": _sql_cdc_last_event(),
         "cdc_apply_final_state": _sql_cdc_final_state(),
+        "cdc_apply_final_state_mor": _sql_cdc_final_state(),
         "cdc_lineage_agg": _sql_cdc_lineage(),
         "cdc_quarantine_split": _sql_cdc_quarantine(),
         "cdc_schema_evolution_backfill": _sql_cdc_evolution(),
@@ -979,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_custkey_setops": _sql_tpch_setops(),
         "tpch_scalar_orders": _sql_tpch_scalar(),
         "tpch_cust_latest_orders": _sql_tpch_latest_orders(),
+        "doc_textnorm": _sql_textnorm(),
         "doc_token_count": _sql_token_count(),
         "doc_quality_score": _sql_quality(),
         "doc_lang_id": _sql_lang_id(),

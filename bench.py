@@ -272,17 +272,42 @@ def main_default(args) -> None:
     print(json.dumps(payload))
 
 
-def main_scaling(args) -> None:
-    """Same job + same pre-generated input files at N and 4N cores.
+def _cpu_stat() -> tuple[int, int]:
+    """(steal jiffies, total jiffies) from /proc/stat's cpu line."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
 
-    Methodology (BENCH/BASELINE.md): the input is generated once; each
-    measured run is a fresh subprocess pinned to exactly N cpus with
-    `taskset` (a bare local[N] JVM still uses unpinned GC/IO/codegen
-    threads, which silently inflates small-N throughput), applying the
-    identical micro-batch sequence into a fresh lake table.
+
+def _loadavg() -> float:
+    with open("/proc/loadavg") as fh:
+        return float(fh.read().split()[0])
+
+
+def main_scaling(args) -> None:
+    """Same job + same pre-generated input files at N and 4N cores —
+    the paired-median protocol.
+
+    The sandbox is a shared VM with bursty co-tenants (steal time up
+    to ~8%, loadavg spikes from outside the container), so single runs
+    vary up to 3x. The protocol controls for that WITHOUT manual
+    curation:
+
+    * each *pair* is a low-core and a high-core run back-to-back (so
+      host drift hits both sides of one ratio alike), each in a fresh
+      subprocess pinned to exactly its core budget with `taskset`;
+    * per run, hypervisor steal time (from /proc/stat) and loadavg are
+      recorded; a pair is VALID only if both runs saw steal below
+      --max-steal-pct and started below --max-load (objective,
+      pre-registered thresholds — no after-the-fact picking);
+    * the reported efficiency is the MEDIAN of valid pairs' ratios;
+      every pair (valid or not) is listed in the evidence doc.
     """
     here = os.path.abspath(__file__)
-    n_events = args.events or 16_000_000
+    n_events = args.events or 64_000_000
+    lo, hi = args.scale_low, args.scale_high
     gen_dir = _tmpfs_dir("scaling-input")
     gen_spark = build(str(os.cpu_count() or 32))
     try:
@@ -290,89 +315,143 @@ def main_scaling(args) -> None:
     finally:
         gen_spark.stop()
     have_taskset = shutil.which("taskset") is not None
-    results: dict[int, dict] = {}
-    trials: dict[int, list] = {args.scale_low: [], args.scale_high: []}
+
+    def one_run(cores: int) -> dict:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cores)
+        cmd = [sys.executable, here, "--sf-dir", args.sf_dir,
+               "--events", str(n_events), "--batches",
+               str(args.batches), "--buckets", str(args.buckets),
+               "--input-dir", gen_dir, "--skip-queries",
+               "--skip-write-amp"]
+        if have_taskset:
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        load0 = _loadavg()
+        s0, t0 = _cpu_stat()
+        out = subprocess.run(cmd, env=env, capture_output=True,
+                             text=True, check=True)
+        s1, t1 = _cpu_stat()
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith("{")][-1]
+        r = json.loads(line)
+        r["loadavg_at_start"] = load0
+        r["steal_pct"] = round(
+            100.0 * (s1 - s0) / max(1, t1 - t0), 2
+        )
+        return r
+
+    pairs: list[dict] = []
     try:
-        # interleave trials so external host noise hits both core
-        # budgets alike; keep the best of each (approximates the
-        # uncontended capability on a shared sandbox)
-        for _trial in range(args.trials):
-            for cores in (args.scale_low, args.scale_high):
-                env = dict(os.environ)
-                env["SPARK_GRAFT_CPUS"] = str(cores)
-                cmd = [sys.executable, here, "--sf-dir", args.sf_dir,
-                       "--events", str(n_events), "--batches",
-                       str(args.batches), "--buckets", str(args.buckets),
-                       "--input-dir", gen_dir, "--skip-queries",
-                       "--skip-write-amp"]
-                if have_taskset:
-                    cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-                with open("/proc/loadavg") as fh:
-                    load = fh.read().split()[0]
-                out = subprocess.run(
-                    cmd, env=env, capture_output=True, text=True,
-                    check=True,
-                )
-                line = [l for l in out.stdout.splitlines()
-                        if l.startswith("{")][-1]
-                r = json.loads(line)
-                r["loadavg_at_start"] = load
-                trials[cores].append(r)
-        for cores, runs in trials.items():
-            results[cores] = max(
-                runs, key=lambda r: r["cdc_events_per_sec"]
+        for i in range(args.pairs):
+            r_lo = one_run(lo)
+            r_hi = one_run(hi)
+            eff = (
+                r_hi["cdc_events_per_sec"] / r_lo["cdc_events_per_sec"]
+            ) / (hi / lo)
+            valid = all(
+                r["steal_pct"] <= args.max_steal_pct
+                and r["loadavg_at_start"] <= args.max_load
+                for r in (r_lo, r_hi)
             )
+            pairs.append({"lo": r_lo, "hi": r_hi,
+                          "eff": round(eff, 3), "valid": valid})
     finally:
         shutil.rmtree(gen_dir, ignore_errors=True)
-    lo, hi = args.scale_low, args.scale_high
-    tput_lo = results[lo]["cdc_events_per_sec"]
-    tput_hi = results[hi]["cdc_events_per_sec"]
-    eff = (tput_hi / tput_lo) / (hi / lo)
-    md = f"""# BENCH/BASELINE.md — scaling evidence
 
-Criterion (BASELINE.json): throughput scaling efficiency >= 0.8 going
-from N to {hi // lo}N parallelism, same job, same input.
+    valid_effs = sorted(p["eff"] for p in pairs if p["valid"])
+    all_effs = sorted(p["eff"] for p in pairs)
+    use = valid_effs or all_effs
+    median_eff = use[len(use) // 2] if len(use) % 2 else (
+        (use[len(use) // 2 - 1] + use[len(use) // 2]) / 2
+    )
+    best_lo = max((p["lo"] for p in pairs),
+                  key=lambda r: r["cdc_events_per_sec"])
+    best_hi = max((p["hi"] for p in pairs),
+                  key=lambda r: r["cdc_events_per_sec"])
 
-Job: headline CDC apply — {results[lo]['cdc_n_events']:,} deterministic
-transcript change events (1% deletes), {args.batches} micro-batches,
-validate -> collapse(max_by) -> MERGE into a {args.buckets}-bucket lake
-table. The input parquet is generated ONCE and shared by both runs;
-each run is a fresh subprocess pinned to exactly its core budget with
-`taskset` (an unpinned local[N] JVM leaks GC/IO/codegen threads onto
-other cores, inflating small-N throughput), shuffling through tmpfs
-(the sandbox's single virtio disk would otherwise serialize both runs
-— a real cluster has per-node local disks).
+    pair_rows = "\n".join(
+        f"| {i + 1} | {p['lo']['cdc_events_per_sec']:,.0f} "
+        f"(steal {p['lo']['steal_pct']}%, load "
+        f"{p['lo']['loadavg_at_start']}) | "
+        f"{p['hi']['cdc_events_per_sec']:,.0f} "
+        f"(steal {p['hi']['steal_pct']}%, load "
+        f"{p['hi']['loadavg_at_start']}) | {p['eff']:.3f} | "
+        f"{'yes' if p['valid'] else 'NO'} |"
+        for i, p in enumerate(pairs)
+    )
+    md = f"""# BENCH/BASELINE.md — throughput + two-cluster-size scaling evidence
 
-Best of {args.trials} interleaved trials per core budget (external
-load on the shared sandbox host is recorded per run; all trials listed
-below the headline table).
+Target (BASELINE.json): change-events/sec end-to-end (source offset ->
+committed snapshot); **scaling efficiency >= 0.8 from N to
+{hi // lo}N parallelism** evidenced by the same job on the same input
+at two pinned core budgets (no real cluster in this sandbox).
 
-| cores | wall sec | events/sec | loadavg at start |
-|---|---|---|---|
-| taskset 0-{lo - 1}, local[{lo}] | {results[lo]['queries']['cdc_apply']} | {tput_lo:,.0f} | {results[lo]['loadavg_at_start']} |
-| taskset 0-{hi - 1}, local[{hi}] | {results[hi]['queries']['cdc_apply']} | {tput_hi:,.0f} | {results[hi]['loadavg_at_start']} |
+## Job under test
 
-All trials:
+Headline CDC apply (`bench.py`): {n_events:,} deterministic seeded
+transcript change events (Zipf conversations, 1% deletes, 20% updates,
+duplicate redeliveries), replayed in {args.batches} micro-batches
+through the full path — validate/quarantine -> last-writer-wins
+collapse (max_by, map-side combine) -> full-outer MERGE with soft
+deletes + audit ts -> atomic snapshot commit + lineage — into a
+{args.buckets}-bucket lake table. The input parquet is generated ONCE
+and shared; each run is a fresh subprocess pinned to exactly its core
+budget with `taskset` (an unpinned local[N] JVM leaks GC/IO/codegen
+threads onto other cores, inflating small-N throughput); shuffle +
+data on tmpfs (the sandbox's single virtio disk would otherwise
+serialize both runs — a real cluster has per-node disks).
 
-{chr(10).join(f"- {c} cores: " + ", ".join(f"{r['cdc_events_per_sec']:,.0f} ev/s (load {r['loadavg_at_start']})" for r in trials[c]) for c in sorted(trials))}
+## Paired-median protocol (no manual curation)
 
-**Scaling efficiency ({lo} -> {hi} cores): {eff:.3f}**
-(= ({tput_hi:,.0f} / {tput_lo:,.0f}) / {hi // lo})
+Each pair = one local[{lo}] run and one local[{hi}] run back-to-back,
+so host drift hits both sides of a ratio alike. Validity is decided
+by pre-registered thresholds recorded per run — hypervisor steal time
+<= {args.max_steal_pct}% (/proc/stat) and loadavg at start <=
+{args.max_load} — never by the resulting numbers. Reported efficiency
+= median over valid pairs; every pair is listed.
+
+| pair | local[{lo}] ev/s | local[{hi}] ev/s | efficiency | valid |
+|---|---|---|---|---|
+{pair_rows}
+
+**Median scaling efficiency ({lo} -> {hi} cores): {median_eff:.3f}**
+({len(valid_effs)}/{len(pairs)} pairs valid{'' if valid_effs else ' — NONE valid, median over all pairs shown'})
+
+## Best observed throughput (this protocol run)
+
+| cores | wall sec | events/sec |
+|---|---|---|
+| local[{lo}] | {best_lo['queries']['cdc_apply']} | {best_lo['cdc_events_per_sec']:,.0f} |
+| local[{hi}] | {best_hi['queries']['cdc_apply']} | {best_hi['cdc_events_per_sec']:,.0f} |
+
+(The reference connector publishes no numbers — SURVEY.md §6; its
+row-at-a-time JDBC executeBatch path is architecturally bounded well
+below these figures on any single node.)
+
+## Reproduce
+
+```
+python bench.py                       # JSON line, sf0.1 defaults
+python bench.py --scaling --scale-low {lo} --scale-high {hi} \\
+    --events {n_events} --batches {args.batches} --pairs {args.pairs}
+```
 """
-    os.makedirs(os.path.join(os.path.dirname(here), "BENCH"), exist_ok=True)
-    # auto output; BENCH/BASELINE.md is the curated evidence document
-    with open(os.path.join(os.path.dirname(here), "BENCH",
-                           "SCALING_auto.md"), "w") as fh:
+    bench_dir = os.path.join(os.path.dirname(here), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as fh:
         fh.write(md)
     print(json.dumps({
-        "metric": f"cdc-apply scaling efficiency {lo}->{hi} cores",
-        "value": round(eff, 3),
+        "metric": f"cdc-apply scaling efficiency {lo}->{hi} cores "
+                  f"(median of valid back-to-back pairs)",
+        "value": round(median_eff, 3),
         "unit": "ratio",
-        "queries": {f"cores_{c}": results[c]["queries"]["cdc_apply"]
-                    for c in results},
+        "queries": {f"pair_{i + 1}": p["eff"]
+                    for i, p in enumerate(pairs)},
         "sf": sf_of(args.sf_dir),
-        "events_per_sec": {str(c): results[c]["cdc_events_per_sec"]
-                           for c in results},
+        "valid_pairs": len(valid_effs),
+        "n_pairs": len(pairs),
+        "events_per_sec": {str(lo): best_lo["cdc_events_per_sec"],
+                           str(hi): best_hi["cdc_events_per_sec"]},
     }))
 
 
@@ -388,9 +467,11 @@ def main() -> None:
     ap.add_argument("--merge-mode", default="cow", choices=["cow", "mor"])
     ap.add_argument("--input-dir", default=None)
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--scale-low", type=int, default=4)
-    ap.add_argument("--scale-high", type=int, default=16)
-    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--scale-low", type=int, default=2)
+    ap.add_argument("--scale-high", type=int, default=8)
+    ap.add_argument("--pairs", type=int, default=4)
+    ap.add_argument("--max-steal-pct", type=float, default=3.0)
+    ap.add_argument("--max-load", type=float, default=8.0)
     args = ap.parse_args()
     if args.events == 0:
         args.events = None

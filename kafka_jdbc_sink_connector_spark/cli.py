@@ -45,6 +45,7 @@ def _config(args):
             tuple(args.delete_key.split(",")) if args.delete_key else None
         ),
         soft_delete_conditions=args.delete_identifier,
+        merge_mode=args.merge_mode,
         n_buckets=args.buckets,
         max_retries=args.max_retries,
         retry_backoff_ms=args.retry_backoff_ms,
@@ -167,6 +168,8 @@ def main(argv: list[str] | None = None) -> None:
         p.add_argument("--retain-fields", default="ts")
         p.add_argument("--delete-key", default=None)
         p.add_argument("--delete-identifier", default="op_type=D")
+        p.add_argument("--merge-mode", choices=["cow", "mor"],
+                       default="cow")
         p.add_argument("--buckets", type=int, default=64)
         p.add_argument("--max-retries", type=int, default=3)
         p.add_argument("--retry-backoff-ms", type=int, default=1000)

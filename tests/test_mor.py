@@ -251,3 +251,64 @@ def test_mor_schema_evolution_across_deltas(spark, tmp_table):
     got = {x["conv_id"]: x for x in applier.read_target().collect()}
     assert got["conv-a"]["tool"] == "search"
     assert got["conv-b"]["tool"] is None  # base-row null backfill
+
+
+def test_mor_update_mode_needs_base_row(spark, tmp_table):
+    """insert_mode=update: upserts only apply to keys with a base row
+    (UPDATE matches nothing for absent keys) — across delta batches."""
+    applier = _mk(spark, tmp_table, insert_mode="update")
+    applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                        batch_id=0)
+    # conv-a exists in base after bootstrap... but update-mode
+    # bootstrap drops unmatched rows, so seed via a temp upsert cfg
+    assert applier.read_target().count() == 0  # nothing matched: empty
+    cfg_seed = SinkConfig(n_buckets=4, merge_mode="mor")
+    seeder = CdcApplier(spark, cfg_seed, tmp_table + "_seeded",
+                        audit_ts=audit_col())
+    seeder.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                       batch_id=0)
+    upd = CdcApplier(spark, SinkConfig(n_buckets=4, merge_mode="mor",
+                                       insert_mode="update"),
+                     tmp_table + "_seeded", audit_ts=audit_col())
+    upd.apply_batch(
+        _events_df(spark, [ev(2, "u", "conv-a", 0, text="updated"),
+                           ev(3, "u", "conv-new", 0, text="ghost")]),
+        batch_id=1,
+    )
+    got = {r["conv_id"]: r for r in upd.read_target().collect()}
+    assert set(got) == {"conv-a"}          # ghost row never created
+    assert got["conv-a"]["text"] == "updated"
+
+
+def test_mor_delete_mode_none_ignores_deletes(spark, tmp_table):
+    applier = _mk(spark, tmp_table, delete_mode="none")
+    applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                        batch_id=0)
+    applier.apply_batch(_events_df(spark, [ev(2, "d", "conv-a", 0)]),
+                        batch_id=1)
+    got = applier.read_target().collect()
+    assert len(got) == 1
+    assert got[0]["text"] == "msg conv-a/0 rev 1"
+
+
+def test_mor_update_plus_hard_delete_kills_key_for_good(spark, tmp_table):
+    """update-mode + hard delete: once deleted, a later update cannot
+    revive the key (no insert branch exists to re-create it)."""
+    seeder = CdcApplier(spark, SinkConfig(n_buckets=4, merge_mode="mor"),
+                        tmp_table, audit_ts=audit_col())
+    seeder.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                       batch_id=0)
+    upd = CdcApplier(
+        spark,
+        SinkConfig(n_buckets=4, merge_mode="mor", insert_mode="update",
+                   delete_mode="delete"),
+        tmp_table, audit_ts=audit_col(),
+    )
+    upd.apply_batch(_events_df(spark, [ev(2, "d", "conv-a", 0)]),
+                    batch_id=1)
+    assert upd.read_target().count() == 0
+    upd.apply_batch(
+        _events_df(spark, [ev(3, "u", "conv-a", 0, text="zombie")]),
+        batch_id=2,
+    )
+    assert upd.read_target().count() == 0  # stays dead

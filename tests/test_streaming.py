@@ -82,11 +82,12 @@ def test_stream_apply_matches_oracle(spark, tmp_path):
         events.unpersist()
 
 
-def test_stream_restart_no_duplicates(spark, tmp_path):
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_stream_restart_no_duplicates(spark, tmp_path, merge_mode):
     """Stop after first run, add more data, restart from the same
     checkpoint: previously-applied files are not re-applied; new files
     are. Then force-replay an old batch id directly → skipped."""
-    cfg = SinkConfig(n_buckets=4)
+    cfg = SinkConfig(n_buckets=4, merge_mode=merge_mode)
     src_dir = str(tmp_path / "incoming")
     ckpt = str(tmp_path / "ckpt")
     spec = GenSpec(n_events=1000, n_conversations=30,

@@ -108,3 +108,33 @@ def test_schema_evolution_null_backfill_on_read(spark, tmp_path):
     t.commit_append(t.with_bucket(new))
     vals = {r["k"]: r["extra"] for r in t.read().collect()}
     assert vals == {"a": None, "b": "x"}
+
+
+def test_snapshot_json_backcompat_pre_mor():
+    """Snapshots written before merge-on-read existed (no
+    delta_buckets / mor_meta keys) must still load, with empty
+    defaults."""
+    import json
+
+    from kafka_jdbc_sink_connector_spark.lake.table import Snapshot
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.StringType(), False)])
+    old = {
+        "version": 3,
+        "schema": json.loads(schema.json()),
+        "n_buckets": 4,
+        "key_fields": ["k"],
+        "bucket_key": "k",
+        "buckets": {"0": ["data/f.parquet"]},
+        "applied_batches": {"s": 2},
+        "stats": {},
+        "parent": 2,
+    }
+    snap = Snapshot.from_json(json.dumps(old))
+    assert snap.delta_buckets == {} and snap.mor_meta == {}
+    assert snap.delta_files() == [] and snap.all_files() == snap.files()
+    # and the new fields round-trip
+    snap.delta_buckets["1"] = ["data/d.parquet"]
+    again = Snapshot.from_json(snap.to_json())
+    assert again.delta_buckets == {"1": ["data/d.parquet"]}

@@ -298,10 +298,19 @@ def main_scaling(args) -> None:
     * each *pair* is a low-core and a high-core run back-to-back (so
       host drift hits both sides of one ratio alike), each in a fresh
       subprocess pinned to exactly its core budget with `taskset`;
-    * per run, hypervisor steal time (from /proc/stat) and loadavg are
-      recorded; a pair is VALID only if both runs saw steal below
-      --max-steal-pct and started below --max-load (objective,
-      pre-registered thresholds — no after-the-fact picking);
+    * before every run the protocol WAITS for a calm window: sleep
+      --settle-sec (lets our own previous run drain out of loadavg),
+      then sample loadavg and instantaneous steal; retry until calm or
+      --calm-wait-max elapses. Gating uses host signals only, never
+      throughput — so it cannot bias the ratio;
+    * per run, hypervisor steal time (from /proc/stat, measured over
+      the run) and pre-run loadavg are recorded; a pair is VALID only
+      if both runs saw steal <= --max-steal-pct and started at
+      loadavg <= --max-load (objective, pre-registered thresholds —
+      no after-the-fact picking);
+    * pairs repeat until --min-valid-pairs are valid or --max-pairs
+      have run (a stopping rule on *validity*, which is independent of
+      the measured efficiencies);
     * the reported efficiency is the MEDIAN of valid pairs' ratios;
       every pair (valid or not) is listed in the evidence doc.
     """
@@ -316,6 +325,24 @@ def main_scaling(args) -> None:
         gen_spark.stop()
     have_taskset = shutil.which("taskset") is not None
 
+    def wait_calm() -> float:
+        """Sleep/settle until the host looks calm (loadavg + a 5 s
+        steal sample), give up after --calm-wait-max. Returns the
+        loadavg that ended the wait."""
+        deadline = time.monotonic() + args.calm_wait_max
+        while True:
+            time.sleep(args.settle_sec)
+            load = _loadavg()
+            s0, t0 = _cpu_stat()
+            time.sleep(5)
+            s1, t1 = _cpu_stat()
+            steal_now = 100.0 * (s1 - s0) / max(1, t1 - t0)
+            if (load <= args.max_load
+                    and steal_now <= args.max_steal_pct):
+                return load
+            if time.monotonic() >= deadline:
+                return load  # proceed; validity gate will flag it
+
     def one_run(cores: int) -> dict:
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cores)
@@ -326,7 +353,7 @@ def main_scaling(args) -> None:
                "--skip-write-amp"]
         if have_taskset:
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        load0 = _loadavg()
+        load0 = wait_calm()
         s0, t0 = _cpu_stat()
         out = subprocess.run(cmd, env=env, capture_output=True,
                              text=True, check=True)
@@ -342,7 +369,7 @@ def main_scaling(args) -> None:
 
     pairs: list[dict] = []
     try:
-        for i in range(args.pairs):
+        while len(pairs) < args.max_pairs:
             r_lo = one_run(lo)
             r_hi = one_run(hi)
             eff = (
@@ -355,6 +382,8 @@ def main_scaling(args) -> None:
             )
             pairs.append({"lo": r_lo, "hi": r_hi,
                           "eff": round(eff, 3), "valid": valid})
+            if sum(p["valid"] for p in pairs) >= args.min_valid_pairs:
+                break
     finally:
         shutil.rmtree(gen_dir, ignore_errors=True)
 
@@ -404,11 +433,17 @@ serialize both runs — a real cluster has per-node disks).
 ## Paired-median protocol (no manual curation)
 
 Each pair = one local[{lo}] run and one local[{hi}] run back-to-back,
-so host drift hits both sides of a ratio alike. Validity is decided
-by pre-registered thresholds recorded per run — hypervisor steal time
-<= {args.max_steal_pct}% (/proc/stat) and loadavg at start <=
-{args.max_load} — never by the resulting numbers. Reported efficiency
-= median over valid pairs; every pair is listed.
+so host drift hits both sides of a ratio alike. Before every run the
+protocol waits for a calm window ({args.settle_sec}s settle + loadavg
+/5s-steal probe, capped at {args.calm_wait_max}s) — gating on host
+signals only, never on throughput, so it cannot bias the ratio.
+Validity is decided by pre-registered thresholds recorded per run —
+hypervisor steal time <= {args.max_steal_pct}% over the run
+(/proc/stat) and pre-run loadavg <= {args.max_load} — and pairs
+repeat until {args.min_valid_pairs} are valid (or {args.max_pairs}
+attempted; the stopping rule sees validity only, which is independent
+of the measured efficiencies). Reported efficiency = median over
+valid pairs; every pair is listed.
 
 | pair | local[{lo}] ev/s | local[{hi}] ev/s | efficiency | valid |
 |---|---|---|---|---|
@@ -433,7 +468,8 @@ below these figures on any single node.)
 ```
 python bench.py                       # JSON line, sf0.1 defaults
 python bench.py --scaling --scale-low {lo} --scale-high {hi} \\
-    --events {n_events} --batches {args.batches} --pairs {args.pairs}
+    --events {n_events} --batches {args.batches} \\
+    --min-valid-pairs {args.min_valid_pairs} --max-pairs {args.max_pairs}
 ```
 """
     bench_dir = os.path.join(os.path.dirname(here), "BENCH")
@@ -469,9 +505,12 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scale-low", type=int, default=2)
     ap.add_argument("--scale-high", type=int, default=8)
-    ap.add_argument("--pairs", type=int, default=4)
-    ap.add_argument("--max-steal-pct", type=float, default=3.0)
-    ap.add_argument("--max-load", type=float, default=8.0)
+    ap.add_argument("--min-valid-pairs", type=int, default=2)
+    ap.add_argument("--max-pairs", type=int, default=6)
+    ap.add_argument("--max-steal-pct", type=float, default=1.5)
+    ap.add_argument("--max-load", type=float, default=5.0)
+    ap.add_argument("--settle-sec", type=float, default=60.0)
+    ap.add_argument("--calm-wait-max", type=float, default=900.0)
     args = ap.parse_args()
     if args.events == 0:
         args.events = None

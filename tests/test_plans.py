@@ -125,3 +125,26 @@ def test_tpch_q3_fact_join_strategy(spark):
     plan = plan_of(entry.q_tpch_q3_shipping_priority(spark, SF))
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mor_resolve_plan_shape(spark, tmp_path):
+    """Merge-on-read resolution: delta aggregate combines map-side
+    (partial ObjectHashAggregate) before its shuffle, the join reuses
+    that partitioning (exactly 2 exchanges total: delta agg + base
+    side), and no Python nodes appear."""
+    from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+
+    from tests.test_apply_batch import _events_df, audit_col, ev
+
+    applier = CdcApplier(
+        spark, SinkConfig(n_buckets=4, merge_mode="mor"),
+        str(tmp_path / "t"), audit_ts=audit_col(),
+    )
+    applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                        batch_id=0)
+    applier.apply_batch(_events_df(spark, [ev(2, "u", "conv-a", 0)]),
+                        batch_id=1)
+    plan = plan_of(applier.read_target())
+    assert "partial_max" in plan
+    assert plan.count("Exchange") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -149,6 +149,10 @@ class SinkConfig:
     #: folds deltas back into base files). MOR requires the delete
     #: match key to be the full pk (subset-key deletes stay COW).
     merge_mode: str = "cow"
+    #: in MOR mode, fold delta files back into base files every N
+    #: batches (streaming runner hook); None = compaction is external
+    #: (lake.maintenance.compact). Bounds read amplification.
+    mor_compact_every_batches: int | None = None
     n_buckets: int = 16
     auto_create: bool = True
     auto_evolve: bool = True
@@ -242,6 +246,11 @@ class SinkConfig:
                 "pk_fields (subset-key delete overlays need the "
                 "copy-on-write path)"
             )
+        if (
+            self.mor_compact_every_batches is not None
+            and self.mor_compact_every_batches < 1
+        ):
+            raise ConfigError("mor_compact_every_batches must be >= 1")
         if self.n_buckets < 1:
             raise ConfigError("n_buckets must be >= 1")
         if self.dedup_salt < 0:

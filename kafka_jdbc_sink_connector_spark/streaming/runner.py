@@ -65,6 +65,7 @@ class CdcStreamRunner:
                     batch_df, batch_id=batch_id, source_id=self.source_id
                 )
                 self.results.append(res)
+                self._maybe_compact(batch_id, skipped=res.skipped)
                 return res
             except NON_RETRIABLE:
                 raise
@@ -75,6 +76,42 @@ class CdcStreamRunner:
                     time.sleep(cfg.retry_backoff_ms / 1000.0)
         assert last_err is not None
         raise last_err
+
+    def _maybe_compact(self, batch_id: int, skipped: bool) -> None:
+        """MOR housekeeping off the apply path: fold delta files back
+        into base every ``mor_compact_every_batches`` batches, bounding
+        read amplification between external maintenance runs."""
+        cfg = self.applier.cfg
+        every = cfg.mor_compact_every_batches
+        if (
+            skipped
+            or every is None
+            or cfg.merge_mode != "mor"
+            or batch_id <= 0
+            or batch_id % every
+        ):
+            return
+        from kafka_jdbc_sink_connector_spark.lake.maintenance import compact
+
+        table = self.applier.table()
+        if table is not None and table.snapshot.delta_files():
+            compact(table)
+
+    def metrics(self) -> dict:
+        """Throughput summary over this runner's processed batches."""
+        applied = [r for r in self.results if not r.skipped]
+        total_events = sum(r.n_events for r in applied)
+        total_sec = sum(r.seconds for r in applied)
+        return {
+            "n_batches": len(applied),
+            "n_skipped": sum(1 for r in self.results if r.skipped),
+            "n_events": total_events,
+            "n_quarantined": sum(r.n_quarantined for r in applied),
+            "seconds": round(total_sec, 3),
+            "events_per_sec": round(total_events / total_sec, 1)
+            if total_sec
+            else None,
+        }
 
     def start(
         self,

@@ -270,3 +270,50 @@ def test_multi_table_routing(spark, tmp_path):
     n_even = made["t_even"].read_target().count()
     n_odd = made["t_odd"].read_target().count()
     assert n_even > 0 and n_odd > 0
+
+
+def test_mor_auto_compaction_in_stream(spark, tmp_path):
+    """mor_compact_every_batches folds deltas during the stream and
+    the final state still matches the replay oracle."""
+    from kafka_jdbc_sink_connector_spark.sources.cdc import file_stream
+
+    cfg = SinkConfig(n_buckets=4, merge_mode="mor",
+                     mor_compact_every_batches=2)
+    src_dir = str(tmp_path / "incoming")
+    spec = GenSpec(n_events=1200, n_conversations=30,
+                   turns_per_conversation=6, delete_fraction=0.05)
+    events = generate_cdc_events(spark, spec).cache()
+    try:
+        _write_chunks(spark, events, 4, src_dir, spec.n_events)
+        applier = CdcApplier(
+            spark, cfg, str(tmp_path / "tgt"), audit_ts=audit_col()
+        )
+        runner = CdcStreamRunner(applier, str(tmp_path / "ckpt"))
+        runner.run_available(
+            file_stream(spark, src_dir, CDC_EVENT_SCHEMA_V3,
+                        max_files_per_trigger=1)
+        )
+        m = runner.metrics()
+        assert m["n_events"] == spec.n_events and m["events_per_sec"]
+        # compaction ran at batch 2: deltas from batches 1-2 folded
+        # (batch 3 may have re-added some)
+        hist = applier.table().history()
+        assert any(
+            applier.table()._read_version(v).stats.get(
+                "compacted_buckets"
+            )
+            for v in hist
+        )
+        rows = [r.asDict() for r in events.collect()]
+        want = replay(rows, cfg,
+                      ["conv_id", "turn_idx", "role", "text", "ts",
+                       "tool", "meta_source"])
+        got = {
+            (r["conv_id"], r["turn_idx"]): r
+            for r in applier.read_target().collect()
+        }
+        assert set(got) == set(want)
+        for key, wrow in want.items():
+            assert got[key]["text"] == wrow.get("text"), key
+    finally:
+        events.unpersist()

@@ -946,6 +946,66 @@ SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
 """
 
 
+def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-cell assignment against a deterministic
+    codebook, 2-probe exact-cosine rerank (the scale path: a probe
+    reads n_probe/n_cells of the corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=8,
+        n_probe=2, dim=64,
+    )
+
+
+def _sql_ivf_ann() -> str:
+    cb = similarity.ivf_codebook(8, 64, seed=7)
+    with_cb = ", ".join(
+        f"[{', '.join(repr(w) for w in c)}] AS c{i}"
+        for i, c in enumerate(cb)
+    )
+    def dist(i: int) -> str:
+        return (
+            f"round(list_sum([(CAST(embedding[j] AS DOUBLE) - c{i}[j])"
+            f" * (CAST(embedding[j] AS DOUBLE) - c{i}[j])"
+            f" FOR j IN range(1, 65)]), 6)"
+        )
+    structs = ", ".join(
+        f"{{'d': {dist(i)}, 'i': {i}}}" for i in range(8)
+    )
+    return f"""
+WITH cb AS (SELECT {with_cb}),
+assigned AS (
+  SELECT vec_id, embedding,
+         list_sort([{structs}]) AS cells
+  FROM embeddings CROSS JOIN cb
+),
+corpus AS (SELECT vec_id, embedding, cells[1].i AS cell FROM assigned),
+q AS (SELECT vec_id, embedding, unnest([x.i FOR x IN cells[1:2]]) AS cell
+      FROM assigned WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           list_sum([CAST(q.embedding[i] AS DOUBLE)
+                     * CAST(c.embedding[i] AS DOUBLE)
+                     FOR i IN range(1, 65)])
+           / (sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE)
+                             * CAST(q.embedding[i] AS DOUBLE)
+                             FOR i IN range(1, 65)]))
+              * sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE)
+                               * CAST(c.embedding[i] AS DOUBLE)
+                               FOR i IN range(1, 65)]))), 6
+         ) AS cos_sim
+  FROM corpus c JOIN q ON c.cell = q.cell
+  WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 # --- multimodal -------------------------------------------------------
 
 
@@ -1008,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
         "emb_lsh_ann": q_emb_lsh_ann,
+        "emb_ivf_ann": q_emb_ivf_ann,
         "multimodal_decode": q_multimodal_decode,
     }
 
@@ -1042,5 +1103,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_buckets": _sql_lsh_buckets(),
         "emb_cosine_dup_pairs": _sql_cosine_dup_pairs(),
         "emb_lsh_ann": _sql_lsh_ann(),
+        "emb_ivf_ann": _sql_ivf_ann(),
         "multimodal_decode": _sql_multimodal(),
     }

@@ -184,6 +184,117 @@ def cosine_dup_pairs(
     )
 
 
+def ivf_codebook(n_cells: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic coarse-quantizer codebook (md5-seeded vectors).
+
+    Production IVF learns the codebook with k-means over a corpus
+    sample; here it is a fixed pseudo-random codebook so the cell
+    assignment is a pure literal expression — reproducible in the SQL
+    oracle and stable across engines (the IVF *plumbing* — assignment,
+    inverted cells, multi-probe rerank — is what scales; swapping in
+    k-means centroids is a drop-in)."""
+    return [_det_unit_floats(seed * 1000 + c, dim) for c in range(n_cells)]
+
+
+def _cell_dist(vec_col, centroid: list[float]):
+    """Squared L2 distance to a literal centroid (ordered fold,
+    engine-portable like plane_dot)."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(float(c)) for c in centroid]),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cell_structs(vec_col, codebook: list[list[float]], round_digits: int):
+    """Per-cell (rounded distance, cell id) structs — lexicographic
+    order = nearest-cell order; rounding keeps the argmin stable
+    across engines at float boundaries."""
+    return [
+        F.struct(
+            F.round(_cell_dist(vec_col, c), round_digits).alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(codebook)
+    ]
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(vec_id, cell) — nearest-codebook-cell assignment (IVF lists).
+    At 100 TB the corpus would be *written* partitioned by cell, so a
+    probe reads n_probe partitions (same layout idea as the lake
+    buckets)."""
+    cb = ivf_codebook(n_cells, dim, seed)
+    cell = F.least(*_cell_structs(F.col(vec_col), cb, round_digits))["i"]
+    return vectors.select(F.col(id_col), cell.alias("cell"))
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: queries probe their ``n_probe`` nearest
+    cells and exact-cosine rerank only those inverted lists
+    (cost ≈ n_probe/n_cells of the brute-force scan; recall grows
+    with n_probe — the standard IVF trade)."""
+    cb = ivf_codebook(n_cells, dim, seed)
+    c = corpus.join(ivf_assign(corpus, n_cells, seed, id_col, vec_col,
+                               dim, round_digits), id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "cell",
+    )
+    q_cells = F.slice(
+        F.array_sort(
+            F.array(*_cell_structs(F.col(vec_col), cb, round_digits))
+        ),
+        1,
+        n_probe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(q_cells).alias("qc"),
+    ).select("query_id", "qv", F.col("qc")["i"].alias("cell"))
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_ann_candidates(
     corpus: DataFrame,
     queries: DataFrame,

@@ -836,6 +836,58 @@ GROUP BY 1, 2
 """
 
 
+def q_tpch_q5_local_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q5 shape: 5-table join (two broadcast dims + customer +
+    two facts) with a same-nation supplier-customer predicate,
+    revenue per nation."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    ords = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def _sql_tpch_q5() -> str:
+    return """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
 def q_tpch_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over (status, priority) with subtotals and
     a grand total."""
@@ -1051,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "tpch_region_customer_agg": q_tpch_region_customer_agg,
+        "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
         "tpch_orders_rollup": q_tpch_orders_rollup,
         "tpch_custkey_setops": q_tpch_custkey_setops,
         "tpch_scalar_orders": q_tpch_scalar_orders,
@@ -1086,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_pricing_summary": _sql_tpch_q1(),
         "tpch_q3_shipping_priority": _sql_tpch_q3(),
         "tpch_region_customer_agg": _sql_tpch_region_customer(),
+        "tpch_q5_local_supplier_volume": _sql_tpch_q5(),
         "tpch_orders_rollup": _sql_tpch_rollup(),
         "tpch_custkey_setops": _sql_tpch_setops(),
         "tpch_scalar_orders": _sql_tpch_scalar(),

@@ -148,3 +148,15 @@ def test_mor_resolve_plan_shape(spark, tmp_path):
     assert "partial_max" in plan
     assert plan.count("Exchange") == 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_ann_plan_broadcasts_probes(spark):
+    """IVF: the probe side (queries × n_probe cells) broadcasts; the
+    corpus is scanned once; assignment is pure codegen'd expressions
+    (no Python)."""
+    from kafka_jdbc_sink_connector_spark.operators.similarity import ivf_ann
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    plan = plan_of(ivf_ann(emb, emb.filter(F.col("vec_id") < 3), k=3))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -475,6 +475,43 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM w
 """
 
 
+def q_doc_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded candidates (pigeonhole over 4
+    8-bit bands) + exact popcount(xor) verify — never all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    return text.simhash_dup_pairs(d, max_hamming=3)
+
+
+def _sql_simhash_dups() -> str:
+    bits = " + ".join(
+        f"CASE WHEN list_sum([CASE WHEN substr(md5(x), {b + 1}, 1) IN "
+        f"{HIGH_HEX_SQL} THEN 1 ELSE -1 END FOR x IN toks]) > 0 "
+        f"THEN {1 << b} ELSE 0 END"
+        for b in range(32)
+    )
+    return rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM w),
+bands AS (
+  SELECT doc_id, simhash, band_idx,
+         (simhash >> (band_idx * 8)) & 255 AS band_key
+  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b,
+         a.simhash AS sh_a, x.simhash AS sh_b
+  FROM bands a JOIN bands x USING (band_idx, band_key)
+  WHERE a.doc_id < x.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
 # --- dedup ------------------------------------------------------------
 
 
@@ -1114,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_simhash": q_doc_simhash,
+        "doc_simhash_dups": q_doc_simhash_dups,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh_pairs,
         "doc_ngram_jaccard_dups": q_doc_ngram_jaccard_dups,
@@ -1150,6 +1188,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _sql_lang_id(),
         "doc_fingerprint": _sql_fingerprint(),
         "doc_simhash": _sql_simhash(),
+        "doc_simhash_dups": _sql_simhash_dups(),
         "doc_exact_dedup": _sql_exact_dedup(),
         "doc_minhash_lsh_pairs": _sql_minhash_lsh(),
         "doc_ngram_jaccard_dups": _sql_ngram_jaccard(),

@@ -162,3 +162,60 @@ def simhash32(text: str | Column) -> Column:
         vote = F.aggregate(toks, F.lit(0).cast("long"), bit_vote(b))
         out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(0)
     return out
+
+
+def simhash_dup_pairs(
+    docs,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+):
+    """SimHash near-duplicate pairs: candidates share at least one of
+    ``n_bands`` 8-bit bands of the 32-bit simhash (a pair within
+    hamming distance < n_bands is guaranteed to agree on some band —
+    pigeonhole), then exact popcount(xor) verifies ``<= max_hamming``.
+
+    Banded candidate join, never all-pairs — the same scale shape as
+    the MinHash-LSH dedup. Returns (doc_a, doc_b, hamming) with
+    doc_a < doc_b.
+    """
+    sh = simhash32_table(docs, id_col, text_col)
+    width = 32 // n_bands
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band_idx"), F.col("bk.band_key"))
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "band_idx", "band_key",
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "band_idx", "band_key",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -14,6 +14,7 @@ from kafka_jdbc_sink_connector_spark.operators import (
     docdedup,
     multimodal,
     similarity,
+    text,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -122,3 +123,24 @@ def test_entry_contract_consistency(spark):
     df = entry.entry(spark)
     assert df.count() > 0
     assert df.schema is not None
+
+
+def test_simhash_dup_pairs_banded_candidates(spark, docs):
+    """Banded simhash pairs: identical docs are found at hamming 0,
+    and every reported pair's hamming is exact popcount(xor)."""
+    from pyspark.sql import functions as F
+
+    dup = docs.limit(3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    both = docs.limit(50).select("doc_id", "text").unionByName(dup)
+    out = text.simhash_dup_pairs(both, max_hamming=3).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    base_ids = [r["doc_id"] for r in docs.limit(3).collect()]
+    for i in base_ids:
+        assert got.get((i, i + 100000)) == 0, (i, got)
+    sh = {r["doc_id"]: r["simhash"]
+          for r in text.simhash32_table(both).collect()}
+    for (a, b), h in got.items():
+        assert bin(sh[a] ^ sh[b]).count("1") == h
+        assert h <= 3

@@ -135,6 +135,7 @@ def run_write_amp(spark, input_dir: str, work: str,
     # rewrite penalty
     step = max(1, span // 200)
     out = {}
+    checksums = {}
     for mode in ("cow", "mor"):
         table_dir = os.path.join(work, f"wa_{mode}")
         applier = CdcApplier(
@@ -160,10 +161,25 @@ def run_write_amp(spark, input_dir: str, work: str,
             "steady_sec": round(dt, 3),
             "steady_events_per_sec": round(n_steady * step / dt, 1),
         }
+        # order-insensitive state checksum (audit_ts excluded: it is
+        # the apply-time clock, legitimately different per run)
+        tgt = applier.read_target().drop("audit_ts")
+        checksums[mode] = tgt.agg(
+            F.sum(
+                F.xxhash64(*sorted(tgt.columns)).cast("decimal(38,0)")
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
     out["write_amp_reduction"] = round(
         out["cow"]["bytes_per_batch"]
         / max(1, out["mor"]["bytes_per_batch"]), 1
     )
+    # the two modes must agree row-for-row at bench scale
+    out["state_match"] = (
+        checksums["cow"]["h"] == checksums["mor"]["h"]
+        and checksums["cow"]["n"] == checksums["mor"]["n"]
+    )
+    out["final_rows"] = int(checksums["cow"]["n"])
     return out
 
 
@@ -260,6 +276,7 @@ def main_default(args) -> None:
         "merge_mode": args.merge_mode,
     }
     if wa:
+        payload["mor_state_matches_cow"] = wa["state_match"]
         payload["mor_write_bytes_per_batch"] = wa["mor"]["bytes_per_batch"]
         payload["cow_write_bytes_per_batch"] = wa["cow"]["bytes_per_batch"]
         payload["mor_write_amp_reduction"] = wa["write_amp_reduction"]

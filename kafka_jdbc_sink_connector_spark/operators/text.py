@@ -118,32 +118,61 @@ def minhash_signature(text: str | Column, n_perm: int = 8, k: int = 5) -> Column
     )
 
 
-def simhash32_table(
-    docs, id_col: str = "doc_id", text_col: str = "text"
+def simhash_table(
+    docs, id_col: str = "doc_id", text_col: str = "text",
+    n_bits: int = 32,
 ):
     """(id, simhash) for a whole table via explode + codegen'd hash
-    aggregation — same values as :func:`simhash32` but ~10x faster at
-    scale (the per-row HOF fold evaluates interpreted; 32 conditional
-    SUMs over exploded tokens get partial aggregation + codegen)."""
+    aggregation — the per-row HOF fold evaluates interpreted; n_bits
+    conditional SUMs over exploded tokens get partial aggregation +
+    codegen (~10x measured win).
+
+    Bit b's vote is the high bit of hex digit b%32 of
+    md5('<b//32>|' + word) — one salted digest per 32-bit block, so
+    any multiple of 32 bits works. Wider fingerprints matter at scale:
+    the banded near-dup join's bucket count is 2^(n_bits/n_bands), and
+    8-bit bands (32-bit hash, 4 bands) collapse a web-scale corpus
+    into 256 buckets — quadratic candidates. 64-bit/4-band = 16-bit
+    bands = 65k buckets."""
+    if n_bits % 32 or n_bits > 64:
+        raise ValueError("n_bits must be 32 or 64")
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
     )
+
+    def digest(block: int):
+        if block == 0:
+            return F.md5("__w")  # block 0 = the historical layout
+        return F.md5(F.concat(F.lit(f"{block}|"), F.col("__w")))
+
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(
-                    F.substring(F.md5("__w"), b + 1, 1).isin(*_HIGH_HEX), 1
+                    F.substring(digest(b // 32), b % 32 + 1, 1).isin(
+                        *_HIGH_HEX
+                    ),
+                    1,
                 ).otherwise(-1)
             ).alias(f"v{b}")
-            for b in range(32)
+            for b in range(n_bits)
         ]
     )
     out = F.lit(0).cast("long")
-    for b in range(32):
+    for b in range(n_bits):
+        # bit 63 is the sign bit of the long: its two's-complement
+        # value is -(2^63); added last so no intermediate overflows
+        term = (1 << b) if b < 63 else -(1 << 63)
         out = out + F.when(
-            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+            F.col(f"v{b}") > 0, F.lit(term).cast("long")
         ).otherwise(0)
     return votes.select(F.col(id_col), out.alias("simhash"))
+
+
+def simhash32_table(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    return simhash_table(docs, id_col, text_col, n_bits=32)
 
 
 def simhash32(text: str | Column) -> Column:
@@ -170,18 +199,25 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_bands: int = 4,
+    n_bits: int = 32,
 ):
     """SimHash near-duplicate pairs: candidates share at least one of
-    ``n_bands`` 8-bit bands of the 32-bit simhash (a pair within
-    hamming distance < n_bands is guaranteed to agree on some band —
-    pigeonhole), then exact popcount(xor) verifies ``<= max_hamming``.
+    ``n_bands`` bands of the simhash (a pair within hamming distance
+    < n_bands is guaranteed to agree on some band — pigeonhole), then
+    exact popcount(xor) verifies ``<= max_hamming``.
 
     Banded candidate join, never all-pairs — the same scale shape as
     the MinHash-LSH dedup. Returns (doc_a, doc_b, hamming) with
     doc_a < doc_b.
+
+    Scale: candidate volume ~ Σ_buckets n_b², and bucket count =
+    2^(n_bits/n_bands). The 32-bit default (8-bit bands, 256 buckets)
+    is fine for modest corpora and keeps the DuckDB oracle short; at
+    web scale use ``n_bits=64`` (16-bit bands, 65k buckets) — same
+    plan shape, 256x fewer in-bucket collisions.
     """
-    sh = simhash32_table(docs, id_col, text_col)
-    width = 32 // n_bands
+    sh = simhash_table(docs, id_col, text_col, n_bits=n_bits)
+    width = n_bits // n_bands
     bands = sh.select(
         F.col(id_col),
         F.col("simhash"),

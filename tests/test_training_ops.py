@@ -144,3 +144,25 @@ def test_simhash_dup_pairs_banded_candidates(spark, docs):
     for (a, b), h in got.items():
         assert bin(sh[a] ^ sh[b]).count("1") == h
         assert h <= 3
+
+
+def test_simhash64_wide_bands(spark, docs):
+    """64-bit simhash (16-bit bands): exact dups still pair at hamming
+    0, the fingerprint uses the full width (negative longs appear when
+    bit 63 is set), and banded candidates stay exact on popcount."""
+    dup = docs.limit(2).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    both = docs.limit(40).select("doc_id", "text").unionByName(dup)
+    sh = {r["doc_id"]: r["simhash"]
+          for r in text.simhash_table(both, n_bits=64).collect()}
+    # width actually used: some fingerprint must exceed 32 bits
+    assert any(abs(v) >= (1 << 32) for v in sh.values())
+    out = text.simhash_dup_pairs(
+        both, max_hamming=3, n_bands=4, n_bits=64
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    for r in docs.limit(2).collect():
+        assert got.get((r["doc_id"], r["doc_id"] + 200000)) == 0
+    for (a, b), h in got.items():
+        assert bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") == h

@@ -925,6 +925,74 @@ GROUP BY 1
 """
 
 
+def q_tpch_q4_priority_semi_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q4 shape: LEFT SEMI join (EXISTS) — orders having at
+    least one late-shipped lineitem, counted per priority."""
+    ords = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > F.expr(
+        "TIMESTAMP_NTZ '1999-06-01 00:00:00'"
+    ))
+    return (
+        ords.join(late, ords.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+def _sql_tpch_q4() -> str:
+    return """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > TIMESTAMP '1999-06-01')
+GROUP BY 1
+"""
+
+
+def q_tpch_customers_without_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no urgent order,
+    per market segment (the bare no-orders set is empty in the
+    synthetic data, so the anti side is filtered to stay non-trivial).
+    """
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+        )
+    )
+
+
+def _sql_tpch_anti() -> str:
+    return """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
 def q_tpch_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over (status, priority) with subtotals and
     a grand total."""
@@ -1141,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "tpch_region_customer_agg": q_tpch_region_customer_agg,
         "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
+        "tpch_q4_priority_semi_join": q_tpch_q4_priority_semi_join,
+        "tpch_customers_without_orders": q_tpch_customers_without_orders,
         "tpch_orders_rollup": q_tpch_orders_rollup,
         "tpch_custkey_setops": q_tpch_custkey_setops,
         "tpch_scalar_orders": q_tpch_scalar_orders,
@@ -1178,6 +1248,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3_shipping_priority": _sql_tpch_q3(),
         "tpch_region_customer_agg": _sql_tpch_region_customer(),
         "tpch_q5_local_supplier_volume": _sql_tpch_q5(),
+        "tpch_q4_priority_semi_join": _sql_tpch_q4(),
+        "tpch_customers_without_orders": _sql_tpch_anti(),
         "tpch_orders_rollup": _sql_tpch_rollup(),
         "tpch_custkey_setops": _sql_tpch_setops(),
         "tpch_scalar_orders": _sql_tpch_scalar(),

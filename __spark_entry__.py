@@ -171,6 +171,90 @@ def q_cdc_apply_final_state_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel diff: apply the stream as two batches, then compare
+    the mid-stream snapshot against the final one — per key: added /
+    changed / unchanged (lake snapshots are immutable, so version N
+    stays readable after N+1 commits)."""
+    cfg = SinkConfig(**_CDC_CFG)
+    cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
+    mid = cdc.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    tmp = tempfile.mkdtemp(prefix="cdc_snapshot_diff_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
+    r1 = applier.apply_batch(
+        cdc.filter(F.col("kafka_offset") <= mid), batch_id=0
+    )
+    applier.apply_batch(cdc.filter(F.col("kafka_offset") > mid), batch_id=1)
+    t = applier.table()
+    cols = ["user_id", "event_id", "op_type", "event_type", "value"]
+    v_mid = t.read(version=r1.snapshot_version).select(
+        *[F.col(c).alias(f"m_{c}") for c in cols]
+    )
+    v_end = t.read().select(*cols)
+    j = v_end.join(v_mid, F.col("user_id") == F.col("m_user_id"),
+                   "full_outer")
+    status = (
+        F.when(F.col("m_user_id").isNull(), F.lit("added"))
+        .when(
+            (F.col("event_id") != F.col("m_event_id"))
+            | (F.col("op_type") != F.col("m_op_type")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce(F.col("user_id"), F.col("m_user_id")).alias("user_id"),
+        F.col("m_event_id").alias("mid_event_id"),
+        F.col("event_id").alias("final_event_id"),
+        F.col("m_op_type").alias("mid_op_type"),
+        F.col("op_type").alias("final_op_type"),
+        status.alias("status"),
+    )
+
+
+def _final_state_sql(upto: str) -> str:
+    """Final-state CTE body over events with event_id <= {upto}
+    (mirrors _sql_cdc_final_state, parameterized by stream position)."""
+    return f"""
+  WITH cdc AS (
+    SELECT *, CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+    FROM events WHERE event_id <= {upto}
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, (op = 'd') ORDER BY event_id DESC) AS rn
+    FROM cdc
+  ),
+  ups AS (SELECT * FROM ranked WHERE op <> 'd' AND rn = 1),
+  del AS (SELECT * FROM ranked WHERE op = 'd' AND rn = 1)
+  SELECT u.user_id,
+         u.event_id,
+         CASE WHEN d.event_id IS NOT NULL AND d.event_id > u.event_id
+              THEN 'D' ELSE 'U' END AS op_type
+  FROM ups u LEFT JOIN del d ON u.user_id = d.user_id
+"""
+
+
+def _sql_cdc_snapshot_diff() -> str:
+    return f"""
+WITH bounds AS (
+  SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS mid FROM events
+),
+m AS ({_final_state_sql("(SELECT mid FROM bounds)")}),
+f AS ({_final_state_sql("(SELECT max(event_id) FROM events)")})
+SELECT coalesce(f.user_id, m.user_id) AS user_id,
+       m.event_id AS mid_event_id,
+       f.event_id AS final_event_id,
+       m.op_type AS mid_op_type,
+       f.op_type AS final_op_type,
+       CASE WHEN m.user_id IS NULL THEN 'added'
+            WHEN f.event_id <> m.event_id OR f.op_type <> m.op_type
+            THEN 'changed' ELSE 'unchanged' END AS status
+FROM f FULL OUTER JOIN m ON f.user_id = m.user_id
+"""
+
+
 def q_cdc_lineage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source-partition lineage (F5): offset ranges + op counts."""
     cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
@@ -587,6 +671,49 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.da
 JOIN sizes sb ON sb.doc_id = i.db
 WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.5
+"""
+
+
+def q_dup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline composition: text-signal near-dups (MinHash-LSH) full-
+    outer-joined with embedding-signal near-dups (LSH-bucketed cosine)
+    — the agreement view a curation pipeline uses to pick thresholds."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    t = docdedup.minhash_lsh_candidates(docs, n_perm=8, bands=4, k=5)
+    e = similarity.cosine_dup_pairs(emb, threshold=0.3, n_planes=8,
+                                    dim=64, round_digits=4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+        "cos_sim",
+    )
+    j = t.join(e, ["doc_a", "doc_b"], "full_outer")
+    signal = (
+        F.when(F.col("n_bands_shared").isNotNull()
+               & F.col("cos_sim").isNotNull(), F.lit("both"))
+        .when(F.col("n_bands_shared").isNotNull(), F.lit("text"))
+        .otherwise(F.lit("embedding"))
+    )
+    return j.select(
+        "doc_a", "doc_b", "n_bands_shared", "cos_sim",
+        signal.alias("signal"),
+    )
+
+
+def _sql_dup_agreement() -> str:
+    return f"""
+WITH t AS ({_sql_minhash_lsh()}),
+e AS (
+  SELECT id_a AS doc_a, id_b AS doc_b, cos_sim
+  FROM ({_sql_cosine_dup_pairs()})
+)
+SELECT coalesce(t.doc_a, e.doc_a) AS doc_a,
+       coalesce(t.doc_b, e.doc_b) AS doc_b,
+       t.n_bands_shared, e.cos_sim,
+       CASE WHEN t.doc_a IS NOT NULL AND e.doc_a IS NOT NULL THEN 'both'
+            WHEN t.doc_a IS NOT NULL THEN 'text'
+            ELSE 'embedding' END AS signal
+FROM t FULL OUTER JOIN e
+  ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
 """
 
 
@@ -1200,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_last_event_per_key": q_cdc_last_event_per_key,
         "cdc_apply_final_state": q_cdc_apply_final_state,
         "cdc_apply_final_state_mor": q_cdc_apply_final_state_mor,
+        "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_lineage_agg": q_cdc_lineage_agg,
         "cdc_quarantine_split": q_cdc_quarantine_split,
         "cdc_schema_evolution_backfill": q_cdc_schema_evolution_backfill,
@@ -1225,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh_pairs,
         "doc_ngram_jaccard_dups": q_doc_ngram_jaccard_dups,
+        "dup_signal_agreement": q_dup_signal_agreement,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
@@ -1239,6 +1368,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_last_event_per_key": _sql_cdc_last_event(),
         "cdc_apply_final_state": _sql_cdc_final_state(),
         "cdc_apply_final_state_mor": _sql_cdc_final_state(),
+        "cdc_snapshot_diff": _sql_cdc_snapshot_diff(),
         "cdc_lineage_agg": _sql_cdc_lineage(),
         "cdc_quarantine_split": _sql_cdc_quarantine(),
         "cdc_schema_evolution_backfill": _sql_cdc_evolution(),
@@ -1264,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": _sql_exact_dedup(),
         "doc_minhash_lsh_pairs": _sql_minhash_lsh(),
         "doc_ngram_jaccard_dups": _sql_ngram_jaccard(),
+        "dup_signal_agreement": _sql_dup_agreement(),
         "emb_knn_bruteforce": _sql_knn(),
         "emb_lsh_buckets": _sql_lsh_buckets(),
         "emb_cosine_dup_pairs": _sql_cosine_dup_pairs(),

@@ -41,7 +41,10 @@ QUERY_NAMES = [
     "events_sessionize",
     "doc_quality_score",
     "doc_minhash_lsh_pairs",
+    "doc_simhash_dups",
     "emb_knn_bruteforce",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
 ]
 
 

@@ -138,3 +138,49 @@ def test_snapshot_json_backcompat_pre_mor():
     snap.delta_buckets["1"] = ["data/d.parquet"]
     again = Snapshot.from_json(snap.to_json())
     assert again.delta_buckets == {"1": ["data/d.parquet"]}
+
+
+def test_delta_commit_conflict_cleans_up(spark, tmp_path):
+    """A losing commit_delta (stale snapshot) must raise CommitConflict
+    and leave no orphan delta files referenced or on disk beyond the
+    winner's; a refresh lets the writer retry."""
+    import os
+
+    from kafka_jdbc_sink_connector_spark.lake.mor import (
+        DELTA_DEL,
+        DELTA_DEL_OFF,
+        DELTA_UPS,
+        DELTA_UPS_OFF,
+    )
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    t1 = LakeTable.create(spark, p, SCHEMA, n_buckets=2, key_fields=["k"])
+    t1.overwrite(_df(spark, [("a", 1)]))
+    t2 = LakeTable.load(spark, p)
+
+    def delta_rows(t, rows):
+        base = t.with_bucket(_df(spark, rows))
+        return base.select(
+            "k",
+            F.struct(F.col("v").alias("v")).alias(DELTA_UPS),
+            F.lit(1).cast("long").alias(DELTA_UPS_OFF),
+            F.lit(None).cast("struct<v:long>").alias(DELTA_DEL),
+            F.lit(None).cast("long").alias(DELTA_DEL_OFF),
+            F.col("__bucket"),
+        )
+
+    meta = {"soft": False, "hard": False, "upd_only": False,
+            "guard": [], "overlay_cols": []}
+    t1.commit_delta(delta_rows(t1, [("a", 2)]), mor_meta=meta)
+    with pytest.raises(CommitConflict):
+        t2.commit_delta(delta_rows(t2, [("a", 99)]), mor_meta=meta)
+    # loser's files were removed; snapshot references resolve
+    t2.refresh()
+    for f in t2.snapshot.all_files():
+        assert os.path.exists(os.path.join(p, f))
+    got = {r["k"]: r["v"] for r in t2.read().collect()}
+    assert got == {"a": 2}  # the winner's delta, not the loser's
+    # retry after refresh succeeds
+    t2.commit_delta(delta_rows(t2, [("a", 3)]), mor_meta=meta)
+    assert {r["k"]: r["v"] for r in t2.read().collect()} == {"a": 3}

@@ -202,13 +202,28 @@ class LakeTable:
         bucket-pruned parquet scan.
         """
         snap = self.snapshot if version is None else self._read_version(version)
-        base = self._read_base(snap, buckets)
-        if snap.delta_files(buckets):
+        if not snap.delta_files(buckets):
+            df = self._read_base(snap, buckets)
+        else:
             from kafka_jdbc_sink_connector_spark.lake import mor
 
-            df = mor.resolve(base, self._read_deltas(snap, buckets), snap)
-        else:
-            df = base
+            # only buckets that actually carry deltas pay the resolve
+            # join; the rest are a plain parquet scan unioned in
+            requested = (
+                list(range(snap.n_buckets)) if buckets is None else buckets
+            )
+            delta_ids = {
+                int(b) for b, fs in snap.delta_buckets.items() if fs
+            }
+            hot = [b for b in requested if b in delta_ids]
+            cold = [b for b in requested if b not in delta_ids]
+            df = mor.resolve(
+                self._read_base(snap, hot),
+                self._read_deltas(snap, hot),
+                snap,
+            )
+            if cold:
+                df = df.unionByName(self._read_base(snap, cold))
         return df if include_bucket else df.drop(BUCKET_COL)
 
     def _read_base(self, snap: Snapshot, buckets: list[int] | None) -> DataFrame:

@@ -25,7 +25,8 @@ from tests.test_apply_batch import _events_df, audit_col, ev
 
 
 def _mk(spark, tmp_table, **cfg_kw):
-    cfg = SinkConfig(n_buckets=4, merge_mode="mor", **cfg_kw)
+    cfg_kw.setdefault("n_buckets", 4)
+    cfg = SinkConfig(merge_mode="mor", **cfg_kw)
     return CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
 
 
@@ -312,3 +313,32 @@ def test_mor_update_plus_hard_delete_kills_key_for_good(spark, tmp_table):
         batch_id=2,
     )
     assert upd.read_target().count() == 0  # stays dead
+
+
+def test_mor_read_prunes_resolve_to_delta_buckets(spark, tmp_table):
+    """Buckets without deltas are read as a plain scan (no join);
+    resolution covers only delta-carrying buckets — results identical
+    either way."""
+    applier = _mk(spark, tmp_table, n_buckets=8)
+    rows0 = [ev(i, "c", f"conv-{i}", 0) for i in range(1, 17)]
+    applier.apply_batch(_events_df(spark, rows0), batch_id=0)
+    # second batch touches a single conversation → one delta bucket
+    applier.apply_batch(
+        _events_df(spark, [ev(100, "u", "conv-1", 0, text="v2")]),
+        batch_id=1,
+    )
+    t = applier.table()
+    delta_ids = {int(b) for b, fs in t.snapshot.delta_buckets.items() if fs}
+    assert len(delta_ids) == 1
+    got = {r["conv_id"]: r["text"] for r in applier.read_target().collect()}
+    assert got["conv-1"] == "v2"
+    assert len(got) == 16
+    # the executed plan unions a resolve branch with a plain scan
+    plan = applier.read_target()._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    # single-bucket point read on a cold bucket has no join at all
+    cold = next(b for b in range(8) if b not in delta_ids
+                and t.snapshot.buckets.get(str(b)))
+    cold_plan = t.read(buckets=[cold])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in cold_plan

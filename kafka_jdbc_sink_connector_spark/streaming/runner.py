@@ -171,9 +171,23 @@ class MultiTableRunner:
             sub = batch_df.filter(
                 F.col(self.topic_column) == topic
             ).drop(self.topic_column)
-            applier.apply_batch(
-                sub, batch_id=batch_id, source_id=self.source_id
-            )
+            # same bounded retry as the single-table runner; a topic
+            # that already applied this batch id skips via the
+            # per-table watermark, so retrying after a partial failure
+            # re-applies only the topics that didn't commit
+            attempts = applier.cfg.max_retries + 1
+            for attempt in range(attempts):
+                try:
+                    applier.apply_batch(
+                        sub, batch_id=batch_id, source_id=self.source_id
+                    )
+                    break
+                except NON_RETRIABLE:
+                    raise
+                except Exception:  # noqa: BLE001 — catch(SQLException) analog
+                    if attempt == attempts - 1:
+                        raise
+                    time.sleep(applier.cfg.retry_backoff_ms / 1000.0)
 
     def start(self, stream_df: DataFrame, available_now: bool = True) -> StreamingQuery:
         writer = stream_df.writeStream.foreachBatch(

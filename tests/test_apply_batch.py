@@ -34,7 +34,7 @@ def _events_df(spark, rows, with_optional=()):
         "kafka_partition": "int", "kafka_offset": "long", "op": "string",
         "conv_id": "string", "turn_idx": "int", "role": "string",
         "text": "string", "ts": "timestamp", "tool": "string",
-        "meta_source": "string",
+        "meta_source": "string", "topic": "string",
     }
     schema = ", ".join(f"{c} {schema_bits[c]}" for c in cols)
     data = [tuple(r.get(c) for c in cols) for r in rows]

@@ -317,3 +317,42 @@ def test_mor_auto_compaction_in_stream(spark, tmp_path):
             assert got[key]["text"] == wrow.get("text"), key
     finally:
         events.unpersist()
+
+
+def test_multitable_partial_failure_retries_only_failed_topic(
+    spark, tmp_path
+):
+    """Multi-table batch where one topic's applier fails transiently:
+    the retry re-applies only the failed topic (the committed topic
+    skips via its batch watermark) and the final state is correct."""
+    from kafka_jdbc_sink_connector_spark.streaming.runner import (
+        MultiTableRunner,
+    )
+    from tests.test_apply_batch import _events_df, ev
+
+    calls = {"n": 0}
+
+    class FlakyApplier(CdcApplier):
+        def apply_batch(self, events, batch_id=0, source_id="default"):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise IOError("transient write failure")
+            return super().apply_batch(events, batch_id, source_id)
+
+    def factory(topic):
+        cls = FlakyApplier if topic == "t_b" else CdcApplier
+        return cls(
+            spark,
+            SinkConfig(n_buckets=2, max_retries=2, retry_backoff_ms=10),
+            str(tmp_path / topic),
+            audit_ts=audit_col(),
+        )
+
+    runner = MultiTableRunner(factory, str(tmp_path / "ckpt"))
+    rows_a = [dict(ev(1, "c", "conv-a", 0), topic="t_a")]
+    rows_b = [dict(ev(2, "c", "conv-b", 0), topic="t_b")]
+    df = _events_df(spark, rows_a + rows_b, with_optional=("topic",))
+    runner.process_batch(df, batch_id=0)
+    assert runner.appliers["t_a"].read_target().count() == 1
+    assert runner.appliers["t_b"].read_target().count() == 1
+    assert calls["n"] == 2  # failed once, retried once

@@ -104,12 +104,10 @@ def cmd_stream(args) -> None:
         )
     runner = CdcStreamRunner(applier, args.checkpoint)
     if args.once:
-        results = runner.run_available(stream)
-        print(json.dumps({
-            "batches": len(results),
-            "n_events": sum(r.n_events for r in results),
-            "skipped": sum(1 for r in results if r.skipped),
-        }))
+        runner.run_available(stream)
+        # north-rule metrics: per-run throughput summary (per-batch
+        # and per-partition detail live in the lineage table)
+        print(json.dumps(runner.metrics()))
     else:
         q = runner.start(
             stream, available_now=False,

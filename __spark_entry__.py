@@ -123,6 +123,11 @@ def q_cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_cdc_final_state() -> str:
+    # the WINNING delete per key is the EARLIEST one positioned after
+    # the latest upsert: the first delete marks the row and the
+    # reference's "not already deleted" guard blocks every later delete
+    # from re-overwriting the retain fields (BufferedRecords.java:287-303
+    # executed in offset order) — NOT the latest delete
     return """
 WITH cdc AS (
   SELECT *, CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
@@ -130,21 +135,28 @@ WITH cdc AS (
 ),
 ranked AS (
   SELECT *, row_number() OVER (
-    PARTITION BY user_id, (op = 'd') ORDER BY event_id DESC) AS rn
-  FROM cdc
+    PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM cdc WHERE op <> 'd'
 ),
-ups AS (SELECT * FROM ranked WHERE op <> 'd' AND rn = 1),
-del AS (SELECT * FROM ranked WHERE op = 'd' AND rn = 1)
+ups AS (SELECT * FROM ranked WHERE rn = 1),
+win AS (
+  SELECT u.user_id AS uid,
+         min(d.event_id) AS del_id,
+         arg_min(d.ts, d.event_id) AS del_ts
+  FROM ups u
+  JOIN cdc d ON d.user_id = u.user_id
+            AND d.op = 'd' AND d.event_id > u.event_id
+  GROUP BY 1
+)
 SELECT u.user_id,
        u.event_id AS last_event_id,
-       CASE WHEN d.event_id IS NOT NULL AND d.event_id > u.event_id
-            THEN 'D' ELSE 'U' END AS op_type,
+       CASE WHEN w.del_id IS NOT NULL THEN 'D' ELSE 'U' END AS op_type,
        u.event_type AS last_event_type,
        u.value AS last_value,
-       CAST(floor(epoch(CASE WHEN d.event_id IS NOT NULL
-                             AND d.event_id > u.event_id
-                             THEN d.ts ELSE u.ts END)) AS BIGINT) AS ts_epoch
-FROM ups u LEFT JOIN del d ON u.user_id = d.user_id
+       CAST(floor(epoch(CASE WHEN w.del_id IS NOT NULL
+                             THEN w.del_ts ELSE u.ts END)) AS BIGINT)
+         AS ts_epoch
+FROM ups u LEFT JOIN win w ON u.user_id = w.uid
 """
 
 
@@ -926,8 +938,14 @@ GROUP BY 1, 2
 
 
 def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join (small filtered dim × two big
-    tables), aggregate, deterministic top-10."""
+    """TPC-H Q3 shape: 3-way join (filtered dim × two big tables),
+    aggregate, deterministic top-10.
+
+    No forced broadcast of customer: it grows linearly with scale
+    factor (a BUILDING-segment filter keeps ~1/5 of it — still
+    scale-dependent), so the hint would OOM at 100×. AQE picks
+    broadcast at small SF from runtime stats and falls back to
+    sort-merge + skew splitting when the side is genuinely big."""
     cust = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -939,7 +957,7 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(
@@ -1004,8 +1022,14 @@ def q_tpch_q5_local_supplier_volume(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """TPC-H Q5 shape: 5-table join (two broadcast dims + customer +
-    two facts) with a same-nation supplier-customer predicate,
-    revenue per nation."""
+    supplier + two facts) with a same-nation supplier-customer
+    predicate, revenue per nation.
+
+    Only nation (25 rows) and the filtered region (1 row) carry
+    broadcast hints — they are bounded regardless of scale factor.
+    customer and supplier grow linearly with SF, so their join
+    strategy is left to AQE (broadcast at small SF, sort-merge at
+    100×) instead of a forced hint that would OOM the executors."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -1018,7 +1042,7 @@ def q_tpch_q5_local_supplier_volume(
     return (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
         .join(cust, ords.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)

@@ -150,7 +150,7 @@ class CdcApplier:
             # the lineage append may have lost this batch's side
             # tables; recompute them (stats + quarantine only, no
             # merge) so replay converges instead of dropping lineage
-            self._backfill_side_tables(events, table, batch_id)
+            self._backfill_side_tables(events, table, batch_id, source_id)
             return BatchResult(batch_id=batch_id, skipped=True,
                                snapshot_version=table.version)
 
@@ -224,12 +224,17 @@ class CdcApplier:
 
     # -- stats / quarantine / lineage helpers --------------------------
 
-    def _stats_and_quarantine(self, events, table, batch_id):
+    def _stats_and_quarantine(self, events, table, batch_id, snap=None):
         """Jobs 1+2 of the batch: one combined aggregation producing
         per-partition lineage counts, the quarantine count, and the
         affected-bucket set; plus the (conditional) quarantine write.
-        Deterministic and merge-free, so it is replay-safe."""
+        Deterministic and merge-free, so it is replay-safe — provided
+        the caller pins ``snap`` to the snapshot the batch originally
+        committed against (a replay after schema evolution must coerce
+        and quarantine under the *historical* schema, or the backfilled
+        rows disagree with what the original commit applied)."""
         cfg = self.cfg
+        snap = snap or table.snapshot
         op = F.col(cfg.op_column)
         # NOTE deliberately NOT persisted: the 2-3 consumer jobs
         # (stats, optional quarantine, merge) re-run the vectorized
@@ -241,12 +246,12 @@ class CdcApplier:
         # already provides.
         # per-record type rescue (O18): mistyped values quarantine
         # individually; the rest of the batch applies with try_cast
-        casts, cast_err = coerce_for_target(table.schema, events, cfg)
+        casts, cast_err = coerce_for_target(snap.schema, events, cfg)
         err = error_expr(cfg, events.columns)
         if cast_err is not None:
             err = F.coalesce(err, cast_err)
         tagged = events.withColumn("__error", err).withColumn(
-            "__b", bucket_expr(cfg.pk_fields[0], table.snapshot.n_buckets)
+            "__b", bucket_expr(cfg.pk_fields[0], snap.n_buckets)
         )
         ok = F.col("__error").isNull()
         part = (
@@ -299,28 +304,45 @@ class CdcApplier:
                 .partitionBy("batch_id")
                 .parquet(self.quarantine_path)
             )
+        else:
+            # dynamic overwrite only replaces partitions present in the
+            # written data — a replay that now quarantines ZERO rows
+            # (schema evolved between attempts) must still clear the
+            # stale partition from the earlier attempt
+            stale = os.path.join(
+                self.quarantine_path, f"batch_id={batch_id}"
+            )
+            if os.path.isdir(stale):
+                import shutil
+
+                shutil.rmtree(stale)
         return tagged, casts, stats_rows
 
     def _write_lineage(
         self, stats_rows, batch_id: int, snapshot_version: int | None
     ) -> None:
-        lineage = self.spark.createDataFrame(
-            [
-                (
-                    batch_id,
-                    r["kafka_partition"],
-                    r["min_offset"],
-                    r["max_offset"],
-                    int(r["n_insert"]),
-                    int(r["n_update"]),
-                    int(r["n_delete"]),
-                    int(r["n_quarantined"]),
-                    snapshot_version,
-                )
-                for r in stats_rows
-            ],
-            LINEAGE_SCHEMA,
-        )
+        rows = [
+            (
+                batch_id,
+                r["kafka_partition"],
+                r["min_offset"],
+                r["max_offset"],
+                int(r["n_insert"]),
+                int(r["n_update"]),
+                int(r["n_delete"]),
+                int(r["n_quarantined"]),
+                snapshot_version,
+            )
+            for r in stats_rows
+        ]
+        if not rows:
+            # an EMPTY batch still writes one all-zero marker row: the
+            # partition dir is the "side tables committed" flag, and
+            # without it every replay of the empty batch re-runs the
+            # stats job in _backfill_side_tables
+            rows = [(batch_id, None, None, None, 0, 0, 0, 0,
+                     snapshot_version)]
+        lineage = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
         # idempotent per batch (see quarantine write): replaying a
         # batch after a crash between merge commit and this write
         # rewrites rather than duplicates its lineage partition
@@ -331,17 +353,68 @@ class CdcApplier:
             .parquet(self.lineage_path)
         )
 
-    def _backfill_side_tables(self, events, table, batch_id: int) -> None:
+    def _backfill_side_tables(
+        self, events, table, batch_id: int, source_id: str
+    ) -> None:
         """Replay of an already-merged batch: re-derive quarantine +
         lineage only if this batch's lineage partition is missing
-        (crash between merge commit and the side-table writes)."""
+        (crash between merge commit and the side-table writes).
+
+        The recompute is pinned to the snapshot that actually committed
+        the batch — not the table head — so the backfilled lineage
+        carries the right snapshot_version and the quarantine split
+        runs under the schema of the original attempt (the head may
+        have evolved since)."""
         part_dir = os.path.join(self.lineage_path, f"batch_id={batch_id}")
         if os.path.isdir(part_dir):
             return
-        _, _, stats_rows = self._stats_and_quarantine(
-            events, table, batch_id
+        commit_snap, schema_snap = self._committing_snapshot(
+            table, batch_id, source_id
         )
-        self._write_lineage(stats_rows, batch_id, table.version)
+        _, _, stats_rows = self._stats_and_quarantine(
+            events, table, batch_id, snap=schema_snap
+        )
+        self._write_lineage(stats_rows, batch_id, commit_snap.version)
+
+    @staticmethod
+    def _committing_snapshot(table, batch_id: int, source_id: str):
+        """(commit, schema) snapshot pins for a replayed batch.
+
+        ``commit`` = earliest snapshot whose
+        ``applied_batches[source_id]`` reached ``batch_id`` — the
+        batch's own merge commit, whose version the original lineage
+        write recorded. ``schema`` = the snapshot the batch ENTERED
+        against (stats/quarantine ran before any same-batch evolution
+        commit), i.e. the commit's ancestor below any immediately
+        preceding evolution commits. Walks the manifest log backwards
+        (driver-side, bounded by retained versions); falls back to the
+        newest still-readable snapshot when vacuum removed history."""
+
+        def parent_of(s):
+            if s.parent is None:
+                return None
+            try:
+                return table._read_version(s.parent)
+            except (FileNotFoundError, OSError):
+                return None  # vacuumed past it — best effort
+
+        snap = table.snapshot
+        while snap.applied_batches.get(source_id, -1) >= batch_id:
+            parent = parent_of(snap)
+            if parent is None:
+                return snap, snap
+            if parent.applied_batches.get(source_id, -1) < batch_id:
+                # snap is the merge commit; step the schema pin past
+                # the batch's own evolution commit(s), if any
+                schema_snap = parent
+                while "evolved" in (schema_snap.stats or {}):
+                    below = parent_of(schema_snap)
+                    if below is None:
+                        break
+                    schema_snap = below
+                return snap, schema_snap
+            snap = parent
+        return snap, snap
 
     def read_target(self) -> DataFrame:
         t = self.table()

@@ -56,6 +56,12 @@ DELTA_UPS = "__ups"
 DELTA_UPS_OFF = "__ups_off"
 DELTA_DEL = "__del"
 DELTA_DEL_OFF = "__del_off"
+#: earliest delete offset in the batch for the key, regardless of its
+#: position relative to the upsert — only consulted in hard-delete
+#: resolution, where a delete *preceding* the batch's latest upsert
+#: still removed the pre-existing row (and, under insert_mode=update,
+#: kills the upsert too: UPDATE matches nothing after the DELETE)
+DELTA_FIRST_DEL_OFF = "__first_del_off"
 
 
 def row_struct_fields(schema: T.StructType, key_fields: list[str]) -> list[T.StructField]:
@@ -77,9 +83,44 @@ def delta_schema(schema: T.StructType, key_fields: list[str]) -> T.StructType:
         T.StructField(DELTA_UPS_OFF, T.LongType(), True),
         T.StructField(DELTA_DEL, row_t, True),
         T.StructField(DELTA_DEL_OFF, T.LongType(), True),
+        T.StructField(DELTA_FIRST_DEL_OFF, T.LongType(), True),
         T.StructField(BUCKET_COL, T.IntegerType(), True),
     ]
     return T.StructType(fields)
+
+
+def _dels_agg(hard: bool):
+    """Aggregate expression collecting each key's delete positions,
+    sorted by (seq, off). Each delta row contributes its winning delete
+    (the earliest after its batch's latest upsert). In hard mode a
+    delete *preceding* the latest upsert also matters (it removed the
+    pre-existing row before the upsert re-inserted — or, under
+    insert_mode=update, failed to re-insert), so the batch's
+    ``__first_del_off`` is emitted as a second entry; its overlay
+    struct is NULL, which is fine — hard mode never reads it."""
+    winner = F.when(
+        F.col(DELTA_DEL_OFF).isNotNull(),
+        F.struct(
+            F.col(DELTA_SEQ).alias("seq"),
+            F.col(DELTA_DEL_OFF).alias("off"),
+            F.col(DELTA_DEL).alias("row"),
+        ),
+    )
+    if not hard:
+        return F.array_sort(F.collect_list(winner))
+    first = F.when(
+        F.col(DELTA_FIRST_DEL_OFF).isNotNull()
+        & ~F.col(DELTA_FIRST_DEL_OFF).eqNullSafe(F.col(DELTA_DEL_OFF)),
+        F.struct(
+            F.col(DELTA_SEQ).alias("seq"),
+            F.col(DELTA_FIRST_DEL_OFF).alias("off"),
+            F.col(DELTA_DEL).alias("row"),
+        ),
+    )
+    entries = F.filter(
+        F.array(winner, first), lambda x: x.isNotNull()
+    )
+    return F.array_sort(F.flatten(F.collect_list(entries)))
 
 
 def resolve(base: DataFrame, deltas: DataFrame, snap) -> DataFrame:
@@ -111,18 +152,7 @@ def resolve(base: DataFrame, deltas: DataFrame, snap) -> DataFrame:
                 ),
             )
         ).alias("__u"),
-        F.array_sort(
-            F.collect_list(
-                F.when(
-                    F.col(DELTA_DEL_OFF).isNotNull(),
-                    F.struct(
-                        F.col(DELTA_SEQ).alias("seq"),
-                        F.col(DELTA_DEL_OFF).alias("off"),
-                        F.col(DELTA_DEL).alias("row"),
-                    ),
-                )
-            )
-        ).alias("__dels"),
+        _dels_agg(hard).alias("__dels"),
         F.max(BUCKET_COL).alias("__dbucket"),
     )
 

@@ -48,9 +48,11 @@ from kafka_jdbc_sink_connector_spark.functions.keys import BUCKET_COL, bucket_ex
 from kafka_jdbc_sink_connector_spark.lake import mor
 from kafka_jdbc_sink_connector_spark.lake.table import LakeTable, Snapshot
 from kafka_jdbc_sink_connector_spark.operators.dedup import (
+    DELETE_LIST,
     DELETE_OFF,
     DELETE_STRUCT,
     EVENT_OP,
+    FIRST_DEL_OFF,
     UPSERT_OFF,
     UPSERT_STRUCT,
 )
@@ -155,12 +157,18 @@ def _build_delta_rows(
         )
         dels = F.when(F.col(DELETE_OFF).isNotNull(), body)
         del_off = F.col(DELETE_OFF).cast("long")
+    first_del = (
+        F.lit(None).cast("long")
+        if cfg.delete_mode is DeleteMode.NONE
+        else F.col(FIRST_DEL_OFF).cast("long")
+    )
     return src.select(
         *keys,
         ups.alias(mor.DELTA_UPS),
         F.col(UPSERT_OFF).cast("long").alias(mor.DELTA_UPS_OFF),
         dels.alias(mor.DELTA_DEL),
         del_off.alias(mor.DELTA_DEL_OFF),
+        first_del.alias(mor.DELTA_FIRST_DEL_OFF),
         F.col(BUCKET_COL),
     )
 
@@ -266,10 +274,11 @@ def merge_into(
     t_exists = t("__t").isNotNull()
     s_exists = sc("__s").isNotNull()
     has_ups = sc(UPSERT_OFF).isNotNull()
-    has_del = sc(DELETE_OFF).isNotNull()
-    del_wins = has_del & (
-        sc(DELETE_OFF) > F.coalesce(sc(UPSERT_OFF), F.lit(_LONG_MIN))
-    )
+    # the collapse keeps only the winning delete — the earliest one
+    # positioned AFTER the latest upsert — so a present delete always
+    # out-positions the upsert
+    del_wins = sc(DELETE_OFF).isNotNull()
+    has_any_del = sc(FIRST_DEL_OFF).isNotNull()
 
     soft = cfg.delete_mode is DeleteMode.UPDATE
 
@@ -300,8 +309,15 @@ def merge_into(
         "upsert", "soft_ups", "soft_tgt", "keep", "drop",
     )
 
+    # UPDATE insert mode + hard deletes: the batch's FIRST delete
+    # removes the row and every later UPDATE matches nothing (no insert
+    # branch re-creates it, oracle replay) — so *any* delete kills the
+    # key, even one positioned before the latest upsert
+    hard_kills = F.lit(hard) & (
+        del_wins | (F.lit(upd_only) & has_any_del)
+    )
     ups_final = F.when(F.lit(soft) & del_wins, F.lit(A_SOFT_UPS)).when(
-        F.lit(hard) & del_wins, F.lit(A_DROP)
+        hard_kills, F.lit(A_DROP)
     ).otherwise(F.lit(A_UPSERT))
 
     action = (
@@ -390,19 +406,36 @@ def _apply_subset_deletes(
 ) -> DataFrame:
     """Overlay subset-key deletes on the pk-merged rows (see
     :func:`merge_into`). ``result`` carries ``__row_ups_off`` = the
-    batch offset that last wrote each row (NULL for untouched rows)."""
+    batch offset that last wrote each row (NULL for untouched rows).
+
+    Per row, the winning delete is the EARLIEST one positioned after
+    the row's last upsert — the not-already-deleted guard blocks every
+    later delete from re-overwriting the retain fields, and rows
+    sharing the subset key have different last-upsert offsets, so the
+    winner differs per row (hence the join carries the whole sorted
+    delete list, not one pre-picked event)."""
     dkeys = list(cfg.delete_as_update_key)
     d = dels.select(
         *[F.col(k).alias(f"d_{k}") for k in dkeys],
-        F.col(DELETE_STRUCT).alias("d_struct"),
-        F.col(DELETE_OFF).alias("d_off"),
+        F.col(DELETE_LIST).alias("d_list"),
     )
     cond = [result[k] == d[f"d_{k}"] for k in dkeys]
     j = result.join(d, cond, "left")
 
-    newer = F.col("d_off").isNotNull() & (
-        F.col("d_off") > F.coalesce(F.col("__row_ups_off"), F.lit(_LONG_MIN))
+    floor = F.coalesce(F.col("__row_ups_off"), F.lit(_LONG_MIN))
+    win = F.get(
+        F.filter(F.col("d_list"), lambda e: e["off"] > floor), 0
     )
+    newer = win.isNotNull()
+    if (
+        cfg.delete_mode is DeleteMode.DELETE
+        and cfg.insert_mode is InsertMode.UPDATE
+    ):
+        # any matching delete kills the row: the first DELETE removes
+        # it and UPDATEs never re-create (same rule as the pk path)
+        newer = F.coalesce(
+            F.size(F.col("d_list")) > 0, F.lit(False)
+        )
     if cfg.delete_mode is DeleteMode.UPDATE:
         guard_parts = []
         for col, value in cfg.soft_delete_conditions:
@@ -430,7 +463,7 @@ def _apply_subset_deletes(
             elif c == cfg.audit_ts_column:
                 expr = F.when(overlay, audit).otherwise(F.col(c))
             elif c in retain:
-                expr = F.when(overlay, F.col("d_struct")[c]).otherwise(
+                expr = F.when(overlay, win["row"][c]).otherwise(
                     F.col(c)
                 )
             else:

@@ -224,6 +224,128 @@ def confluent_payload(col: Column) -> Column:
     return F.substring(col, 6, 2147483647)
 
 
+def schema_id_column(col: Column) -> Column:
+    """The 4-byte big-endian schema id embedded in a Confluent-framed
+    binary column (bytes 2-5), as an int — JVM-side (hex → base-10)."""
+    return F.conv(F.hex(F.substring(col, 2, 4)), 16, 10).cast("int")
+
+
+def superset_struct(schemas: dict[int, str]) -> T.StructType:
+    """Union of several writer schemas' fields by name — the read
+    schema a multi-version stream decodes into. Field order follows
+    first appearance over ascending schema id (schema evolution
+    appends); every field is nullable (older writers null-backfill
+    newer fields). Same-named fields must agree on type."""
+    types: dict[str, T.DataType] = {}
+    order: list[str] = []
+    for sid in sorted(schemas):
+        for f in avro_schema_to_struct(schemas[sid]).fields:
+            if f.name in types:
+                if types[f.name] != f.dataType:
+                    raise AvroDecodeError(
+                        f"field {f.name!r} changes type across writer "
+                        f"schemas: {types[f.name]} vs {f.dataType} "
+                        f"(id {sid})"
+                    )
+            else:
+                types[f.name] = f.dataType
+                order.append(f.name)
+    return T.StructType(
+        [T.StructField(n, types[n], True) for n in order]
+    )
+
+
+def avro_decode_multi(
+    spark: SparkSession,
+    col: Column,
+    schemas: dict[int, str],
+    decoder: str = "auto",
+) -> Column:
+    """Confluent-framed binary column → superset struct, routing each
+    record by its embedded schema id.
+
+    This is the Schema-Registry behavior the reference relies on: the
+    Avro converter resolves the writer schema PER RECORD from the id in
+    the frame (``BufferedRecords.java:176-184`` reacts to the resulting
+    schema transitions; ``BufferedRecordsTest.java:94-99`` drives two
+    schema versions through one connector). A micro-batch may therefore
+    carry several writer-schema versions at once; records written under
+    an older schema surface NULL for fields they predate, which is
+    exactly the shape the engine's evolution operator expects.
+
+    ``schemas`` maps registry schema id → Avro writer schema JSON.
+    Unknown ids raise (registry miss). Framing is implied (the id IS
+    the frame), so there is no ``confluent_wire`` flag here.
+    """
+    if not schemas:
+        raise AvroDecodeError("schemas must map at least one schema id")
+    target = superset_struct(schemas)
+    use_spark = (
+        decoder == "spark"
+        or (decoder == "auto" and spark_avro_available(spark))
+    )
+    if decoder not in ("auto", "spark", "python"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if use_spark:
+        from pyspark.sql.avro.functions import from_avro
+
+        sid = schema_id_column(col)
+        body = confluent_payload(col)
+        out: Column | None = None
+        for i in sorted(schemas):
+            dec = from_avro(body, schemas[i])
+            present = {
+                f.name for f in avro_schema_to_struct(schemas[i]).fields
+            }
+            as_super = F.struct(
+                *[
+                    (
+                        dec[f.name].cast(f.dataType)
+                        if f.name in present
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in target.fields
+                ]
+            )
+            out = (
+                F.when(sid == F.lit(i), as_super)
+                if out is None
+                else out.when(sid == F.lit(i), as_super)
+            )
+        # unknown id → NULL struct here; the engine's validate stage
+        # quarantines the all-null row (keys missing)
+        return out
+
+    import pandas as pd
+
+    names = [f.name for f in target.fields]
+
+    def _decode(s):  # pd.Series[bytes] -> pd.DataFrame (superset rows)
+        rows = []
+        for payload in s:
+            if payload is None:
+                rows.append({n: None for n in names})
+                continue
+            b = bytes(payload)
+            if len(b) < 5 or b[0] != 0:
+                raise AvroDecodeError(
+                    "not Confluent wire format (magic byte != 0)"
+                )
+            sid_v = int.from_bytes(b[1:5], "big")
+            sj = schemas.get(sid_v)
+            if sj is None:
+                raise AvroDecodeError(
+                    f"unknown schema id {sid_v} (registry miss); known: "
+                    f"{sorted(schemas)}"
+                )
+            rec = decode_record(sj, b[5:])
+            rows.append({n: rec.get(n) for n in names})
+        return pd.DataFrame(rows, columns=names)
+
+    udf = F.pandas_udf(_decode, returnType=target)
+    return udf(col)
+
+
 def spark_avro_available(spark: SparkSession) -> bool:
     """True when the external spark-avro module is on the classpath."""
     try:
@@ -253,20 +375,26 @@ def avro_decode_column(
     )
     if decoder not in ("auto", "spark", "python"):
         raise ValueError(f"unknown decoder {decoder!r}")
-    if use_spark:
-        from pyspark.sql.avro.functions import from_avro
-
-        return from_avro(col, schema_json)
-
-    # the UDF evaluates on every row (EvalPython runs before when()
-    # picks), so tombstones produce an all-null struct — every return
-    # field must be nullable regardless of the Avro schema
-    struct = T.StructType(
+    #: both decoder paths must yield the IDENTICAL struct type —
+    #: spark-avro decodes timestamp-micros/millis as TimestampType
+    #: while the schema mapping (and the fallback) uses TimestampNTZ —
+    #: or the choice of decoder would leak downstream as spurious
+    #: coerce_for_target casts / schema-evolution checks
+    target = T.StructType(
         [
             T.StructField(f.name, f.dataType, True)
             for f in avro_schema_to_struct(schema_json).fields
         ]
     )
+    if use_spark:
+        from pyspark.sql.avro.functions import from_avro
+
+        return from_avro(col, schema_json).cast(target)
+
+    # the UDF evaluates on every row (EvalPython runs before when()
+    # picks), so tombstones produce an all-null struct — every return
+    # field must be nullable regardless of the Avro schema
+    struct = target
     import pandas as pd
 
     names = [f.name for f in struct.fields]

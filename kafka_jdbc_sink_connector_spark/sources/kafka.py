@@ -89,6 +89,7 @@ def parse_kafka_records(
     avro_key_schema: str | None = None,
     confluent_wire: bool = False,
     avro_decoder: str = "auto",
+    avro_value_schemas: dict[int, str] | None = None,
 ) -> DataFrame:
     """Kafka wire records → engine change-event DataFrame.
 
@@ -101,6 +102,14 @@ def parse_kafka_records(
     ``avro_key_schema``); ``value_schema``/``key_schema`` may then be
     omitted (derived from the Avro schema). ``confluent_wire`` strips
     the Schema Registry framing byte+id first.
+
+    ``avro_value_schemas`` (a schema id → writer schema JSON map)
+    enables Schema-Registry-style MULTI-schema decode instead: each
+    record routes by the id embedded in its Confluent frame, and the
+    batch decodes to the superset of all versions (older records
+    null-backfill newer fields) — one micro-batch may carry several
+    writer-schema versions, as under a live registry
+    (``BufferedRecords.java:176-184``). Framing is implied.
     """
     if pk_mode not in ("record_value", "record_key"):
         raise ValueError(f"unsupported pk_mode {pk_mode!r}")
@@ -110,20 +119,40 @@ def parse_kafka_records(
     if value_format == "avro":
         from kafka_jdbc_sink_connector_spark.sources import avro as avro_mod
 
-        if avro_value_schema is None:
-            raise ValueError("value_format='avro' requires avro_value_schema")
-        if value_schema is None:
-            value_schema = avro_mod.avro_schema_to_struct(avro_value_schema)
+        if avro_value_schema is None and avro_value_schemas is None:
+            raise ValueError(
+                "value_format='avro' requires avro_value_schema or "
+                "avro_value_schemas"
+            )
+        if pk_mode == "record_key" and avro_key_schema is None:
+            # a Spark key_schema alone would pass the generic check
+            # below but no __k struct would ever be decoded — fail with
+            # a config error, not an unresolved-column AnalysisException
+            raise ValueError(
+                "value_format='avro' with pk_mode='record_key' requires "
+                "avro_key_schema (the Avro writer schema of the record "
+                "key)"
+            )
         spark = records.sparkSession
-        # a tombstone's value is NULL: bypass the decoder so it cannot
-        # trip on the missing payload
-        val = F.when(
-            F.col("value").isNotNull(),
-            avro_mod.avro_decode_column(
+        if avro_value_schemas is not None:
+            if value_schema is None:
+                value_schema = avro_mod.superset_struct(avro_value_schemas)
+            decoded = avro_mod.avro_decode_multi(
+                spark, F.col("value"), avro_value_schemas,
+                decoder=avro_decoder,
+            )
+        else:
+            if value_schema is None:
+                value_schema = avro_mod.avro_schema_to_struct(
+                    avro_value_schema
+                )
+            decoded = avro_mod.avro_decode_column(
                 spark, F.col("value"), avro_value_schema,
                 confluent_wire=confluent_wire, decoder=avro_decoder,
-            ),
-        )
+            )
+        # a tombstone's value is NULL: bypass the decoder so it cannot
+        # trip on the missing payload
+        val = F.when(F.col("value").isNotNull(), decoded)
         out = records.withColumn("__v", val)
         if avro_key_schema is not None:
             if key_schema is None:

@@ -59,14 +59,14 @@ class CdcStreamRunner:
         cfg = self.applier.cfg
         attempts = cfg.max_retries + 1
         last_err: Exception | None = None
+        res: BatchResult | None = None
         for attempt in range(attempts):
             try:
                 res = self.applier.apply_batch(
                     batch_df, batch_id=batch_id, source_id=self.source_id
                 )
                 self.results.append(res)
-                self._maybe_compact(batch_id, skipped=res.skipped)
-                return res
+                break
             except NON_RETRIABLE:
                 raise
             except Exception as e:  # noqa: BLE001 — mirror catch(SQLException)
@@ -74,8 +74,24 @@ class CdcStreamRunner:
                 if attempt < attempts - 1:
                     # writer re-init analog: drop cached handle, backoff
                     time.sleep(cfg.retry_backoff_ms / 1000.0)
-        assert last_err is not None
-        raise last_err
+        if res is None:
+            assert last_err is not None
+            raise last_err
+        # compaction runs OUTSIDE the retried apply: a failed compaction
+        # must not re-enter the loop (where the now-applied batch would
+        # be skipped and a duplicate skipped result appended) — it gets
+        # its own bounded retry, and the batch result stands either way
+        for attempt in range(attempts):
+            try:
+                self._maybe_compact(batch_id, skipped=res.skipped)
+                break
+            except NON_RETRIABLE:
+                raise
+            except Exception:  # noqa: BLE001
+                if attempt == attempts - 1:
+                    raise
+                time.sleep(cfg.retry_backoff_ms / 1000.0)
+        return res
 
     def _maybe_compact(self, batch_id: int, skipped: bool) -> None:
         """MOR housekeeping off the apply path: fold delta files back

@@ -145,6 +145,80 @@ def test_soft_delete_guard_blocks_double_delete(spark, applier):
     _compare_to_oracle(applier, rows1 + rows2, applier.cfg)
 
 
+def test_intra_batch_double_delete_keeps_first_retain(spark, applier):
+    """[c@1, d@2, d@3] in ONE batch: the first delete marks the row; the
+    `op_type != 'D'` guard blocks the second from re-overwriting the
+    retain fields (BufferedRecords.java:287-303 executed in offset
+    order) — retained ts must come from d@2, not d@3."""
+    rows = [
+        ev(1, "c", "conv-a", 0),
+        ev(2, "d", "conv-a", 0),
+        ev(3, "d", "conv-a", 0),
+    ]
+    applier.apply_batch(_events_df(spark, rows), batch_id=0)
+    row = applier.read_target().collect()[0]
+    assert row["op_type"] == "D"
+    assert row["ts"].replace(tzinfo=None) == dt.datetime(2024, 1, 1, 0, 0, 2)
+    _compare_to_oracle(applier, rows, applier.cfg)
+
+
+def test_intra_batch_delete_between_upserts(spark, applier):
+    """Deletes sandwiched between upserts never win; the winner is the
+    earliest delete after the LAST upsert: [c@1, d@2, c@3, d@4, d@5]
+    → retain ts from d@4."""
+    rows = [
+        ev(1, "c", "conv-a", 0),
+        ev(2, "d", "conv-a", 0),
+        ev(3, "c", "conv-a", 0, text="revived"),
+        ev(4, "d", "conv-a", 0),
+        ev(5, "d", "conv-a", 0),
+    ]
+    applier.apply_batch(_events_df(spark, rows), batch_id=0)
+    row = applier.read_target().collect()[0]
+    assert row["op_type"] == "D"
+    assert row["text"] == "revived"
+    assert row["ts"].replace(tzinfo=None) == dt.datetime(2024, 1, 1, 0, 0, 4)
+    _compare_to_oracle(applier, rows, applier.cfg)
+
+
+def test_intra_batch_delete_only_double_delete(spark, applier):
+    """Two deletes of a pre-existing row in one batch: the first passes
+    the guard, the second is blocked — retain ts from the EARLIEST."""
+    applier.apply_batch(
+        _events_df(spark, [ev(1, "c", "conv-a", 0)]), batch_id=0
+    )
+    rows2 = [ev(7, "d", "conv-a", 0), ev(9, "d", "conv-a", 0)]
+    applier.apply_batch(_events_df(spark, rows2), batch_id=1)
+    row = applier.read_target().collect()[0]
+    assert row["op_type"] == "D"
+    assert row["ts"].replace(tzinfo=None) == dt.datetime(2024, 1, 1, 0, 0, 7)
+    _compare_to_oracle(
+        applier, [ev(1, "c", "conv-a", 0)] + rows2, applier.cfg
+    )
+
+
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_update_mode_hard_delete_before_upsert_kills_row(
+    spark, tmp_table, merge_mode
+):
+    """insert_mode=update + delete_mode=delete, one batch [d@2, u@3]
+    against an existing row: the DELETE removes it, then the UPDATE
+    matches nothing (no insert branch) — the row must be gone, even
+    though the latest upsert has the higher offset."""
+    seeder = CdcApplier(
+        spark, SinkConfig(n_buckets=4, merge_mode=merge_mode),
+        tmp_table, audit_ts=audit_col(),
+    )
+    seeder.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                       batch_id=0)
+    cfg = SinkConfig(n_buckets=4, merge_mode=merge_mode,
+                     insert_mode="update", delete_mode="delete")
+    upd = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    rows = [ev(2, "d", "conv-a", 0), ev(3, "u", "conv-a", 0, text="ghost")]
+    upd.apply_batch(_events_df(spark, rows), batch_id=1)
+    assert upd.read_target().count() == 0
+
+
 def test_delete_then_reinsert_lww(spark, applier):
     rows = [
         ev(1, "c", "conv-a", 0),
@@ -204,22 +278,12 @@ def test_multi_batch_replay_matches_oracle(spark, tmp_table, merge_mode):
             )
             applier.apply_batch(b, batch_id=i)
         rows = [r.asDict() for r in events.collect()]
-        payload = ["conv_id", "turn_idx", "role", "text", "ts", "tool",
-                   "meta_source"]
-        want = replay(rows, cfg, payload)
-        got = {
-            (r["conv_id"], r["turn_idx"]): r.asDict()
-            for r in applier.read_target().collect()
-        }
-        assert set(got) == set(want)
-        mismatches = []
-        for key, wrow in want.items():
-            for col in ("text", "role", "op_type", "tool", "meta_source"):
-                wval = wrow.get(col)
-                gval = got[key].get(col)
-                if wval != gval:
-                    mismatches.append((key, col, gval, wval))
-        assert not mismatches, mismatches[:10]
+        # every payload column — including the retain field ts, whose
+        # intra-batch multi-delete semantics a partial comparison once
+        # let slip (round-2 verdict)
+        _compare_to_oracle(
+            applier, rows, cfg, extra_payload=("tool", "meta_source")
+        )
     finally:
         events.unpersist()
 

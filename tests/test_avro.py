@@ -147,6 +147,128 @@ def test_parse_avro_record_key_mode(spark):
     assert parsed[0]["op"] == "u" and parsed[0]["text"] == "yo"
 
 
+V2_SCHEMA = """
+{"type": "record", "name": "transcript_event", "fields": [
+  {"name": "op", "type": "string"},
+  {"name": "conv_id", "type": "string"},
+  {"name": "turn_idx", "type": "int"},
+  {"name": "role", "type": ["null", "string"]},
+  {"name": "text", "type": ["null", "string"]},
+  {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+  {"name": "tool", "type": ["null", "string"]}
+]}
+"""
+
+
+def test_superset_struct_union_and_conflict():
+    from kafka_jdbc_sink_connector_spark.sources.avro import superset_struct
+
+    st = superset_struct({7: VALUE_SCHEMA, 9: V2_SCHEMA})
+    assert [f.name for f in st.fields] == [
+        "op", "conv_id", "turn_idx", "role", "text", "ts", "tool"
+    ]
+    assert all(f.nullable for f in st.fields)
+    conflicting = VALUE_SCHEMA.replace(
+        '{"name": "turn_idx", "type": "int"}',
+        '{"name": "turn_idx", "type": "string"}',
+    )
+    with pytest.raises(AvroDecodeError, match="turn_idx"):
+        superset_struct({7: conflicting, 9: V2_SCHEMA})
+
+
+def test_multi_schema_batch_decodes_by_embedded_id(spark):
+    """Schema-Registry parity: ONE batch carrying records under two
+    writer-schema versions (per-record id in the Confluent frame,
+    BufferedRecords.java:176-184) decodes to the superset — v1 records
+    null-backfill the v2-only column."""
+    cfg = SinkConfig()
+    v1 = {"op": "c", "conv_id": "a", "turn_idx": 0,
+          "role": "user", "text": "old", "ts": TS}
+    v2 = {"op": "c", "conv_id": "b", "turn_idx": 1, "role": "tool",
+          "text": "new", "ts": TS, "tool": "search"}
+    rows = [
+        (None, _confluent(encode_record(VALUE_SCHEMA, v1), 7),
+         "transcripts", 0, 1, None, 0),
+        (None, _confluent(encode_record(V2_SCHEMA, v2), 9),
+         "transcripts", 0, 2, None, 0),
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    parsed = parse_kafka_records(
+        raw, None, cfg, value_format="avro",
+        avro_value_schemas={7: VALUE_SCHEMA, 9: V2_SCHEMA},
+    ).orderBy("kafka_offset").collect()
+    assert parsed[0]["text"] == "old" and parsed[0]["tool"] is None
+    assert parsed[1]["tool"] == "search"
+    assert parsed[0]["ts"] == TS and parsed[1]["ts"] == TS
+
+
+def test_multi_schema_batch_applies_with_evolution(spark, tmp_table):
+    """End-to-end: a mixed-version Avro batch goes through apply_batch;
+    the v2-only column evolves onto the target and v1 rows read NULL."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+
+    cfg = SinkConfig(n_buckets=4)
+    applier = CdcApplier(
+        spark, cfg, tmp_table,
+        audit_ts=F.lit("2024-06-01T00:00:00Z").cast("timestamp"),
+    )
+    v1 = {"op": "c", "conv_id": "a", "turn_idx": 0,
+          "role": "user", "text": "old", "ts": TS}
+    v2 = {"op": "c", "conv_id": "b", "turn_idx": 1, "role": "tool",
+          "text": "new", "ts": TS, "tool": "search"}
+    rows = [
+        (None, _confluent(encode_record(VALUE_SCHEMA, v1), 7),
+         "transcripts", 0, 1, None, 0),
+        (None, _confluent(encode_record(V2_SCHEMA, v2), 9),
+         "transcripts", 0, 2, None, 0),
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    events = parse_kafka_records(
+        raw, None, cfg, value_format="avro",
+        avro_value_schemas={7: VALUE_SCHEMA, 9: V2_SCHEMA},
+    )
+    res = applier.apply_batch(events, batch_id=0)
+    assert res.n_events == 2 and res.n_quarantined == 0
+    got = {r["conv_id"]: r for r in applier.read_target().collect()}
+    assert got["a"]["tool"] is None and got["b"]["tool"] == "search"
+    assert got["a"]["ts"].replace(tzinfo=None) == TS.replace(tzinfo=None)
+
+
+def test_multi_schema_unknown_id_raises(spark):
+    cfg = SinkConfig()
+    rows = [(None, _confluent(encode_record(VALUE_SCHEMA, {
+        "op": "c", "conv_id": "a", "turn_idx": 0,
+        "role": None, "text": None, "ts": TS}), 42),
+        "transcripts", 0, 1, None, 0)]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    parsed = parse_kafka_records(
+        raw, None, cfg, value_format="avro",
+        avro_value_schemas={7: VALUE_SCHEMA},
+        avro_decoder="python",
+    )
+    with pytest.raises(Exception, match="unknown schema id 42"):
+        parsed.collect()
+
+
+def test_avro_record_key_mode_requires_avro_key_schema(spark):
+    """Config error up front, not an unresolved-column failure later."""
+    cfg = SinkConfig()
+    raw = spark.createDataFrame([], KAFKA_WIRE_SCHEMA)
+    with pytest.raises(ValueError, match="avro_key_schema"):
+        parse_kafka_records(
+            raw, None, cfg, pk_mode="record_key",
+            value_format="avro", avro_value_schema=VALUE_SCHEMA,
+            key_schema=T.StructType([
+                T.StructField("conv_id", T.StringType()),
+                T.StructField("turn_idx", T.IntegerType()),
+            ]),
+        )
+
+
 def test_decoder_selection(spark):
     """'auto' must fall back to the Arrow UDF when the external
     spark-avro module is absent (it is not bundled with pyspark)."""

@@ -9,6 +9,8 @@ from kafka_jdbc_sink_connector_spark.config import SinkConfig
 from kafka_jdbc_sink_connector_spark.datagen import GenSpec, generate_cdc_events
 from kafka_jdbc_sink_connector_spark.operators.dedup import (
     DELETE_OFF,
+    DELETE_STRUCT,
+    FIRST_DEL_OFF,
     UPSERT_OFF,
     UPSERT_STRUCT,
     collapse_last_writer,
@@ -23,7 +25,9 @@ def _norm(df):
         (r["conv_id"], r["turn_idx"]): (
             r[UPSERT_OFF],
             r[DELETE_OFF],
+            r[FIRST_DEL_OFF],
             r[UPSERT_STRUCT]["text"] if r[UPSERT_STRUCT] else None,
+            r[DELETE_STRUCT]["ts"] if r[DELETE_STRUCT] else None,
         )
         for r in df.collect()
     }
@@ -76,4 +80,35 @@ def test_collapse_picks_highest_offset(spark):
     )
     r = collapse_last_writer(df, cfg, ["conv_id", "turn_idx", "role", "text", "ts"]).collect()[0]
     assert r[UPSERT_STRUCT]["text"] == "v5"
-    assert r[UPSERT_OFF] == 5 and r[DELETE_OFF] == 4
+    # d@4 precedes the latest upsert u@5 → no WINNING delete (the later
+    # upsert overwrites whatever the delete marked), but the earliest
+    # delete offset is still carried for the update+hard-delete rule
+    assert r[UPSERT_OFF] == 5 and r[DELETE_OFF] is None
+    assert r[FIRST_DEL_OFF] == 4
+
+
+def test_collapse_winner_delete_is_earliest_after_last_upsert(spark):
+    """[c@1, d@2, c@3, d@4, d@6]: winner delete = d@4 (earliest after
+    the last upsert c@3); d@2 is sandwiched, d@6 guard-blocked."""
+    cfg = SinkConfig()
+    rows = [
+        (0, 1, "c", "a", 0, "user", "v1", None),
+        (0, 2, "d", "a", 0, None, None, "2024-01-01 00:00:02"),
+        (0, 3, "c", "a", 0, "user", "v3", None),
+        (0, 4, "d", "a", 0, None, None, "2024-01-01 00:00:04"),
+        (0, 6, "d", "a", 0, None, None, "2024-01-01 00:00:06"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "kafka_partition int, kafka_offset long, op string, conv_id string, "
+        "turn_idx int, role string, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for salt in (1, 8):
+        r = collapse_last_writer(
+            df, cfg, ["conv_id", "turn_idx", "role", "text", "ts"],
+            salt=salt,
+        ).collect()[0]
+        assert r[UPSERT_OFF] == 3 and r[UPSERT_STRUCT]["text"] == "v3"
+        assert r[DELETE_OFF] == 4
+        assert str(r[DELETE_STRUCT]["ts"]) == "2024-01-01 00:00:04"
+        assert r[FIRST_DEL_OFF] == 2

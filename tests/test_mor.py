@@ -129,10 +129,30 @@ def test_mor_matches_cow_and_oracle_on_generator(spark, tmp_path):
         for key, crow in finals["cow"].items():
             assert crow == finals["mor"][key], key
         rows = [r.asDict() for r in events.collect()]
-        want = replay(rows, SinkConfig(n_buckets=8),
-                      ["conv_id", "turn_idx", "role", "text", "ts",
-                       "tool", "meta_source"])
+        payload = ["conv_id", "turn_idx", "role", "text", "ts", "tool",
+                   "meta_source"]
+        want = replay(rows, SinkConfig(n_buckets=8), payload)
         assert set(finals["mor"]) == set(want)
+        # full per-row comparison against the sequential replay oracle —
+        # every payload column including the retain field ts (a key-set
+        # check once hid an intra-batch multi-delete divergence)
+        import datetime as dt
+
+        from tests.oracle import AUDIT_SENTINEL
+        fixed = dt.datetime(2024, 6, 1)
+        for key, wrow in want.items():
+            grow = finals["mor"][key]
+            for col, wval in wrow.items():
+                gval = grow.get(col)
+                if wval == AUDIT_SENTINEL:
+                    assert gval == fixed, (key, col, gval)
+                    continue
+                if isinstance(gval, dt.datetime) and isinstance(
+                    wval, dt.datetime
+                ):
+                    gval = gval.replace(tzinfo=None)
+                    wval = wval.replace(tzinfo=None)
+                assert gval == wval, (key, col, gval, wval)
     finally:
         events.unpersist()
 

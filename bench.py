@@ -43,8 +43,12 @@ QUERY_NAMES = [
     "doc_minhash_lsh_pairs",
     "doc_simhash_dups",
     "emb_knn_bruteforce",
+    "emb_ivf_ann",
+    "dup_signal_agreement",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q4_priority_semi_join",
+    "tpch_q5_local_supplier_volume",
 ]
 
 
@@ -184,6 +188,106 @@ def run_write_amp(spark, input_dir: str, work: str,
     )
     out["final_rows"] = int(checksums["cow"]["n"])
     return out
+
+
+def main_cadence(args) -> None:
+    """Compaction-cadence sweep: the knob a 100 TB MOR operator tunes.
+
+    For each ``mor_compact_every_batches`` value, bootstrap half the
+    stream and apply 12 steady batches (0.5% each) through the stream
+    runner's in-band compaction, then report the trade the cadence
+    buys: bytes written per steady batch (write amp, compaction
+    rewrites included), steady apply throughput, delta files left at
+    the end, and cold full-read latency (read amp). Never-compact
+    minimizes writes but accumulates deltas the read must fold; every-
+    batch compaction is COW in disguise. Prints one JSON line with the
+    measured points (pasted into SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+    from kafka_jdbc_sink_connector_spark.config import SinkConfig
+    from kafka_jdbc_sink_connector_spark.streaming.runner import (
+        CdcStreamRunner,
+    )
+
+    def data_bytes(path: str) -> int:
+        total = 0
+        for dirpath, _d, files in os.walk(os.path.join(path, "data")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    spark = build(args.cpus)
+    work = tempfile.mkdtemp(prefix="bench_cadence_",
+                            dir="/dev/shm" if os.path.isdir("/dev/shm")
+                            else None)
+    points = []
+    try:
+        n_events = args.events or 2_000_000
+        input_dir = args.input_dir or os.path.join(work, "input")
+        if not args.input_dir:
+            gen_input(spark, n_events, input_dir,
+                      int(args.cpus) * 2 if args.cpus.isdigit() else 64)
+        events = spark.read.parquet(input_dir)
+        lo = events.agg(
+            F.min("kafka_offset"), F.max("kafka_offset")
+        ).collect()[0]
+        mn, mx = lo[0], lo[1] + 1
+        span, half = mx - mn, mn + (mx - mn) // 2
+        step = max(1, span // 200)
+        n_steady = 12
+        for cadence in (None, 6, 3, 1):
+            table_dir = os.path.join(work, f"cad_{cadence}")
+            cfg = SinkConfig(n_buckets=args.buckets, merge_mode="mor",
+                             mor_compact_every_batches=cadence)
+            runner = CdcStreamRunner(
+                CdcApplier(spark, cfg, table_dir),
+                checkpoint_dir=os.path.join(table_dir, "_ckpt"),
+            )
+            runner.process_batch(
+                events.filter(F.col("kafka_offset") < half), 0
+            )
+            base = data_bytes(table_dir)
+            t0 = time.monotonic()
+            for i in range(n_steady):
+                blo = half + i * step
+                runner.process_batch(
+                    events.filter(
+                        (F.col("kafka_offset") >= blo)
+                        & (F.col("kafka_offset") < blo + step)
+                    ),
+                    i + 1,
+                )
+            apply_sec = time.monotonic() - t0
+            snap = runner.applier.table().snapshot
+            t0 = time.monotonic()
+            rows = runner.applier.read_target().count()
+            read_sec = time.monotonic() - t0
+            points.append({
+                "compact_every": cadence,
+                "bytes_per_batch": (data_bytes(table_dir) - base)
+                // n_steady,
+                "steady_events_per_sec": round(
+                    n_steady * step / apply_sec, 1
+                ),
+                "delta_files_at_end": len(snap.delta_files())
+                + len(snap.sdel_files()),
+                "full_read_sec": round(read_sec, 3),
+                "rows": rows,
+            })
+            print(json.dumps(points[-1]), flush=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+    print(json.dumps({
+        "metric": "mor compaction-cadence sweep",
+        "unit": "mixed",
+        "value": len(points),
+        "n_steady_batches": n_steady,
+        "points": points,
+        "cpus": args.cpus,
+    }))
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -523,6 +627,8 @@ def main() -> None:
     ap.add_argument("--merge-mode", default="cow", choices=["cow", "mor"])
     ap.add_argument("--input-dir", default=None)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cadence", action="store_true",
+                    help="mor compaction-cadence sweep (see SCALE.md)")
     ap.add_argument("--scale-low", type=int, default=2)
     ap.add_argument("--scale-high", type=int, default=8)
     ap.add_argument("--min-valid-pairs", type=int, default=2)
@@ -536,6 +642,8 @@ def main() -> None:
         args.events = None
     if args.scaling:
         main_scaling(args)
+    elif args.cadence:
+        main_cadence(args)
     else:
         main_default(args)
 

@@ -240,12 +240,6 @@ class SinkConfig:
                 f"merge_mode must be 'cow' or 'mor', got "
                 f"{self.merge_mode!r}"
             )
-        if self.merge_mode == "mor" and self.subset_delete_key:
-            raise ConfigError(
-                "merge_mode='mor' requires delete_as_update_key == "
-                "pk_fields (subset-key delete overlays need the "
-                "copy-on-write path)"
-            )
         if (
             self.mor_compact_every_batches is not None
             and self.mor_compact_every_batches < 1

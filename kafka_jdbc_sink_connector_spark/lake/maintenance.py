@@ -35,14 +35,18 @@ def compact(
     """Rewrite buckets that have >= ``min_files`` data files into a
     single file set each. Returns the buckets compacted."""
     snap = table.snapshot
-    all_ids = set(snap.buckets) | set(snap.delta_buckets)
+    all_ids = set(snap.buckets) | set(snap.delta_buckets) | set(
+        snap.sdel_buckets
+    )
     candidates = [
         int(b)
         for b in all_ids
         if (
-            # any merge-on-read delta is worth folding into base;
-            # otherwise bin-pack buckets with enough small files
+            # any merge-on-read delta (pk or subset-delete overlay) is
+            # worth folding into base; otherwise bin-pack buckets with
+            # enough small files
             len(snap.delta_buckets.get(b, []))
+            or len(snap.sdel_buckets.get(b, []))
             or len(snap.buckets.get(b, [])) >= min_files
         )
         and (buckets is None or int(b) in set(buckets))

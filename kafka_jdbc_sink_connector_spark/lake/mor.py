@@ -123,9 +123,129 @@ def _dels_agg(hard: bool):
     return F.array_sort(F.flatten(F.collect_list(entries)))
 
 
-def resolve(base: DataFrame, deltas: DataFrame, snap) -> DataFrame:
+#: subset-delete delta layout (``delete_as_update_key`` ⊂ pk): one row
+#: per subset key per commit, carrying the batch's offset-sorted delete
+#: list. Kept separate from the pk-keyed deltas because one subset
+#: delete hits EVERY row sharing the subset key — resolution is a join
+#: on the subset key over the already pk-resolved rows, and the winning
+#: delete differs per row (earliest positioned after that row's last
+#: upsert). The config guarantees the subset key contains the bucket
+#: key, so sdel files bucket exactly like the rows they affect.
+SDEL_LIST = "__sdlist"
+
+
+def sdel_schema(schema: T.StructType, snap_key_fields, sdel_key) -> T.StructType:
+    row_t = T.StructType(
+        [T.StructField(f.name, f.dataType, True)
+         for f in row_struct_fields(schema, list(snap_key_fields))]
+    )
+    entry = T.StructType(
+        [T.StructField("off", T.LongType(), True),
+         T.StructField("row", row_t, True)]
+    )
+    fields = [schema[k] for k in sdel_key]
+    fields += [
+        T.StructField(DELTA_SEQ, T.LongType(), False),
+        T.StructField(SDEL_LIST, T.ArrayType(entry), True),
+        T.StructField(BUCKET_COL, T.IntegerType(), True),
+    ]
+    return T.StructType(fields)
+
+
+#: resolved-row position column (seq, off) — appended by
+#: resolve(carry_pos=True) for the subset-delete overlay pass
+P_POS = "__p_pos"
+
+
+def apply_subset_overlays(
+    resolved: DataFrame, sdels: DataFrame, snap
+) -> DataFrame:
+    """Overlay subset-key deletes on pk-resolved rows (``resolved``
+    must carry ``__p_pos`` from :func:`resolve`). Per row, the winning
+    delete is the earliest sdel entry positioned after the row's last
+    upsert — later ones are blocked by the not-already-deleted guard,
+    which is also checked against the row's CURRENT marker (a row
+    already deleted in base stays untouched). Hard mode drops matched
+    rows; under insert_mode=update any matching delete drops the row
+    (updates never re-create it)."""
+    meta = snap.mor_meta
+    soft = bool(meta.get("soft"))
+    hard = bool(meta.get("hard"))
+    upd_only = bool(meta.get("upd_only"))
+    guard = [tuple(g) for g in meta.get("guard", [])]
+    guard_null = bool(meta.get("guard_null_is_not_null"))
+    overlay_cols = set(meta.get("overlay_cols", []))
+    skey = list(meta.get("sdel_key") or [])
+    if not skey:
+        return resolved.drop(P_POS)
+
+    entries = F.transform(
+        F.col(SDEL_LIST),
+        lambda e: F.struct(
+            F.col(DELTA_SEQ).alias("seq"),
+            e["off"].alias("off"),
+            e["row"].alias("row"),
+        ),
+    )
+    agg = (
+        sdels.select(*skey, entries.alias("__e"))
+        .groupBy(*skey)
+        .agg(F.array_sort(F.flatten(F.collect_list("__e"))).alias("__sd"))
+        .select(
+            *[F.col(k).alias(f"sd_{k}") for k in skey], F.col("__sd")
+        )
+    )
+    cond = [resolved[k] == agg[f"sd_{k}"] for k in skey]
+    j = resolved.join(agg, cond, "left")
+
+    applicable = F.filter(
+        F.col("__sd"),
+        lambda e: F.struct(e["seq"].alias("seq"), e["off"].alias("off"))
+        > F.col(P_POS),
+    )
+    d0 = F.get(applicable, 0)
+
+    out_cols = [f.name for f in snap.schema.fields] + [BUCKET_COL]
+    if hard:
+        matched = (
+            F.coalesce(F.size("__sd") > 0, F.lit(False))
+            if upd_only
+            else d0.isNotNull()
+        )
+        return j.filter(~matched).select(*out_cols)
+    if not soft:
+        return j.select(*out_cols)  # delete mode none: sdels never written
+    guard_parts = [F.lit(False)]
+    for col, value in guard:
+        if value is None:
+            guard_parts.append(
+                F.col(col).isNotNull() if guard_null else F.lit(False)
+            )
+        else:
+            guard_parts.append(F.col(col) != F.lit(value))
+    guard_ok = guard_parts[0]
+    for g in guard_parts[1:]:
+        guard_ok = guard_ok | g
+    overlay = d0.isNotNull() & guard_ok
+    sel = []
+    for c in out_cols:
+        if c in overlay_cols:
+            sel.append(
+                F.when(overlay, d0["row"][c]).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            sel.append(F.col(c))
+    return j.select(*sel)
+
+
+def resolve(
+    base: DataFrame, deltas: DataFrame, snap, carry_pos: bool = False
+) -> DataFrame:
     """Merge base rows with delta rows → the current table state
-    (with ``__bucket``). ``base`` must include ``__bucket``."""
+    (with ``__bucket``). ``base`` must include ``__bucket``.
+    ``carry_pos`` appends ``__p_pos`` — each output row's (seq, offset)
+    position (base rows: (-1, LONG_MIN)) — for the subset-delete
+    overlay pass."""
     meta = snap.mor_meta
     soft = bool(meta.get("soft"))
     hard = bool(meta.get("hard"))
@@ -226,4 +346,6 @@ def resolve(base: DataFrame, deltas: DataFrame, snap) -> DataFrame:
             BUCKET_COL
         )
     )
+    if carry_pos:
+        out.append(p_pos.alias(P_POS))
     return j.filter(~drop).select(*out)

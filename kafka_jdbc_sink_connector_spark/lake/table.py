@@ -78,6 +78,9 @@ class Snapshot:
     #: merge-on-read: bucket id (str) -> ORDERED list of delta files
     #: (commit order = resolution order); empty in pure-COW tables
     delta_buckets: dict[str, list[str]] = field(default_factory=dict)
+    #: merge-on-read subset-key deletes (delete_as_update_key ⊂ pk):
+    #: bucket id (str) -> ordered list of sdel files (see lake/mor.py)
+    sdel_buckets: dict[str, list[str]] = field(default_factory=dict)
     #: merge-on-read resolution spec (delete mode, guard, overlay
     #: columns) — written by the first delta commit so readers resolve
     #: without the writer's SinkConfig
@@ -106,8 +109,15 @@ class Snapshot:
             f for b in buckets for f in self.delta_buckets.get(str(b), [])
         ]
 
+    def sdel_files(self, buckets: list[int] | None = None) -> list[str]:
+        if buckets is None:
+            return [f for fs in self.sdel_buckets.values() for f in fs]
+        return [
+            f for b in buckets for f in self.sdel_buckets.get(str(b), [])
+        ]
+
     def all_files(self) -> list[str]:
-        return self.files() + self.delta_files()
+        return self.files() + self.delta_files() + self.sdel_files()
 
 
 class LakeTable:
@@ -202,26 +212,33 @@ class LakeTable:
         bucket-pruned parquet scan.
         """
         snap = self.snapshot if version is None else self._read_version(version)
-        if not snap.delta_files(buckets):
+        if not snap.delta_files(buckets) and not snap.sdel_files(buckets):
             df = self._read_base(snap, buckets)
         else:
             from kafka_jdbc_sink_connector_spark.lake import mor
 
-            # only buckets that actually carry deltas pay the resolve
-            # join; the rest are a plain parquet scan unioned in
+            # only buckets that actually carry deltas (pk deltas or
+            # subset-delete overlays) pay the resolve join; the rest
+            # are a plain parquet scan unioned in
             requested = (
                 list(range(snap.n_buckets)) if buckets is None else buckets
             )
             delta_ids = {
                 int(b) for b, fs in snap.delta_buckets.items() if fs
-            }
+            } | {int(b) for b, fs in snap.sdel_buckets.items() if fs}
             hot = [b for b in requested if b in delta_ids]
             cold = [b for b in requested if b not in delta_ids]
+            has_sdel = bool(snap.sdel_files(hot))
             df = mor.resolve(
                 self._read_base(snap, hot),
                 self._read_deltas(snap, hot),
                 snap,
+                carry_pos=has_sdel,
             )
+            if has_sdel:
+                df = mor.apply_subset_overlays(
+                    df, self._read_sdels(snap, hot), snap
+                )
             if cold:
                 df = df.unionByName(self._read_base(snap, cold))
         return df if include_bucket else df.drop(BUCKET_COL)
@@ -243,6 +260,20 @@ class LakeTable:
 
         files = [os.path.join(self.path, f) for f in snap.delta_files(buckets)]
         schema = mor.delta_schema(snap.schema, snap.key_fields)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def _read_sdels(
+        self, snap: Snapshot, buckets: list[int] | None
+    ) -> DataFrame:
+        from kafka_jdbc_sink_connector_spark.lake import mor
+
+        files = [os.path.join(self.path, f) for f in snap.sdel_files(buckets)]
+        schema = mor.sdel_schema(
+            snap.schema, snap.key_fields,
+            list(snap.mor_meta.get("sdel_key") or []),
+        )
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
@@ -313,12 +344,14 @@ class LakeTable:
 
         buckets = dict(snap.buckets)
         # a rewrite replaces the bucket's *resolved* contents, so its
-        # delta files are folded in and dropped from the new snapshot
-        # (callers obtain new_data via read(), which resolves deltas)
+        # delta/sdel files are folded in and dropped from the new
+        # snapshot (callers obtain new_data via read(), which resolves)
         delta_buckets = dict(snap.delta_buckets)
+        sdel_buckets = dict(snap.sdel_buckets)
         for b in rewrite_buckets:
             buckets.pop(str(b), None)
             delta_buckets.pop(str(b), None)
+            sdel_buckets.pop(str(b), None)
         for b, files in written.items():
             if int(b) not in set(rewrite_buckets):
                 raise ValueError(
@@ -342,6 +375,7 @@ class LakeTable:
             stats=stats or {},
             parent=snap.version,
             delta_buckets=delta_buckets,
+            sdel_buckets=sdel_buckets,
             mor_meta=dict(snap.mor_meta),
         )
         try:
@@ -400,6 +434,7 @@ class LakeTable:
             stats=stats or {},
             parent=snap.version,
             delta_buckets=dict(snap.delta_buckets),
+            sdel_buckets=dict(snap.sdel_buckets),
             mor_meta=dict(snap.mor_meta),
         )
         try:
@@ -418,40 +453,57 @@ class LakeTable:
         source_id: str | None = None,
         batch_id: int | None = None,
         stats: dict | None = None,
+        sdel_rows: DataFrame | None = None,
     ) -> Snapshot:
         """Merge-on-read commit: append the batch's collapsed change
         set as per-bucket **delta files**; base files are untouched
         (bytes written ~ batch size, not table size). ``delta_rows``
         must have the :mod:`.mor` delta layout minus ``__seq`` — the
         committing version stamps it (the cross-batch resolution
-        order)."""
+        order). ``sdel_rows`` (subset-key delete lists, same minus
+        ``__seq``) commit alongside under the same version."""
         snap = self.snapshot
         schema = new_schema or snap.schema
         version = snap.version + 1
         commit_name = f"delta-{version:010d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, _DATA_DIR, commit_name)
-        (
-            delta_rows.withColumn(
-                "__seq", F.lit(version).cast("long")
+
+        def _write_bucketed(rows: DataFrame, dest: str) -> dict[str, list[str]]:
+            (
+                rows.withColumn("__seq", F.lit(version).cast("long"))
+                .withColumn(_PART_DIR_COL, F.col(BUCKET_COL))
+                .repartition(F.col(BUCKET_COL))
+                .write.partitionBy(_PART_DIR_COL)
+                .parquet(dest)
             )
-            .withColumn(_PART_DIR_COL, F.col(BUCKET_COL))
-            .repartition(F.col(BUCKET_COL))
-            .write.partitionBy(_PART_DIR_COL)
-            .parquet(out_dir)
-        )
+            written: dict[str, list[str]] = {}
+            rel_base = os.path.relpath(dest, self.path)
+            for name in os.listdir(dest):
+                if not name.startswith(f"{_PART_DIR_COL}="):
+                    continue
+                b = name.split("=", 1)[1]
+                written[b] = sorted(
+                    os.path.join(rel_base, name, f)
+                    for f in os.listdir(os.path.join(dest, name))
+                    if f.endswith(".parquet")
+                )
+            return written
+
         delta_buckets = {
             b: list(fs) for b, fs in snap.delta_buckets.items()
         }
-        for name in os.listdir(out_dir):
-            if not name.startswith(f"{_PART_DIR_COL}="):
-                continue
-            b = name.split("=", 1)[1]
-            files = sorted(
-                os.path.join(_DATA_DIR, commit_name, name, f)
-                for f in os.listdir(os.path.join(out_dir, name))
-                if f.endswith(".parquet")
-            )
+        for b, files in _write_bucketed(delta_rows, out_dir).items():
             delta_buckets.setdefault(b, []).extend(files)
+        sdel_buckets = {
+            b: list(fs) for b, fs in snap.sdel_buckets.items()
+        }
+        sdel_dir = None
+        if sdel_rows is not None:
+            sdel_dir = os.path.join(
+                self.path, _DATA_DIR, f"s{commit_name}"
+            )
+            for b, files in _write_bucketed(sdel_rows, sdel_dir).items():
+                sdel_buckets.setdefault(b, []).extend(files)
         applied = dict(snap.applied_batches)
         if source_id is not None and batch_id is not None:
             applied[source_id] = max(batch_id, applied.get(source_id, -1))
@@ -466,12 +518,15 @@ class LakeTable:
             stats=stats or {},
             parent=snap.version,
             delta_buckets=delta_buckets,
+            sdel_buckets=sdel_buckets,
             mor_meta=mor_meta,
         )
         try:
             self._publish(new_snap)
         except CommitConflict:
             shutil.rmtree(out_dir, ignore_errors=True)
+            if sdel_dir is not None:
+                shutil.rmtree(sdel_dir, ignore_errors=True)
             raise
         self.snapshot = new_snap
         return new_snap
@@ -492,6 +547,7 @@ class LakeTable:
             stats=stats or {},
             parent=snap.version,
             delta_buckets=dict(snap.delta_buckets),
+            sdel_buckets=dict(snap.sdel_buckets),
             mor_meta=dict(snap.mor_meta),
         )
         self._publish(new_snap)

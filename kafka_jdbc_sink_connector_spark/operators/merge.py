@@ -91,7 +91,56 @@ def _mor_meta(cfg: SinkConfig) -> dict:
         else [],
         "guard_null_is_not_null": cfg.guard_null_is_not_null,
         "overlay_cols": overlay,
+        "sdel_key": (
+            list(cfg.delete_as_update_key) if cfg.subset_delete_key else []
+        ),
     }
+
+
+def _build_sdel_rows(
+    snap: Snapshot, sdels: DataFrame, cfg: SinkConfig, audit: Column
+) -> DataFrame:
+    """Collapsed subset-key deletes (``collapse_deletes_by_key``) →
+    merge-on-read sdel rows: subset key + the offset-sorted list of
+    materialized soft-delete overlay structs (marker/audit/retain set,
+    other columns NULL; hard mode keeps positions only). See
+    lake/mor.py for the resolution."""
+    keys = list(cfg.pk_fields)
+    skey = list(cfg.delete_as_update_key)
+    soft = cfg.delete_mode is DeleteMode.UPDATE
+    retain = set(cfg.delete_retain_fields)
+    row_fields = mor.row_struct_fields(snap.schema, keys)
+    row_t = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in row_fields]
+    )
+
+    def del_val(e, c: str) -> Column:
+        if c == cfg.audit_ts_column:
+            return audit
+        if soft and c == cfg.soft_delete_column:
+            return F.lit(cfg.soft_delete_value)
+        if c in retain:
+            return e["row"][c]
+        return F.lit(None)
+
+    if soft:
+        entry = lambda e: F.struct(  # noqa: E731
+            e["off"].cast("long").alias("off"),
+            F.struct(
+                *[del_val(e, f.name).cast(f.dataType).alias(f.name)
+                  for f in row_fields]
+            ).alias("row"),
+        )
+    else:
+        entry = lambda e: F.struct(  # noqa: E731
+            e["off"].cast("long").alias("off"),
+            F.lit(None).cast(row_t).alias("row"),
+        )
+    return sdels.select(
+        *skey,
+        F.transform(F.col(DELETE_LIST), entry).alias(mor.SDEL_LIST),
+        bucket_expr(snap.bucket_key, snap.n_buckets).alias(BUCKET_COL),
+    )
 
 
 def _build_delta_rows(
@@ -219,16 +268,24 @@ def merge_into(
     ):
         # merge-on-read steady state: append the collapsed change set
         # as per-bucket delta files — bytes written ~ batch size, no
-        # bucket rewrite. (The very first batch into empty buckets
-        # falls through to the COW bootstrap below, so the table
-        # always starts from clean base files.)
+        # bucket rewrite. Subset-key deletes ride along as sdel files
+        # (same version, same bucket routing — the subset key contains
+        # the bucket key by config contract). (The very first batch
+        # into empty buckets falls through to the COW bootstrap below,
+        # so the table always starts from clean base files.)
         delta = _build_delta_rows(snap, src, cfg, audit)
+        sdel = (
+            _build_sdel_rows(snap, subset_deletes, cfg, audit)
+            if subset_deletes is not None
+            else None
+        )
         return table.commit_delta(
             delta,
             mor_meta=_mor_meta(cfg),
             source_id=source_id,
             batch_id=batch_id,
             stats=stats,
+            sdel_rows=sdel,
         )
     if not affected:
         return table.commit_rewrite(

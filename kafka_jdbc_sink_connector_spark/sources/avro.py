@@ -27,12 +27,16 @@ lookup would slot in at :func:`confluent_payload`'s call site.
 Supported Avro types (the flat-CDC subset): null, boolean, int, long,
 float, double, string, bytes, and ``["null", T]`` unions; logical
 types ``timestamp-micros``/``timestamp-millis`` on long → Spark
-timestamps, ``date`` on int → Spark dates.
+timestamps, ``date`` on int → Spark dates, ``decimal`` on bytes →
+``DecimalType(precision, scale)`` (Connect's Decimal logical type,
+which the reference's dialect layer binds scale-aware,
+``BaseDialectTest.java:80-109``).
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import decimal as _dec
 import io
 import json
 import struct as _struct
@@ -52,8 +56,9 @@ class AvroDecodeError(ValueError):
 # --- schema mapping ---------------------------------------------------
 
 
-def _field_type(ftype) -> tuple[str, str | None, bool]:
-    """Avro field type → (primitive, logical, nullable)."""
+def _field_type(ftype) -> tuple[str, str | None, bool, dict]:
+    """Avro field type → (primitive, logical, nullable, attrs) where
+    ``attrs`` carries logical-type parameters (decimal precision/scale)."""
     nullable = False
     if isinstance(ftype, list):  # union
         branches = [b for b in ftype if b != "null"]
@@ -64,8 +69,8 @@ def _field_type(ftype) -> tuple[str, str | None, bool]:
         nullable = "null" in ftype
         ftype = branches[0]
     if isinstance(ftype, dict):
-        return ftype["type"], ftype.get("logicalType"), nullable
-    return ftype, None, nullable
+        return ftype["type"], ftype.get("logicalType"), nullable, ftype
+    return ftype, None, nullable, {}
 
 
 _PRIM_TO_SPARK = {
@@ -86,11 +91,19 @@ def avro_schema_to_struct(schema_json: str) -> T.StructType:
         raise AvroDecodeError(f"top-level type must be record: {sch!r}")
     fields = []
     for f in sch["fields"]:
-        prim, logical, nullable = _field_type(f["type"])
+        prim, logical, nullable, attrs = _field_type(f["type"])
         if logical in ("timestamp-micros", "timestamp-millis"):
             spark_t: T.DataType = T.TimestampNTZType()
         elif logical == "date":
             spark_t = T.DateType()
+        elif logical == "decimal" and prim == "bytes":
+            # Connect's Decimal logical type (the dialect layer the
+            # reference inherits maps it with scale-aware bindings,
+            # BaseDialectTest.java:80-109): big-endian two's-complement
+            # unscaled int in bytes + (precision, scale) attributes
+            spark_t = T.DecimalType(
+                int(attrs.get("precision", 38)), int(attrs.get("scale", 0))
+            )
         elif prim in _PRIM_TO_SPARK:
             spark_t = _PRIM_TO_SPARK[prim]
         else:
@@ -131,7 +144,7 @@ def _zigzag_decode(buf: io.BytesIO) -> int:
     return (acc >> 1) ^ -(acc & 1)
 
 
-def _encode_value(prim: str, logical: str | None, v) -> bytes:
+def _encode_value(prim: str, logical: str | None, v, attrs: dict) -> bytes:
     if logical in ("timestamp-micros", "timestamp-millis") and isinstance(
         v, dt.datetime
     ):
@@ -139,6 +152,17 @@ def _encode_value(prim: str, logical: str | None, v) -> bytes:
         v = int((v.replace(tzinfo=None) - _EPOCH).total_seconds() * unit)
     elif logical == "date" and isinstance(v, dt.date):
         v = (v - _EPOCH_DATE).days
+    elif logical == "decimal" and prim == "bytes":
+        scale = int(attrs.get("scale", 0))
+        unscaled = int(
+            _dec.Decimal(str(v)).scaleb(scale).to_integral_value(
+                rounding=_dec.ROUND_HALF_UP
+            )
+        )
+        # minimal big-endian two's complement (Avro decimal spec)
+        v = unscaled.to_bytes(
+            (unscaled.bit_length() // 8) + 1, "big", signed=True
+        )
     if prim in ("int", "long"):
         return _zigzag_encode(int(v))
     if prim == "boolean":
@@ -161,7 +185,7 @@ def encode_record(schema_json: str, record: dict) -> bytes:
     sch = json.loads(schema_json)
     out = bytearray()
     for f in sch["fields"]:
-        prim, logical, nullable = _field_type(f["type"])
+        prim, logical, nullable, attrs = _field_type(f["type"])
         v = record.get(f["name"])
         if nullable:
             if v is None:
@@ -170,11 +194,16 @@ def encode_record(schema_json: str, record: dict) -> bytes:
             out += _zigzag_encode(1)
         elif v is None:
             raise AvroDecodeError(f"null for non-nullable field {f['name']}")
-        out += _encode_value(prim, logical, v)
+        out += _encode_value(prim, logical, v, attrs)
     return bytes(out)
 
 
-def _decode_value(prim: str, logical: str | None, buf: io.BytesIO):
+def _decode_value(prim: str, logical: str | None, buf: io.BytesIO,
+                  attrs: dict):
+    if logical == "decimal" and prim == "bytes":
+        raw = buf.read(_zigzag_decode(buf))
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return _dec.Decimal(unscaled).scaleb(-int(attrs.get("scale", 0)))
     if prim in ("int", "long"):
         n = _zigzag_decode(buf)
         if logical == "timestamp-micros":
@@ -202,7 +231,7 @@ def decode_record(schema_json: str, payload: bytes) -> dict:
     buf = io.BytesIO(payload)
     row = {}
     for f in sch["fields"]:
-        prim, logical, nullable = _field_type(f["type"])
+        prim, logical, nullable, attrs = _field_type(f["type"])
         if nullable:
             branch = _zigzag_decode(buf)
             # writer schema lists null first in our fixtures; accept
@@ -211,7 +240,7 @@ def decode_record(schema_json: str, payload: bytes) -> dict:
             if types[branch] == "null":
                 row[f["name"]] = None
                 continue
-        row[f["name"]] = _decode_value(prim, logical, buf)
+        row[f["name"]] = _decode_value(prim, logical, buf, attrs)
     return row
 
 

@@ -8,6 +8,7 @@ events → validate → collapse → MERGE → lake table.
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -286,6 +287,64 @@ def test_multi_batch_replay_matches_oracle(spark, tmp_table, merge_mode):
         )
     finally:
         events.unpersist()
+
+
+def test_backfill_pins_committing_snapshot_version(spark, tmp_table):
+    """Replay of an already-merged batch whose lineage write was lost
+    (crash window) re-derives lineage with the version the batch
+    ORIGINALLY committed — not the table head, which may have moved
+    (and evolved its schema) since."""
+    import shutil
+
+    cfg = SinkConfig(n_buckets=4)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    b0 = _events_df(spark, [ev(1, "c", "conv-a", 0)])
+    r0 = applier.apply_batch(b0, batch_id=0)
+    # simulate the crash: the merge committed but lineage was lost
+    shutil.rmtree(os.path.join(applier.lineage_path, "batch_id=0"))
+    # the table moves on — batch 1 also evolves the schema (+tool)
+    r1 = applier.apply_batch(
+        _events_df(spark, [ev(2, "u", "conv-a", 0, tool="search")],
+                   with_optional=("tool",)),
+        batch_id=1,
+    )
+    assert r1.evolved_columns == ["tool"]
+    assert r1.snapshot_version > r0.snapshot_version
+    # replay of batch 0: skipped, but its lineage is backfilled with
+    # the ORIGINAL committing version
+    res = applier.apply_batch(b0, batch_id=0)
+    assert res.skipped
+    lin = {r["batch_id"]: r["snapshot_version"]
+           for r in applier.read_lineage().collect()}
+    assert lin[0] == r0.snapshot_version
+    assert lin[1] == r1.snapshot_version
+
+
+def test_replay_with_zero_quarantine_clears_stale_partition(
+    spark, tmp_table
+):
+    """A replayed batch that now quarantines zero rows must clear the
+    stale quarantine partition from the earlier attempt (dynamic
+    overwrite alone only replaces partitions present in the data)."""
+    import shutil
+
+    cfg = SinkConfig(n_buckets=4)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                        batch_id=0)
+    # fabricate a stale partition from a 'previous attempt'
+    stale = os.path.join(applier.quarantine_path, "batch_id=1")
+    os.makedirs(stale, exist_ok=True)
+    spark.createDataFrame(
+        [("x", "stale error", 0, 99)],
+        "raw string, error string, kafka_partition int, kafka_offset long",
+    ).write.mode("overwrite").parquet(stale)
+    assert applier.read_quarantine().count() == 1
+    # batch 1 applies cleanly (zero quarantined) → partition cleared
+    applier.apply_batch(_events_df(spark, [ev(2, "c", "conv-b", 0)]),
+                        batch_id=1)
+    assert applier.read_quarantine().count() == 0
+    assert not os.path.isdir(stale)
 
 
 def test_exactly_once_batch_skip(spark, applier):

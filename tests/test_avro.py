@@ -269,6 +269,82 @@ def test_avro_record_key_mode_requires_avro_key_schema(spark):
         )
 
 
+DECIMAL_SCHEMA = """
+{"type": "record", "name": "payment_event", "fields": [
+  {"name": "op", "type": "string"},
+  {"name": "conv_id", "type": "string"},
+  {"name": "turn_idx", "type": "int"},
+  {"name": "amount", "type": ["null", {"type": "bytes",
+    "logicalType": "decimal", "precision": 12, "scale": 2}]},
+  {"name": "ts", "type": {"type": "long",
+                          "logicalType": "timestamp-micros"}}
+]}
+"""
+
+
+def test_decimal_logical_type_end_to_end(spark, tmp_table):
+    """Connect Decimal parity (BaseDialectTest.java:80-109): Avro
+    bytes+decimal → DecimalType(12,2) → validate/merge → exact values
+    out, cross-checked by DuckDB reading the committed parquet files."""
+    import decimal
+    import os
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+
+    D = decimal.Decimal
+    st = avro_schema_to_struct(DECIMAL_SCHEMA)
+    assert st["amount"].dataType == T.DecimalType(12, 2)
+    # codec roundtrip incl. negative (two's complement) and big values
+    for v in (D("123.45"), D("-7.89"), D("9999999999.99"), D("0.01")):
+        rec = {"op": "c", "conv_id": "k", "turn_idx": 0,
+               "amount": v, "ts": TS}
+        assert decode_record(
+            DECIMAL_SCHEMA, encode_record(DECIMAL_SCHEMA, rec)
+        )["amount"] == v
+
+    events = [
+        ("a", 0, 1, "c", D("123.45")),
+        ("a", 0, 2, "u", D("-7.89")),       # LWW: final value
+        ("b", 1, 3, "c", D("9999999999.99")),
+    ]
+    rows = [
+        (None,
+         _confluent(encode_record(DECIMAL_SCHEMA, {
+             "op": op, "conv_id": cid, "turn_idx": ti,
+             "amount": amt, "ts": TS})),
+         "payments", 0, off, None, 0)
+        for cid, ti, off, op, amt in events
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    cfg = SinkConfig(n_buckets=2, delete_retain_fields=("ts",))
+    parsed = parse_kafka_records(
+        raw, None, cfg, value_format="avro",
+        avro_value_schema=DECIMAL_SCHEMA, confluent_wire=True,
+    )
+    applier = CdcApplier(
+        spark, cfg, tmp_table,
+        audit_ts=F.lit("2024-06-01T00:00:00Z").cast("timestamp"),
+    )
+    res = applier.apply_batch(parsed, batch_id=0)
+    assert res.n_events == 3 and res.n_quarantined == 0
+    tgt = applier.read_target()
+    assert tgt.schema["amount"].dataType == T.DecimalType(12, 2)
+    got = {r["conv_id"]: r["amount"] for r in tgt.collect()}
+    assert got == {"a": D("-7.89"), "b": D("9999999999.99")}
+    # DuckDB reads the committed snapshot files and agrees on exact
+    # cents — the physical parquet decimal is portable, not engine-local
+    files = [os.path.join(tmp_table, f)
+             for f in applier.table().snapshot.files()]
+    (total,) = duckdb.sql(
+        "SELECT sum(CAST(amount * 100 AS BIGINT)) FROM read_parquet($f)",
+        params={"f": files},
+    ).fetchone()
+    assert total == int(sum(v * 100 for v in got.values()))
+
+
 def test_decoder_selection(spark):
     """'auto' must fall back to the Arrow UDF when the external
     spark-avro module is absent (it is not bundled with pyspark)."""

@@ -39,10 +39,12 @@ def _data_bytes(table_path: str) -> int:
     return total
 
 
-def test_mor_rejects_subset_delete_key():
-    with pytest.raises(ConfigError, match="mor"):
-        SinkConfig(merge_mode="mor", pk_fields=("a", "b"),
-                   delete_as_update_key=("a",))
+def test_mor_accepts_subset_delete_key():
+    # mor × subset delete keys is supported since round 3 (sdel delta
+    # files, see lake/mor.py + tests/test_subset_delete_key.py)
+    cfg = SinkConfig(merge_mode="mor", pk_fields=("a", "b"),
+                     delete_as_update_key=("a",))
+    assert cfg.subset_delete_key
     with pytest.raises(ConfigError, match="merge_mode"):
         SinkConfig(merge_mode="bogus")
 

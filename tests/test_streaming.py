@@ -172,6 +172,48 @@ def test_retry_exhaustion_raises(spark, tmp_path, monkeypatch):
         runner.process_batch(df, batch_id=0)
 
 
+def test_failed_compaction_retries_without_duplicate_result(
+    spark, tmp_path, monkeypatch
+):
+    """Compaction runs OUTSIDE the retried apply: a transient compact
+    failure after a successful apply must retry only the compaction —
+    not re-enter the apply loop (which would skip the already-applied
+    batch and append a duplicate skipped BatchResult, inflating
+    metrics)."""
+    from kafka_jdbc_sink_connector_spark.lake import maintenance
+
+    cfg = SinkConfig(n_buckets=2, merge_mode="mor",
+                     mor_compact_every_batches=1,
+                     max_retries=2, retry_backoff_ms=1)
+    applier = CdcApplier(
+        spark, cfg, str(tmp_path / "tgt"), audit_ts=audit_col()
+    )
+    runner = CdcStreamRunner(applier, str(tmp_path / "ckpt"))
+    df = generate_cdc_events(
+        spark, GenSpec(n_events=60, n_conversations=6,
+                       turns_per_conversation=4)
+    )
+    half = df.filter(F.col("kafka_offset") < 30)
+    runner.process_batch(half, 0)  # bootstrap (COW base, no compaction)
+
+    calls = {"n": 0}
+    real = maintenance.compact
+
+    def flaky_compact(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient compaction failure")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(maintenance, "compact", flaky_compact)
+    res = runner.process_batch(df.filter(F.col("kafka_offset") >= 30), 1)
+    assert not res.skipped
+    assert calls["n"] == 2  # compaction itself was retried…
+    m = runner.metrics()
+    assert m["n_batches"] == 2 and m["n_skipped"] == 0  # …no phantom skip
+    assert not applier.table().snapshot.delta_files()  # and it ran
+
+
 def _kafka_row(partition, offset, key=None, value=None):
     return (
         json.dumps(key).encode() if key is not None else None,

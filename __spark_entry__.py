@@ -1346,11 +1346,94 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_cdc_apply_final_state(spark, SF_DEFAULT)
 
 
+def _cdc_subset_delete_state(
+    spark: SparkSession, sf_dir: str, merge_mode: str
+) -> DataFrame:
+    """delete.as.update.key ⊂ pk through the full write path
+    (reference production config ``delete.as.update.key=RECID`` with a
+    3-part pk, ``BufferedRecordsTest.java:108``): pk = (user_id,
+    event_type), deletes match on user_id alone — one delete event
+    soft-deletes every event_type row of that user. Two micro-batches;
+    under merge-on-read the second commits sdel delta files that the
+    read resolves per row (earliest delete after the row's last
+    upsert, not-already-deleted guard)."""
+    cfg = SinkConfig(
+        pk_fields=("user_id", "event_type"),
+        delete_as_update_key=("user_id",),
+        delete_retain_fields=("ts",),
+        n_buckets=8,
+        merge_mode=merge_mode,
+    )
+    cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
+    mid = cdc.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    tmp = tempfile.mkdtemp(prefix=f"cdc_subset_{merge_mode}_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
+    applier.apply_batch(cdc.filter(F.col("kafka_offset") <= mid), batch_id=0)
+    applier.apply_batch(cdc.filter(F.col("kafka_offset") > mid), batch_id=1)
+    return applier.read_target().select(
+        "user_id",
+        "event_type",
+        "op_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
+def q_cdc_subset_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cdc_subset_delete_state(spark, sf_dir, "cow")
+
+
+def q_cdc_subset_delete_state_mor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _cdc_subset_delete_state(spark, sf_dir, "mor")
+
+
+def _sql_cdc_subset_delete_state() -> str:
+    # per (user_id, event_type) row: latest upsert; winning delete =
+    # the user's EARLIEST delete event after that upsert (the guard
+    # blocks later ones per row) — delete events match on user_id only
+    return """
+WITH cdc AS (
+  SELECT *, CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+  FROM cdc WHERE op <> 'd'
+),
+ups AS (SELECT * FROM ranked WHERE rn = 1),
+win AS (
+  SELECT u.user_id AS uid, u.event_type AS uet,
+         min(d.event_id) AS del_id,
+         arg_min(d.ts, d.event_id) AS del_ts
+  FROM ups u
+  JOIN cdc d ON d.user_id = u.user_id
+            AND d.op = 'd' AND d.event_id > u.event_id
+  GROUP BY 1, 2
+)
+SELECT u.user_id,
+       u.event_type,
+       CASE WHEN w.del_id IS NOT NULL THEN 'D' ELSE 'U' END AS op_type,
+       u.event_id AS last_event_id,
+       u.value AS last_value,
+       CAST(floor(epoch(CASE WHEN w.del_id IS NOT NULL
+                             THEN w.del_ts ELSE u.ts END)) AS BIGINT)
+         AS ts_epoch
+FROM ups u LEFT JOIN win w ON u.user_id = w.uid AND u.event_type = w.uet
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_last_event_per_key": q_cdc_last_event_per_key,
         "cdc_apply_final_state": q_cdc_apply_final_state,
         "cdc_apply_final_state_mor": q_cdc_apply_final_state_mor,
+        "cdc_subset_delete_state": q_cdc_subset_delete_state,
+        "cdc_subset_delete_state_mor": q_cdc_subset_delete_state_mor,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_lineage_agg": q_cdc_lineage_agg,
         "cdc_quarantine_split": q_cdc_quarantine_split,
@@ -1392,6 +1475,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_last_event_per_key": _sql_cdc_last_event(),
         "cdc_apply_final_state": _sql_cdc_final_state(),
         "cdc_apply_final_state_mor": _sql_cdc_final_state(),
+        "cdc_subset_delete_state": _sql_cdc_subset_delete_state(),
+        "cdc_subset_delete_state_mor": _sql_cdc_subset_delete_state(),
         "cdc_snapshot_diff": _sql_cdc_snapshot_diff(),
         "cdc_lineage_agg": _sql_cdc_lineage(),
         "cdc_quarantine_split": _sql_cdc_quarantine(),

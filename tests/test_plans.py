@@ -175,6 +175,37 @@ def test_mor_resolve_plan_shape(spark, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_mor_sdel_resolve_plan_shape(spark, tmp_path):
+    """Subset-delete resolution stays JVM-side: the sdel overlay adds
+    one aggregate + one join on top of the pk resolve, all declarative
+    (no Python nodes), and the tiny sdel side broadcasts."""
+    from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+
+    from tests.test_apply_batch import _events_df, audit_col, ev
+
+    cfg = SinkConfig(pk_fields=("conv_id", "turn_idx"),
+                     delete_as_update_key=("conv_id",),
+                     n_buckets=4, merge_mode="mor")
+    applier = CdcApplier(spark, cfg, str(tmp_path / "t"),
+                         audit_ts=audit_col())
+    applier.apply_batch(
+        _events_df(spark, [ev(1, "c", "conv-a", 0),
+                           ev(2, "c", "conv-a", 1)]),
+        batch_id=0,
+    )
+    applier.apply_batch(
+        _events_df(spark, [{"kafka_partition": 0, "kafka_offset": 3,
+                            "op": "d", "conv_id": "conv-a",
+                            "turn_idx": None,
+                            "ts": ev(3, "d", "conv-a", 0)["ts"]}]),
+        batch_id=1,
+    )
+    assert applier.table().snapshot.sdel_files()
+    plan = plan_of(applier.read_target())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan  # batch-sized sdel side
+
+
 def test_ivf_ann_plan_broadcasts_probes(spark):
     """IVF: the probe side (queries × n_probe cells) broadcasts; the
     corpus is scanned once; assignment is pure codegen'd expressions

@@ -686,6 +686,99 @@ WHERE CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter) >= 0.5
 """
 
 
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (iterative graph algorithm): MinHash-LSH
+    candidate pairs → connected components (hash-to-min label
+    propagation, one bounded shuffle per round, diameter-bounded
+    rounds) → every document labeled with its cluster id (min doc_id
+    of the component; singletons label themselves). This is the step a
+    curation pipeline runs between pairwise similarity and actual
+    deduplication."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docdedup.minhash_lsh_candidates(docs, n_perm=8, bands=4, k=5)
+    cc = docdedup.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            (F.coalesce("component", "doc_id") != F.col("doc_id")).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
+def _sql_dup_clusters() -> str:
+    # transitive closure of the pair graph via a recursive CTE —
+    # min reachable id per node = the engine's hash-to-min fixpoint
+    return f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_sql_minhash_lsh()})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, m) AS (
+  SELECT src AS node, dst AS m FROM edges
+  UNION
+  SELECT e.src, r.m FROM edges e JOIN reach r ON r.node = e.dst
+),
+cc AS (
+  SELECT node, least(node, min(m)) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(cc.component, d.doc_id) AS cluster_id,
+       coalesce(cc.component, d.doc_id) <> d.doc_id AS is_dup
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+"""
+
+
+def q_doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: pick ONE canonical document per
+    near-dup cluster — the longest text, ties to the smallest doc_id —
+    and report how many the cluster drops. Composition of the pair
+    finder, the component labeler, and a per-cluster argmax (map-side
+    combining min_by over a (len DESC, doc_id ASC) sort key)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docdedup.minhash_lsh_candidates(docs, n_perm=8, bands=4, k=5)
+    cc = docdedup.connected_components(pairs)
+    labeled = (
+        docs.select("doc_id", F.length("text").alias("len"))
+        .join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id", "len",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+    )
+    return labeled.groupBy("cluster_id").agg(
+        F.min_by(
+            "doc_id", F.struct((-F.col("len")).alias("a"),
+                               F.col("doc_id").alias("b"))
+        ).alias("kept_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
+
+
+def _sql_dedup_keep_best() -> str:
+    return f"""
+WITH clusters AS ({_sql_dup_clusters()}),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id,
+         row_number() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY length(d.text) DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS kept_doc_id, n_docs,
+       n_docs - 1 AS n_dropped
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_dup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline composition: text-signal near-dups (MinHash-LSH) full-
     outer-joined with embedding-signal near-dups (LSH-bucketed cosine)
@@ -1459,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_dups": q_doc_simhash_dups,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh_pairs,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_dedup_keep_best": q_doc_dedup_keep_best,
         "doc_ngram_jaccard_dups": q_doc_ngram_jaccard_dups,
         "dup_signal_agreement": q_dup_signal_agreement,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
@@ -1502,6 +1597,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_dups": _sql_simhash_dups(),
         "doc_exact_dedup": _sql_exact_dedup(),
         "doc_minhash_lsh_pairs": _sql_minhash_lsh(),
+        "doc_dup_clusters": _sql_dup_clusters(),
+        "doc_dedup_keep_best": _sql_dedup_keep_best(),
         "doc_ngram_jaccard_dups": _sql_ngram_jaccard(),
         "dup_signal_agreement": _sql_dup_agreement(),
         "emb_knn_bruteforce": _sql_knn(),

@@ -42,6 +42,7 @@ QUERY_NAMES = [
     "doc_quality_score",
     "doc_minhash_lsh_pairs",
     "doc_simhash_dups",
+    "doc_dup_clusters",
     "emb_knn_bruteforce",
     "emb_ivf_ann",
     "dup_signal_agreement",

@@ -205,6 +205,76 @@ def minhash_lsh_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Undirected edge list → (node, component) where component = the
+    minimum node id reachable from the node.
+
+    This is the step that turns pairwise near-dup evidence into dedup
+    GROUPS: near-duplicate relations are not transitive pair-by-pair
+    (A~B, B~C does not test A~C), but curation pipelines deduplicate
+    whole clusters, so the standard move is connected components over
+    the candidate-pair graph.
+
+    Algorithm: hash-to-min label propagation — every node starts
+    labeled min(self, neighbors); each round propagates the minimum
+    label one hop (one edge join + min aggregate = one bounded shuffle
+    of E edges) until a fixpoint. Rounds needed = component diameter;
+    near-dup clusters are near-cliques (diameter ≈ 2), so this
+    converges in 2-4 rounds regardless of corpus size. Each round is
+    ``localCheckpoint``-ed so round N's plan does not recompute rounds
+    1..N-1, and the convergence check collects ONE scalar (an
+    existence probe, not data). For adversarial long-chain graphs at
+    web scale, swap in the large-star/small-star contraction (Kiveris
+    et al., "Connected Components in MapReduce and Beyond",
+    O(log n) rounds) behind the same interface.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=False)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("lbl"))
+        .select("src", F.least("src", "lbl").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            labels.join(neigh, "src", "left")
+            .select(
+                "src",
+                F.least(
+                    F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "src")
+            .filter(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if not changed:
+            break
+    return labels.select(
+        F.col("src").alias("node"), F.col("lbl").alias("component")
+    )
+
+
 def simhash_groups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -94,6 +94,45 @@ def test_lsh_ann_subset_of_bucket(emb):
         assert bf[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (needs >1 propagation round), a 2-clique, and an
+    edge-free node: labels = min node id per component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain, diameter 4
+         (10, 11),                             # island pair
+         (20, 21), (21, 20)],                  # duplicate/reversed edges
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["component"]
+           for r in docdedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_matches_union_find(spark, docs):
+    """Property check on real LSH pairs: the distributed hash-to-min
+    fixpoint equals a sequential union-find over the same edges."""
+    pairs = docdedup.minhash_lsh_candidates(docs, n_perm=8, bands=4, k=5)
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = {r["node"]: r["component"]
+           for r in docdedup.connected_components(pairs).collect()}
+    assert got == want
+
+
 def test_multimodal_decode_plumbing(docs):
     media = multimodal.attach_binary_payload(docs)
     out = multimodal.decode_metadata(media).collect()

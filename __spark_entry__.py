@@ -474,6 +474,68 @@ FROM documents
 """
 
 
+def q_doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate signal: fraction of repeated 5-word windows per doc
+    (codegen'd array exprs over the shared shingling; single scan)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = text.word_shingles(F.col("text"), 5)
+    return d.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.size(F.array_distinct(sh)).alias("n_distinct"),
+        text.repetition_ratio(F.col("text"), 5).alias("rep_ratio"),
+    )
+
+
+def _sql_repetition_ratio() -> str:
+    return f"""
+WITH sh AS ({_SHINGLE_SQL})
+SELECT doc_id,
+       len(shingles) AS n_shingles,
+       len(list_distinct(shingles)) AS n_distinct,
+       round(1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE)
+                   / len(shingles), 4) AS rep_ratio
+FROM sh
+"""
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit (pre-training hygiene). The synthetic corpus is
+    contact-free, so both engines append the SAME deterministic contact
+    line per doc (email + long digit run built from doc_id) and then
+    count + redact it — the redaction itself is what's under test."""
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 55512345"),
+        F.col("doc_id").cast("string"),
+    )
+    counts = text.pii_counts(aug)
+    return d.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_digit_runs"].alias("n_digit_runs"),
+        F.md5(text.redact_pii(aug)).alias("redacted_fp"),
+    )
+
+
+def _sql_pii_redact() -> str:
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    digits = "[0-9]{7,}"
+    aug = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+           "'@example.com or call 55512345' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all({aug}, '{email}')) AS n_emails,
+       len(regexp_extract_all({aug}, '{digits}')) AS n_digit_runs,
+       md5(regexp_replace(regexp_replace({aug}, '{email}', '<EMAIL>', 'g'),
+                          '{digits}', '<NUM>', 'g')) AS redacted_fp
+FROM documents
+"""
+
+
 def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     cols = text.quality_columns("text")
@@ -1546,6 +1608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_textnorm": q_doc_textnorm,
         "doc_token_count": q_doc_token_count,
         "doc_quality_score": q_doc_quality_score,
+        "doc_repetition_ratio": q_doc_repetition_ratio,
+        "doc_pii_redact": q_doc_pii_redact,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_simhash": q_doc_simhash,
@@ -1590,6 +1654,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_cust_latest_orders": _sql_tpch_latest_orders(),
         "doc_textnorm": _sql_textnorm(),
         "doc_token_count": _sql_token_count(),
+        "doc_repetition_ratio": _sql_repetition_ratio(),
+        "doc_pii_redact": _sql_pii_redact(),
         "doc_quality_score": _sql_quality(),
         "doc_lang_id": _sql_lang_id(),
         "doc_fingerprint": _sql_fingerprint(),

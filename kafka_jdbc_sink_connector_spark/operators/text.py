@@ -100,6 +100,44 @@ def fingerprint(text: str | Column, k: int = 5) -> Column:
     return F.array_min(F.transform(word_shingles(text, k), F.md5))
 
 
+def repetition_ratio(text: str | Column, k: int = 5) -> Column:
+    """Fraction of repeated k-word windows: ``1 - |distinct shingles| /
+    |shingles|``. The standard boilerplate/spam signal in corpus
+    filtering (high ratio = the document repeats itself); pure
+    codegen'd array expressions over the same shingling as the dedup
+    family, single scan, no shuffle."""
+    sh = word_shingles(text, k)
+    return F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(sh)) / F.size(sh).cast("double"),
+        4,
+    )
+
+
+#: deliberately RE2-compatible regex subset (no backrefs/lookaround)
+#: so the DuckDB oracle runs the IDENTICAL pattern
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+DIGIT_RUN_RE = r"[0-9]{7,}"
+
+
+def redact_pii(text: str | Column) -> Column:
+    """Pre-training hygiene scrub: emails → ``<EMAIL>``, 7+-digit runs
+    (phone/account-number shaped) → ``<NUM>``. JVM ``regexp_replace``
+    inside whole-stage codegen — no Python in the scan."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, DIGIT_RUN_RE, "<NUM>")
+
+
+def pii_counts(text: str | Column) -> dict[str, Column]:
+    """Match counts per category (what a redaction audit reports)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)),
+        "n_digit_runs": F.size(
+            F.regexp_extract_all(text, F.lit(DIGIT_RUN_RE), 0)
+        ),
+    }
+
+
 def minhash_signature(text: str | Column, n_perm: int = 8, k: int = 5) -> Column:
     """n_perm-permutation MinHash: permutation j = md5 keyed with the
     permutation index; each signature element is a hex string (string

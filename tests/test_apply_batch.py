@@ -289,6 +289,35 @@ def test_multi_batch_replay_matches_oracle(spark, tmp_table, merge_mode):
         events.unpersist()
 
 
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_delete_storm_matches_oracle(spark, tmp_table, merge_mode):
+    """40% deletes over few keys — many keys see several deletes per
+    batch, interleaved with upserts, in every ordering the generator
+    produces. Full-column oracle comparison (stresses the
+    earliest-delete-after-last-upsert rule far harder than the 5%
+    default)."""
+    cfg = SinkConfig(n_buckets=4, merge_mode=merge_mode)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    spec = GenSpec(n_events=2000, n_conversations=12,
+                   turns_per_conversation=4, delete_fraction=0.40,
+                   update_fraction=0.30)
+    events = generate_cdc_events(spark, spec).cache()
+    try:
+        n = spec.n_events
+        for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
+            applier.apply_batch(
+                events.filter((F.col("kafka_offset") >= lo)
+                              & (F.col("kafka_offset") < hi)),
+                batch_id=i,
+            )
+        rows = [r.asDict() for r in events.collect()]
+        _compare_to_oracle(
+            applier, rows, cfg, extra_payload=("tool", "meta_source")
+        )
+    finally:
+        events.unpersist()
+
+
 def test_backfill_pins_committing_snapshot_version(spark, tmp_table):
     """Replay of an already-merged batch whose lineage write was lost
     (crash window) re-derives lineage with the version the batch

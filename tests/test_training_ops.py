@@ -94,6 +94,37 @@ def test_lsh_ann_subset_of_bucket(emb):
         assert bf[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
 
 
+def test_repetition_ratio_and_pii_redaction(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e a b c d e"),   # repeated windows
+            (2, "one two three four five six seven"),  # all distinct
+            (3, "short"),
+            (4, "mail me at john.doe+x@sub.example.org or 123456789 now"),
+            (5, "digits 123456 too short and 12345678 long enough"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rows.select(
+            "doc_id",
+            text.repetition_ratio(F.col("text"), 5).alias("rr"),
+            text.redact_pii(F.col("text")).alias("red"),
+            *[v.alias(k) for k, v in text.pii_counts(F.col("text")).items()],
+        ).collect()
+    }
+    # doc 1: 11 windows of 5 over 15 tokens, 5 distinct → 1 - 5/11
+    assert out[1]["rr"] == round(1 - 5 / 11, 4)
+    assert out[2]["rr"] == 0.0
+    assert out[3]["rr"] == 0.0  # single whole-doc shingle
+    assert out[4]["red"] == "mail me at <EMAIL> or <NUM> now"
+    assert out[4]["n_emails"] == 1 and out[4]["n_digit_runs"] == 1
+    # 6-digit run stays; 8-digit run redacts
+    assert out[5]["red"] == "digits 123456 too short and <NUM> long enough"
+    assert out[5]["n_digit_runs"] == 1
+
+
 def test_connected_components_chain_and_islands(spark):
     """A 5-node chain (needs >1 propagation round), a 2-clique, and an
     edge-free node: labels = min node id per component."""

@@ -34,6 +34,15 @@ def _session(args) -> SparkSession:
 def _config(args):
     from kafka_jdbc_sink_connector_spark.config import SinkConfig
 
+    if getattr(args, "connect_config", None):
+        # a Kafka-Connect connector JSON / property map using the
+        # reference's own property names (paste your existing
+        # connector "config" block); CLI flags don't apply then
+        with open(args.connect_config) as fh:
+            props = json.load(fh)
+        return SinkConfig.from_connect_properties(
+            props.get("config", props)
+        )
     return SinkConfig(
         pk_fields=tuple(args.pk.split(",")),
         insert_mode=args.insert_mode,
@@ -160,6 +169,10 @@ def main(argv: list[str] | None = None) -> None:
 
     def add_cfg(p):
         p.add_argument("--table", required=True)
+        p.add_argument("--connect-config", default=None,
+                       help="Kafka-Connect connector JSON (the "
+                            "reference's property names); overrides "
+                            "the individual flags below")
         p.add_argument("--pk", default="conv_id,turn_idx")
         p.add_argument("--insert-mode", default="upsert")
         p.add_argument("--delete-mode", default="update")

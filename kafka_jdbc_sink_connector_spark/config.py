@@ -146,8 +146,8 @@ class SinkConfig:
     #: "cow" rewrites every affected bucket per batch (read-optimized);
     #: "mor" appends per-bucket delta files and merges at read
     #: (write-optimized — the 100 TB steady-state default; compact()
-    #: folds deltas back into base files). MOR requires the delete
-    #: match key to be the full pk (subset-key deletes stay COW).
+    #: folds deltas back into base files). Subset delete keys work in
+    #: both modes (MOR persists them as sdel delta files).
     merge_mode: str = "cow"
     #: in MOR mode, fold delta files back into base files every N
     #: batches (streaming runner hook); None = compaction is external
@@ -256,6 +256,118 @@ class SinkConfig:
             self.delete_retain_fields = tuple(
                 f for f in self.delete_retain_fields if f not in overlap
             )
+
+    #: Connect worker / JDBC-transport keys that have no engine
+    #: equivalent — accepted and ignored so a reference worker config
+    #: loads verbatim (the lake table replaces the JDBC connection; the
+    #: Connect runtime replaces itself with Structured Streaming).
+    _CONNECT_IGNORED_PREFIXES = (
+        "connection.", "dialect.", "key.converter", "value.converter",
+        "transforms", "errors.", "consumer.", "producer.",
+    )
+    _CONNECT_IGNORED_KEYS = {
+        "name", "connector.class", "topics", "topics.regex",
+        "tasks.max", "pk.mode", "quote.sql.identifiers",
+        "table.types", "db.timezone", "delete.enabled",
+    }
+
+    @classmethod
+    def from_connect_properties(
+        cls, props: dict, **overrides
+    ) -> "SinkConfig":
+        """Build a :class:`SinkConfig` from a Kafka-Connect worker
+        property map using the REFERENCE'S OWN property names
+        (``JdbcAuditSinkConfig`` = Confluent ``JdbcSinkConfig`` + the
+        audit extensions, ``JdbcAuditSinkConfig.java:14-90``) — a user
+        can paste their existing connector JSON ``config`` block and
+        run it on this engine unchanged.
+
+        Values may be strings (as in a .properties file) or already
+        typed (as in Connect JSON); list-valued keys accept either a
+        list or a comma-separated string. JDBC-transport keys
+        (``connection.*``, ``dialect.*``, converters, …) are accepted
+        and ignored; ``pk.mode`` is handled by the Kafka source
+        (``parse_kafka_records``), not the sink config, mirroring the
+        reference where it lives in the runtime's converter layer.
+        Engine-only knobs pass through under an ``engine.`` prefix
+        (e.g. ``engine.merge.mode=mor``, ``engine.n.buckets=1024``) or
+        as keyword ``overrides``. Unknown non-ignored keys raise
+        :class:`ConfigError` (typo protection, like ConfigDef).
+        """
+
+        def as_list(v) -> tuple[str, ...]:
+            if isinstance(v, (list, tuple)):
+                return tuple(str(x).strip() for x in v)
+            return tuple(s.strip() for s in str(v).split(",") if s.strip())
+
+        def as_bool(v) -> bool:
+            return v if isinstance(v, bool) else str(v).lower() == "true"
+
+        kw: dict = {}
+        engine_keys = {
+            "engine.merge.mode": ("merge_mode", str),
+            "engine.n.buckets": ("n_buckets", int),
+            "engine.mor.compact.every.batches":
+                ("mor_compact_every_batches", int),
+            "engine.dedup.salt": ("dedup_salt", int),
+            "engine.op.column": ("op_column", str),
+            "engine.op.delete.value": ("op_delete_value", str),
+            "engine.op.insert.value": ("op_insert_value", str),
+            "engine.guard.null.is.not.null":
+                ("guard_null_is_not_null", as_bool),
+            "engine.audit.ts.column": ("audit_ts_column", str),
+        }
+        for key, raw in props.items():
+            k = str(key)
+            if k == "table.name.format":
+                kw["table_name_format"] = str(raw)
+            elif k == "pk.fields":
+                kw["pk_fields"] = as_list(raw)
+            elif k == "fields.whitelist":
+                kw["fields_whitelist"] = as_list(raw) or None
+            elif k == "insert.mode":
+                kw["insert_mode"] = str(raw).lower()
+            elif k == "delete.mode":
+                kw["delete_mode"] = str(raw).lower()
+            elif k == "delete.as.update.identifier":
+                spec = (
+                    ",".join(str(x) for x in raw)
+                    if isinstance(raw, (list, tuple))
+                    else str(raw)
+                )
+                kw["soft_delete_conditions"] = tuple(parse_conditions(spec))
+            elif k == "delete.as.update.value.schema":
+                kw["delete_retain_fields"] = as_list(raw)
+            elif k == "delete.as.update.key":
+                kw["delete_as_update_key"] = as_list(raw)
+            elif k == "audit.timestamp.column":
+                kw["audit_ts_column"] = str(raw)
+            elif k == "audit.scn.column":
+                kw["audit_scn_column"] = str(raw)
+            elif k == "auto.create":
+                kw["auto_create"] = as_bool(raw)
+            elif k == "auto.evolve":
+                kw["auto_evolve"] = as_bool(raw)
+            elif k == "batch.size":
+                kw["batch_size"] = int(raw)
+            elif k == "max.retries":
+                kw["max_retries"] = int(raw)
+            elif k == "retry.backoff.ms":
+                kw["retry_backoff_ms"] = int(raw)
+            elif k in engine_keys:
+                field_name, conv = engine_keys[k]
+                kw[field_name] = conv(raw)
+            elif k in cls._CONNECT_IGNORED_KEYS or any(
+                k.startswith(p) for p in cls._CONNECT_IGNORED_PREFIXES
+            ):
+                continue
+            else:
+                raise ConfigError(
+                    f"unknown connector property {k!r} (engine knobs "
+                    f"use the 'engine.' prefix)"
+                )
+        kw.update(overrides)
+        return cls(**kw)
 
     @property
     def subset_delete_key(self) -> bool:

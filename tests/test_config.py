@@ -80,3 +80,70 @@ def test_audit_scn_column_accepted_and_ignored():
     # dead config in the reference (JdbcAuditSinkConfig.java:97-107)
     cfg = SinkConfig(audit_scn_column="SCN=null")
     assert cfg.audit_scn_column == "SCN=null"
+
+
+def test_from_connect_properties_reference_unit_config():
+    """The reference's own unit-test property map
+    (BufferedRecordsTest.java:33-45) loads verbatim."""
+    cfg = SinkConfig.from_connect_properties({
+        "name": "my-connector",
+        "connection.url": "jdbc:sqlite::memory:",
+        "auto.create": True,
+        "auto.evolve": True,
+        "delete.mode": "UPDATE",
+        "delete.as.update.identifier": "OP_TYPE=D",
+        "pk.mode": "record_value",
+        "pk.fields": ["RECID", "V_M", "V_S"],
+        "delete.as.update.value.schema": ["UPDATE_TIME", "TABLE_NAME"],
+    })
+    assert cfg.pk_fields == ("RECID", "V_M", "V_S")
+    assert cfg.delete_mode.value == "update"
+    assert cfg.soft_delete_column == "OP_TYPE"
+    assert cfg.soft_delete_value == "D"
+    assert cfg.delete_retain_fields == ("UPDATE_TIME", "TABLE_NAME")
+    assert cfg.auto_create and cfg.auto_evolve
+
+
+def test_from_connect_properties_reference_production_config():
+    """The reference's production-shaped Oracle config
+    (BufferedRecordsTest.java:94-115) loads verbatim — including the
+    subset delete key — with engine knobs via the engine.* prefix."""
+    cfg = SinkConfig.from_connect_properties({
+        "value.converter.schema.registry.url": "http://localhost:8081",
+        "key.converter.schema.registry.url": "http://localhost:8081",
+        "name": "AuditDeleteSink",
+        "connector.class": "JdbcAuditSinkConnector",
+        "key.converter": "AvroConverter",
+        "value.converter": "AvroConverter",
+        "topics": "test_audit_delete",
+        "connection.url": "jdbc:oracle:thin:@host:1521/svc",
+        "connection.user": "u",
+        "connection.password": "p",
+        "dialect.name": "OracleDatabaseDialect",
+        "insert.mode": "UPSERT",
+        "table.name.format": "SINK_AUDIT_DELETE_OP",
+        "pk.mode": "record_value",
+        "pk.fields": "RECID,V_M,V_S",     # .properties string form
+        "auto.create": "false",
+        "auto.evolve": "false",
+        "delete.mode": "UPDATE",
+        "delete.as.update.identifier": "OP_TYPE=D",
+        "delete.as.update.key": "RECID",
+        "delete.as.update.value.schema": "TIME_UPDATE,TABLE_NAME",
+        "engine.merge.mode": "mor",
+        "engine.n.buckets": "32",
+    })
+    assert cfg.insert_mode.value == "upsert"
+    assert cfg.table_name_format == "SINK_AUDIT_DELETE_OP"
+    assert cfg.delete_as_update_key == ("RECID",)
+    assert cfg.subset_delete_key          # RECID ⊂ (RECID, V_M, V_S)
+    assert not cfg.auto_create and not cfg.auto_evolve
+    assert cfg.merge_mode == "mor" and cfg.n_buckets == 32
+
+
+def test_from_connect_properties_rejects_typos():
+    with pytest.raises(ConfigError, match="unknown connector property"):
+        SinkConfig.from_connect_properties({"delete.as.update.keyy": "X"})
+    # engine knobs must use the prefix
+    with pytest.raises(ConfigError, match="engine"):
+        SinkConfig.from_connect_properties({"merge_mode": "mor"})

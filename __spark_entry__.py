@@ -536,6 +536,39 @@ FROM documents
 """
 
 
+def q_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution per language — the first chart every
+    training-data curation pass draws. EXACT percentiles (sort-based,
+    linear interpolation — same definition as DuckDB quantile_cont);
+    at 100 TB swap in approx_percentile, which is one-pass and
+    mergeable, and widen the oracle tolerance accordingly."""
+    d = _t(spark, sf_dir, "documents")
+    n = text.token_count("text")
+    return (
+        d.select("lang", n.alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50_tokens"),
+            F.round(F.percentile("n", F.lit(0.9)), 4).alias("p90_tokens"),
+            F.round(F.percentile("n", F.lit(0.99)), 4).alias("p99_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def _sql_length_percentiles() -> str:
+    n = r"len(regexp_split_to_array(trim(text), '\s+'))"
+    return f"""
+SELECT lang,
+       round(quantile_cont({n}, 0.5), 4) AS p50_tokens,
+       round(quantile_cont({n}, 0.9), 4) AS p90_tokens,
+       round(quantile_cont({n}, 0.99), 4) AS p99_tokens,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
 def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     cols = text.quality_columns("text")
@@ -1609,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": q_doc_token_count,
         "doc_quality_score": q_doc_quality_score,
         "doc_repetition_ratio": q_doc_repetition_ratio,
+        "doc_length_percentiles": q_doc_length_percentiles,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1655,6 +1689,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_textnorm": _sql_textnorm(),
         "doc_token_count": _sql_token_count(),
         "doc_repetition_ratio": _sql_repetition_ratio(),
+        "doc_length_percentiles": _sql_length_percentiles(),
         "doc_pii_redact": _sql_pii_redact(),
         "doc_quality_score": _sql_quality(),
         "doc_lang_id": _sql_lang_id(),

@@ -67,6 +67,81 @@ def _wire(topic, partition, offset, key, value, schema):
     )
 
 
+def _frame_id(payload: bytes, schema_id: int) -> bytes:
+    return b"\x00" + struct.pack(">I", schema_id) + payload
+
+
+def test_registry_mixed_schema_subset_delete_mor(spark, tmp_path):
+    """Round-3 production shape in one flow: a single micro-batch mixes
+    TWO writer-schema versions under live-registry framing (per-record
+    schema-id routing, BufferedRecords.java:176-184), the sink uses the
+    reference's subset delete key (delete.as.update.key ⊂ pk) in
+    merge-on-read mode, and the config is loaded from a verbatim
+    Kafka-Connect property map."""
+    cfg = SinkConfig.from_connect_properties({
+        "name": "AuditDeleteSink",
+        "connection.url": "jdbc:oracle:thin:@host:1521/svc",
+        "insert.mode": "UPSERT",
+        "pk.mode": "record_value",
+        "pk.fields": "conv_id,turn_idx",
+        "delete.mode": "UPDATE",
+        "delete.as.update.identifier": "op_type=D",
+        "delete.as.update.key": "conv_id",
+        "delete.as.update.value.schema": "ts",
+        "engine.merge.mode": "mor",
+        "engine.n.buckets": "2",
+    })
+    schemas = {11: VALUE_V1, 12: VALUE_V2}
+
+    def wire(offset, value, sid):
+        return (None, _frame_id(encode_record(schemas[sid], value), sid),
+                "t", 0, offset, None, 0)
+
+    batch1 = [
+        wire(1, {"op": "c", "conv_id": "a", "turn_idx": 0, "role": "user",
+                 "text": "v1 rec", "ts": TS}, 11),
+        # same batch, NEWER writer schema (registry rolled mid-stream)
+        wire(2, {"op": "c", "conv_id": "a", "turn_idx": 1, "role": "tool",
+                 "text": "v2 rec", "tool": "search", "ts": TS}, 12),
+        wire(3, {"op": "c", "conv_id": "b", "turn_idx": 0, "role": "user",
+                 "text": "other conv", "ts": TS}, 11),
+    ]
+    # batch 2: one subset-key delete (conv_id only) under v1 framing
+    del_ts = dt.datetime(2024, 5, 2, 9, 0, 0)
+    batch2 = [
+        wire(4, {"op": "d", "conv_id": "a", "turn_idx": 0, "role": None,
+                 "text": None, "ts": del_ts}, 11),
+    ]
+
+    def parse(rows):
+        return parse_kafka_records(
+            spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA), None, cfg,
+            value_format="avro", avro_value_schemas=schemas,
+        )
+
+    applier = CdcApplier(spark, cfg, str(tmp_path / "tgt"),
+                         audit_ts=audit_col())
+    r1 = applier.apply_batch(parse(batch1), batch_id=0)
+    assert r1.n_events == 3 and r1.n_quarantined == 0
+    r2 = applier.apply_batch(parse(batch2), batch_id=1)
+    assert r2.n_events == 1
+    t = applier.table()
+    assert t.snapshot.sdel_files(), "delete must land as a MOR sdel file"
+    got = {(r["conv_id"], r["turn_idx"]): r
+           for r in applier.read_target().collect()}
+    # both conv-a turns soft-deleted by the one subset delete; conv-b kept
+    assert got[("a", 0)]["op_type"] == "D"
+    assert got[("a", 1)]["op_type"] == "D"
+    assert got[("b", 0)]["op_type"] == "C"
+    # retain field ts from the delete event, on both matched rows
+    for k in (("a", 0), ("a", 1)):
+        assert got[k]["ts"].replace(tzinfo=None) == del_ts
+    # v1 record null-backfills the v2-only column; v2 record carries it
+    assert got[("a", 0)]["tool"] is None
+    assert got[("a", 1)]["tool"] == "search"
+    assert got[("a", 1)]["text"] == "v2 rec"
+
+
 def test_avro_multitable_mor_end_to_end(spark, tmp_path):
     rows = [
         # topic A, schema v1

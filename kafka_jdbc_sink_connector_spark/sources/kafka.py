@@ -90,6 +90,7 @@ def parse_kafka_records(
     confluent_wire: bool = False,
     avro_decoder: str = "auto",
     avro_value_schemas: dict[int, str] | None = None,
+    avro_key_schemas: dict[int, str] | None = None,
 ) -> DataFrame:
     """Kafka wire records → engine change-event DataFrame.
 
@@ -124,7 +125,11 @@ def parse_kafka_records(
                 "value_format='avro' requires avro_value_schema or "
                 "avro_value_schemas"
             )
-        if pk_mode == "record_key" and avro_key_schema is None:
+        if (
+            pk_mode == "record_key"
+            and avro_key_schema is None
+            and avro_key_schemas is None
+        ):
             # a Spark key_schema alone would pass the generic check
             # below but no __k struct would ever be decoded — fail with
             # a config error, not an unresolved-column AnalysisException
@@ -154,7 +159,20 @@ def parse_kafka_records(
         # trip on the missing payload
         val = F.when(F.col("value").isNotNull(), decoded)
         out = records.withColumn("__v", val)
-        if avro_key_schema is not None:
+        if avro_key_schemas is not None:
+            if key_schema is None:
+                key_schema = avro_mod.superset_struct(avro_key_schemas)
+            out = out.withColumn(
+                "__k",
+                F.when(
+                    F.col("key").isNotNull(),
+                    avro_mod.avro_decode_multi(
+                        spark, F.col("key"), avro_key_schemas,
+                        decoder=avro_decoder,
+                    ),
+                ),
+            )
+        elif avro_key_schema is not None:
             if key_schema is None:
                 key_schema = avro_mod.avro_schema_to_struct(avro_key_schema)
             out = out.withColumn(

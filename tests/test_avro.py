@@ -238,6 +238,38 @@ def test_multi_schema_batch_applies_with_evolution(spark, tmp_table):
     assert got["a"]["ts"].replace(tzinfo=None) == TS.replace(tzinfo=None)
 
 
+def test_multi_schema_record_key_mode(spark):
+    """Registry routing applies to record KEYS too (pk_mode=record_key
+    with a key-schema map): key versions route by embedded id."""
+    k1 = KEY_SCHEMA
+    k2 = KEY_SCHEMA.replace(
+        '{"name": "turn_idx", "type": "int"}',
+        '{"name": "turn_idx", "type": "int"},\n'
+        '  {"name": "shard", "type": ["null", "string"]}',
+    )
+    v = {"op": "u", "conv_id": "ignored", "turn_idx": 0,
+         "role": None, "text": "x", "ts": TS}
+    rows = [
+        (_confluent(encode_record(k1, {"conv_id": "a", "turn_idx": 1}), 3),
+         _confluent(encode_record(VALUE_SCHEMA, v), 7),
+         "t", 0, 1, None, 0),
+        (_confluent(encode_record(
+            k2, {"conv_id": "b", "turn_idx": 2, "shard": "s1"}), 4),
+         _confluent(encode_record(VALUE_SCHEMA, v), 7),
+         "t", 0, 2, None, 0),
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    parsed = parse_kafka_records(
+        raw, None, SinkConfig(), pk_mode="record_key",
+        value_format="avro",
+        avro_value_schemas={7: VALUE_SCHEMA},
+        avro_key_schemas={3: k1, 4: k2},
+    ).orderBy("kafka_offset").collect()
+    assert (parsed[0]["conv_id"], parsed[0]["turn_idx"]) == ("a", 1)
+    assert (parsed[1]["conv_id"], parsed[1]["turn_idx"]) == ("b", 2)
+    assert parsed[0]["shard"] is None and parsed[1]["shard"] == "s1"
+
+
 def test_multi_schema_unknown_id_raises(spark):
     cfg = SinkConfig()
     rows = [(None, _confluent(encode_record(VALUE_SCHEMA, {

@@ -1526,6 +1526,49 @@ FROM documents
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: Arrow mapInPandas, fixed schema contract,
+    stubbed pixel work (checksum of payload+target dims — see
+    operators/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d)
+    return multimodal.resize_images(media, target_w=224, target_h=224)
+
+
+def _sql_multimodal_resize() -> str:
+    return """
+SELECT doc_id,
+       CAST(length(text) % 640 AS INTEGER) AS width,
+       CAST((length(text) * 7) % 480 AS INTEGER) AS height,
+       CAST(224 AS INTEGER) AS resized_w,
+       CAST(224 AS INTEGER) AS resized_h,
+       md5(text || ':224x224') AS resized_checksum
+FROM documents
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: 1→N fanout per payload (every 5th
+    fake-decoded frame), Arrow mapInPandas; zero-frame payloads emit
+    zero rows."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d)
+    return multimodal.sample_frames(media, every_n=5)
+
+
+def _sql_multimodal_frame_sample() -> str:
+    return """
+SELECT doc_id,
+       CAST(unnest(range(0, length(text) % 30, 5)) AS INTEGER)
+         AS frame_idx,
+       md5(text || ':' ||
+           CAST(unnest(range(0, length(text) % 30, 5)) AS VARCHAR))
+         AS frame_checksum
+FROM documents
+WHERE length(text) % 30 > 0
+"""
+
+
 # --- contract ---------------------------------------------------------
 
 
@@ -1660,6 +1703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_ann": q_emb_lsh_ann,
         "emb_ivf_ann": q_emb_ivf_ann,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 
@@ -1708,4 +1753,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_ann": _sql_lsh_ann(),
         "emb_ivf_ann": _sql_ivf_ann(),
         "multimodal_decode": _sql_multimodal(),
+        "multimodal_resize": _sql_multimodal_resize(),
+        "multimodal_frame_sample": _sql_multimodal_frame_sample(),
     }

@@ -95,3 +95,111 @@ def decode_metadata(
     return media.select(id_col, payload_col).mapInPandas(
         decode_batches, DECODE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_w", T.IntegerType()),
+        T.StructField("resized_h", T.IntegerType()),
+        T.StructField("resized_checksum", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """binary payload → resized-image record via Arrow ``mapInPandas``.
+
+    The pixel work is a stub (no Pillow in this image): the "resized"
+    artifact is a deterministic checksum of payload + target dims, so
+    the plumbing — batch shape, schema contract, per-doc fanout — is
+    real and oracle-checkable; a production deployment replaces the
+    two marked lines with ``Image.open(io.BytesIO(b)).resize(...)``.
+    """
+    import hashlib
+
+    def resize_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        suffix = f":{target_w}x{target_h}".encode()
+        for pdf in batches:
+            blobs = pdf[payload_col]
+            if use_real_decoder:
+                blobs.map(real_decode)  # raises: real path is gated
+            dims = blobs.map(_fake_decode)  # <- Image.open(...).size
+            resized = blobs.map(                       # <- .resize(...)
+                lambda b: hashlib.md5(bytes(b) + suffix).hexdigest()
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": dims.map(lambda t: t[0]).astype("int32"),
+                    "height": dims.map(lambda t: t[1]).astype("int32"),
+                    "resized_w": target_w,
+                    "resized_h": target_h,
+                    "resized_checksum": resized,
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        resize_batches, RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 5,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """video-shaped payload → one row per sampled frame (indexes 0,
+    every_n, 2·every_n, … below the fake-decoded frame count) via
+    Arrow ``mapInPandas`` — the 1→N fanout shape a real frame sampler
+    has (ffmpeg would decode the frame here; the stub emits a
+    deterministic per-frame checksum instead). Zero-frame payloads
+    produce zero rows, like a still image in a video pipeline."""
+    import hashlib
+
+    def frame_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(blob)
+                n_frames = _fake_decode(b)[2]  # <- ffprobe frame count
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(                 # <- decoded frame i
+                        hashlib.md5(b + f":{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_checksum": pd.Series(sums, dtype="object"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        frame_batches, FRAME_SCHEMA
+    )

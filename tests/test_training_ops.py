@@ -177,6 +177,25 @@ def test_multimodal_decode_plumbing(docs):
         assert len(r["checksum"]) == 32
 
 
+def test_multimodal_resize_and_frame_sample_plumbing(docs):
+    media = multimodal.attach_binary_payload(docs.limit(40))
+    rs = multimodal.resize_images(media, target_w=64, target_h=32)
+    rows = rs.collect()
+    assert len(rows) == 40
+    assert all(r["resized_w"] == 64 and r["resized_h"] == 32 for r in rows)
+    assert all(len(r["resized_checksum"]) == 32 for r in rows)
+    fr = multimodal.sample_frames(media, every_n=5).collect()
+    # fanout: every doc with n_frames>0 contributes ceil(n/5) rows
+    import math
+
+    want = 0
+    for r in media.select("doc_id", "payload").collect():
+        n = len(bytes(r["payload"])) % 30
+        want += math.ceil(n / 5)
+    assert len(fr) == want
+    assert all(r["frame_idx"] % 5 == 0 for r in fr)
+
+
 def test_multimodal_real_decoder_is_gated(docs):
     media = multimodal.attach_binary_payload(docs.limit(1))
     with pytest.raises(Exception, match="NotImplementedError|decoding"):

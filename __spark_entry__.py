@@ -460,16 +460,23 @@ FROM documents
 
 
 def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-pretokenizer matches (the corpus-sizing
+    proxy for tokenizer cost) — both codegen'd regexps, one scan."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", text.token_count("text").alias("n_tokens")
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_token_count("text").alias("n_bpe_tokens"),
     )
 
 
 def _sql_token_count() -> str:
     return r"""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(
+           text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))
+         AS n_bpe_tokens
 FROM documents
 """
 

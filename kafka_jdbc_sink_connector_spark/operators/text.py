@@ -36,6 +36,22 @@ def token_count(text: str | Column) -> Column:
     return F.size(tokens(text))
 
 
+#: BPE-style pretokenizer (GPT-2-family shape, simplified to the
+#: RE2-compatible subset — no lookahead — so the DuckDB oracle runs
+#: the identical pattern): optionally-space-prefixed letter runs,
+#: digit runs, punctuation runs, plus residual whitespace
+BPE_TOKEN_RE = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: str | Column) -> Column:
+    """Pretokenizer match count — the cheap proxy for 'how many BPE
+    tokens will this cost' used when sizing training corpora (a real
+    tokenizer merges within these matches, so this upper-bounds and
+    tracks the true count). One codegen'd regexp per row, no Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
 def stopword_count(text: str | Column) -> Column:
     return F.size(
         F.filter(tokens(text), lambda w: F.lower(w).isin(*STOPWORDS))

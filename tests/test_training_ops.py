@@ -94,6 +94,35 @@ def test_lsh_ann_subset_of_bucket(emb):
         assert bf[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
 
 
+def test_bpe_token_count_matches_duckdb_on_unicode(spark):
+    """The BPE pretokenizer regex must agree across engines beyond the
+    ASCII corpus (Java regex vs RE2, \\p{L}/\\p{N} classes)."""
+    import duckdb
+
+    texts = [
+        "héllo wörld 123, foo!bar",
+        "中文 text 42 — mixed; «quotes»",
+        "  spaced   out  ",
+        "don't stop-me now 3.14",
+    ]
+    rows = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in rows.select(
+            "doc_id", text.bpe_token_count("text").alias("n")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        (want,) = duckdb.sql(
+            r"SELECT len(regexp_extract_all($t,"
+            r" ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))",
+            params={"t": t},
+        ).fetchone()
+        assert got[i] == want, (t, got[i], want)
+
+
 def test_repetition_ratio_and_pii_redaction(spark):
     rows = spark.createDataFrame(
         [

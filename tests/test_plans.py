@@ -175,6 +175,33 @@ def test_mor_resolve_plan_shape(spark, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_mor_resolve_preserves_column_pruning(spark, tmp_path):
+    """A narrow projection over a MOR read must prune the BASE parquet
+    scan to keys + requested columns — resolution expressions are
+    per-column, so Catalyst prunes the unused ones through the join.
+    (The delta side stays struct-wide but is bounded by compaction.)"""
+    import re
+
+    from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+
+    from tests.test_apply_batch import _events_df, audit_col, ev
+
+    applier = CdcApplier(
+        spark, SinkConfig(n_buckets=2, merge_mode="mor"),
+        str(tmp_path / "t"), audit_ts=audit_col(),
+    )
+    applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                        batch_id=0)
+    applier.apply_batch(_events_df(spark, [ev(2, "u", "conv-a", 0)]),
+                        batch_id=1)
+    plan = plan_of(applier.read_target().select("conv_id", "text"))
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    base = [s for s in schemas if "__ups" not in s]
+    assert base, schemas
+    for s in base:
+        assert "text" in s and "role" not in s and "audit_ts" not in s, s
+
+
 def test_mor_sdel_resolve_plan_shape(spark, tmp_path):
     """Subset-delete resolution stays JVM-side: the sdel overlay adds
     one aggregate + one join on top of the pk resolve, all declarative

@@ -267,6 +267,81 @@ FROM f FULL OUTER JOIN m ON f.user_id = m.user_id
 """
 
 
+def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed (Delta-CDF idea on the engine's snapshot log):
+    apply the stream as two batches under HARD deletes, then emit every
+    row whose state differs between the mid-stream version and the
+    head — inserts (new keys), updates (re-upserted keys), deletes
+    (hard-deleted keys, pre-image) — the view a downstream index/cache
+    refreshes from instead of rescanning the table."""
+    from kafka_jdbc_sink_connector_spark.lake.changes import table_changes
+
+    cfg = SinkConfig(pk_fields=("user_id",), delete_retain_fields=("ts",),
+                     n_buckets=8, delete_mode="delete")
+    cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
+    mid = cdc.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    tmp = tempfile.mkdtemp(prefix="cdc_change_feed_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
+    r1 = applier.apply_batch(
+        cdc.filter(F.col("kafka_offset") <= mid), batch_id=0
+    )
+    applier.apply_batch(cdc.filter(F.col("kafka_offset") > mid), batch_id=1)
+    feed = table_changes(
+        applier.table(), from_version=r1.snapshot_version,
+        compare_cols=["event_id", "event_type", "value", "ts"],
+    )
+    return feed.select(
+        "user_id",
+        "_change_type",
+        F.col("event_id").alias("image_event_id"),
+        F.col("event_type").alias("image_event_type"),
+        F.col("value").alias("image_value"),
+        F.unix_timestamp("ts").alias("image_ts_epoch"),
+    )
+
+
+def _sql_cdc_change_feed() -> str:
+    # hard-delete state at a stream position: latest upsert per key
+    # with no later delete (<= position); feed = keywise diff of the
+    # two states, post-image (pre-image only for deletes)
+    def hard_state(upto: str) -> str:
+        return f"""
+  SELECT user_id, event_id, event_type, value, ts FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events
+    WHERE event_type <> 'error' AND event_id <= {upto}
+  ) u
+  WHERE rn = 1 AND NOT EXISTS (
+    SELECT 1 FROM events d
+    WHERE d.user_id = u.user_id AND d.event_type = 'error'
+      AND d.event_id > u.event_id AND d.event_id <= {upto}
+  )
+"""
+
+    return f"""
+WITH bounds AS (
+  SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS mid FROM events
+),
+m AS ({hard_state("(SELECT mid FROM bounds)")}),
+f AS ({hard_state("(SELECT max(event_id) FROM events)")})
+SELECT coalesce(f.user_id, m.user_id) AS user_id,
+       CASE WHEN m.user_id IS NULL THEN 'insert'
+            WHEN f.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS _change_type,
+       coalesce(f.event_id, m.event_id) AS image_event_id,
+       coalesce(f.event_type, m.event_type) AS image_event_type,
+       coalesce(f.value, m.value) AS image_value,
+       CAST(floor(epoch(coalesce(f.ts, m.ts))) AS BIGINT)
+         AS image_ts_epoch
+FROM f FULL OUTER JOIN m ON f.user_id = m.user_id
+WHERE m.user_id IS NULL OR f.user_id IS NULL
+   OR f.event_id <> m.event_id OR f.event_type <> m.event_type
+   OR f.value <> m.value OR f.ts <> m.ts
+"""
+
+
 def q_cdc_lineage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source-partition lineage (F5): offset ranges + op counts."""
     cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
@@ -1673,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_subset_delete_state": q_cdc_subset_delete_state,
         "cdc_subset_delete_state_mor": q_cdc_subset_delete_state_mor,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
+        "cdc_change_feed": q_cdc_change_feed,
         "cdc_lineage_agg": q_cdc_lineage_agg,
         "cdc_quarantine_split": q_cdc_quarantine_split,
         "cdc_schema_evolution_backfill": q_cdc_schema_evolution_backfill,
@@ -1723,6 +1799,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_subset_delete_state": _sql_cdc_subset_delete_state(),
         "cdc_subset_delete_state_mor": _sql_cdc_subset_delete_state(),
         "cdc_snapshot_diff": _sql_cdc_snapshot_diff(),
+        "cdc_change_feed": _sql_cdc_change_feed(),
         "cdc_lineage_agg": _sql_cdc_lineage(),
         "cdc_quarantine_split": _sql_cdc_quarantine(),
         "cdc_schema_evolution_backfill": _sql_cdc_evolution(),

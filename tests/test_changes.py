@@ -1,0 +1,92 @@
+"""Change data feed (lake/changes.py): keywise diff of two snapshot
+versions — insert/update/delete classification, soft deletes surface
+as updates, compare_cols excludes apply-time noise."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+from kafka_jdbc_sink_connector_spark.config import SinkConfig
+from kafka_jdbc_sink_connector_spark.lake.changes import table_changes
+
+from tests.test_apply_batch import _events_df, audit_col, ev
+
+
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_change_feed_insert_update_delete(spark, tmp_table, merge_mode):
+    cfg = SinkConfig(n_buckets=4, merge_mode=merge_mode,
+                     delete_mode="delete")
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    r1 = applier.apply_batch(
+        _events_df(spark, [ev(1, "c", "conv-a", 0),
+                           ev(2, "c", "conv-b", 0, text="stays"),
+                           ev(3, "c", "conv-c", 0)]),
+        batch_id=0,
+    )
+    applier.apply_batch(
+        _events_df(spark, [ev(4, "u", "conv-a", 0, text="v2"),
+                           ev(5, "d", "conv-c", 0),
+                           ev(6, "c", "conv-d", 0)]),
+        batch_id=1,
+    )
+    feed = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in table_changes(
+            applier.table(), from_version=r1.snapshot_version
+        ).collect()
+    }
+    assert feed[("conv-a", 0)]["_change_type"] == "update"
+    assert feed[("conv-a", 0)]["text"] == "v2"        # post-image
+    assert feed[("conv-c", 0)]["_change_type"] == "delete"
+    assert feed[("conv-c", 0)]["text"] is not None    # pre-image kept
+    assert feed[("conv-d", 0)]["_change_type"] == "insert"
+    assert ("conv-b", 0) not in feed                  # unchanged: absent
+
+
+def test_change_feed_soft_delete_is_update(spark, tmp_table):
+    cfg = SinkConfig(n_buckets=4)  # soft delete default
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    r1 = applier.apply_batch(
+        _events_df(spark, [ev(1, "c", "conv-a", 0)]), batch_id=0
+    )
+    applier.apply_batch(_events_df(spark, [ev(2, "d", "conv-a", 0)]),
+                        batch_id=1)
+    feed = table_changes(
+        applier.table(), from_version=r1.snapshot_version
+    ).collect()
+    assert len(feed) == 1
+    assert feed[0]["_change_type"] == "update"   # row still exists
+    assert feed[0]["op_type"] == "D"
+
+
+def test_change_feed_compare_cols_excludes_noise(spark, tmp_table):
+    """A replayed identical value with a fresh audit ts is NOT an
+    update when audit_ts is excluded from the comparison."""
+    from pyspark.sql import functions as F
+
+    cfg = SinkConfig(n_buckets=4)
+    applier = CdcApplier(
+        spark, cfg, tmp_table,
+        audit_ts=F.lit("2024-06-01T00:00:00Z").cast("timestamp"),
+    )
+    r1 = applier.apply_batch(
+        _events_df(spark, [ev(1, "c", "conv-a", 0)]), batch_id=0
+    )
+    # batch 2 re-delivers the same content under a new offset, with a
+    # DIFFERENT audit timestamp
+    applier.audit_ts = F.lit("2024-06-02T00:00:00Z").cast("timestamp")
+    applier.apply_batch(
+        _events_df(spark, [ev(1, "c", "conv-a", 0)]), batch_id=1
+    )
+    t = applier.table()
+    noisy = table_changes(t, from_version=r1.snapshot_version).collect()
+    assert len(noisy) == 1  # audit ts moved → shows as update
+    quiet = table_changes(
+        t, from_version=r1.snapshot_version,
+        compare_cols=["text", "role", "ts", "op_type"],
+    ).collect()
+    assert quiet == []
+
+    with pytest.raises(ValueError, match="from_version"):
+        table_changes(t, from_version=t.version + 1, to_version=0)

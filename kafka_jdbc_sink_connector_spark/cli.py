@@ -162,6 +162,30 @@ def cmd_show(args) -> None:
     }, indent=2))
 
 
+def cmd_changes(args) -> None:
+    from kafka_jdbc_sink_connector_spark.lake.changes import table_changes
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    spark = _session(args)
+    t = LakeTable.load(spark, args.table)
+    feed = table_changes(
+        t, from_version=args.from_version, to_version=args.to_version
+    )
+    if args.out:
+        feed.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    else:
+        n = feed.count()
+        for r in feed.limit(args.limit).collect():
+            print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+    print(json.dumps({
+        "n_changes": n,
+        "from_version": args.from_version,
+        "to_version": args.to_version
+        if args.to_version is not None else t.version,
+    }))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="kafka_jdbc_sink_connector_spark")
     ap.add_argument("--cores", default="*")
@@ -219,6 +243,18 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("show")
     p.add_argument("--table", required=True)
     p.set_defaults(fn=cmd_show)
+
+    p = sub.add_parser(
+        "changes", help="change data feed between two table versions"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--from-version", type=int, required=True)
+    p.add_argument("--to-version", type=int, default=None)
+    p.add_argument("--out", default=None,
+                   help="write the feed to this parquet path instead "
+                        "of printing")
+    p.add_argument("--limit", type=int, default=20)
+    p.set_defaults(fn=cmd_changes)
 
     args = ap.parse_args(argv)
     args.fn(args)

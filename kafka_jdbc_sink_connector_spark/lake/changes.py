@@ -62,16 +62,46 @@ def table_changes(
         raise ValueError(
             f"from_version {from_version} > to_version {to_version}"
         )
-    keys = list(table.snapshot.key_fields)
-    cols = [f.name for f in table.snapshot.schema.fields]
+    old_snap = table._read_version(from_version)
+    new_snap = table._read_version(to_version)
+    keys = list(new_snap.key_fields)
+    cols = [f.name for f in new_snap.schema.fields]
     non_keys = [c for c in cols if c not in keys]
     cmp_cols = non_keys if compare_cols is None else [
         c for c in non_keys if c in set(compare_cols)
     ]
-    old = table.read(version=from_version).select(
-        *[F.col(c).alias(f"o_{c}") for c in cols]
+    # manifest-level bucket pruning: a bucket whose base/delta/sdel
+    # file lists are IDENTICAL in both snapshots cannot contain a
+    # changed row — the diff reads only buckets that differ, so feed
+    # cost scales with changed data, not table size (driver-side list
+    # compare, no data touched)
+    changed = [
+        b
+        for b in range(new_snap.n_buckets)
+        if (
+            old_snap.buckets.get(str(b), [])
+            != new_snap.buckets.get(str(b), [])
+            or old_snap.delta_buckets.get(str(b), [])
+            != new_snap.delta_buckets.get(str(b), [])
+            or old_snap.sdel_buckets.get(str(b), [])
+            != new_snap.sdel_buckets.get(str(b), [])
+        )
+    ]
+    # schema may have evolved between the versions: columns the old
+    # snapshot predates read as NULL (same null-backfill the table
+    # itself applies to old files)
+    old_cols = {f.name for f in old_snap.schema.fields}
+    old = table.read(version=from_version, buckets=changed).select(
+        *[
+            (
+                F.col(c)
+                if c in old_cols
+                else F.lit(None).cast(new_snap.schema[c].dataType)
+            ).alias(f"o_{c}")
+            for c in cols
+        ]
     )
-    new = table.read(version=to_version)
+    new = table.read(version=to_version, buckets=changed)
     cond = [new[k].eqNullSafe(old[f"o_{k}"]) for k in keys]
     j = new.join(old, cond, "full_outer")
 

@@ -44,6 +44,53 @@ def test_change_feed_insert_update_delete(spark, tmp_table, merge_mode):
     assert ("conv-b", 0) not in feed                  # unchanged: absent
 
 
+def test_change_feed_prunes_untouched_buckets(spark, tmp_table):
+    """Manifest-level pruning: only buckets whose file lists differ
+    between the versions are read — a one-conversation update scans
+    one bucket, not the table."""
+    cfg = SinkConfig(n_buckets=8)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    rows0 = [ev(i, "c", f"conv-{i}", 0) for i in range(1, 17)]
+    r1 = applier.apply_batch(_events_df(spark, rows0), batch_id=0)
+    applier.apply_batch(
+        _events_df(spark, [ev(100, "u", "conv-3", 0, text="v2")]),
+        batch_id=1,
+    )
+    feed = table_changes(applier.table(), from_version=r1.snapshot_version)
+    rows = feed.collect()
+    assert len(rows) == 1 and rows[0]["text"] == "v2"
+    # exactly one bucket's files per side back the plan (COW rewrote
+    # only conv-3's bucket); unpruned it would read all 8 per side
+    files = feed.inputFiles()
+    assert 0 < len(files) <= 4, files
+    whole_table = applier.read_target().inputFiles()
+    assert len(files) < len(whole_table), (files, whole_table)
+
+
+def test_change_feed_across_schema_evolution(spark, tmp_table):
+    """The old version predates an evolved column: its rows compare as
+    NULL for that column (same null-backfill as table reads)."""
+    cfg = SinkConfig(n_buckets=4)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    r1 = applier.apply_batch(
+        _events_df(spark, [ev(1, "c", "conv-a", 0),
+                           ev(2, "c", "conv-b", 0)]),
+        batch_id=0,
+    )
+    r2 = applier.apply_batch(
+        _events_df(spark, [ev(3, "u", "conv-a", 0, tool="search")],
+                   with_optional=("tool",)),
+        batch_id=1,
+    )
+    assert r2.evolved_columns == ["tool"]
+    feed = {r["conv_id"]: r for r in table_changes(
+        applier.table(), from_version=r1.snapshot_version
+    ).collect()}
+    assert feed["conv-a"]["_change_type"] == "update"
+    assert feed["conv-a"]["tool"] == "search"
+    assert "conv-b" not in feed  # tool NULL==NULL → unchanged
+
+
 def test_change_feed_soft_delete_is_update(spark, tmp_table):
     cfg = SinkConfig(n_buckets=4)  # soft delete default
     applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())

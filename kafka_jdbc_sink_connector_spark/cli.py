@@ -175,9 +175,16 @@ def cmd_changes(args) -> None:
         feed.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
     else:
-        n = feed.count()
-        for r in feed.limit(args.limit).collect():
-            print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+        # one pass over the expensive snapshot diff, not two
+        feed = feed.persist()
+        try:
+            n = feed.count()
+            for r in feed.limit(args.limit).collect():
+                print(json.dumps(
+                    {k: str(v) for k, v in r.asDict().items()}
+                ))
+        finally:
+            feed.unpersist()
     print(json.dumps({
         "n_changes": n,
         "from_version": args.from_version,

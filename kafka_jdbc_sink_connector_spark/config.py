@@ -268,7 +268,7 @@ class SinkConfig:
     _CONNECT_IGNORED_KEYS = {
         "name", "connector.class", "topics", "topics.regex",
         "tasks.max", "pk.mode", "quote.sql.identifiers",
-        "table.types", "db.timezone", "delete.enabled",
+        "table.types", "db.timezone",
     }
 
     @classmethod
@@ -303,7 +303,18 @@ class SinkConfig:
         def as_bool(v) -> bool:
             return v if isinstance(v, bool) else str(v).lower() == "true"
 
+        props = dict(props)
+        # Confluent `delete.enabled` is load-bearing, not ignorable:
+        # false means deletes/tombstones must NOT be applied. The audit
+        # extension's delete.mode overrides when explicitly set; with
+        # delete.enabled=false and no delete.mode, map to mode 'none'
+        # (silently keeping the engine's soft-delete default would mark
+        # rows deleted that the original connector left untouched).
+        del_enabled = props.pop("delete.enabled", None)
         kw: dict = {}
+        if del_enabled is not None and not as_bool(del_enabled):
+            if "delete.mode" not in props:
+                kw["delete_mode"] = "none"
         engine_keys = {
             "engine.merge.mode": ("merge_mode", str),
             "engine.n.buckets": ("n_buckets", int),

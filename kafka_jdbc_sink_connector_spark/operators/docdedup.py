@@ -270,6 +270,16 @@ def connected_components(
         labels = new
         if not changed:
             break
+    else:
+        # never exit with silently-wrong labels: a component whose
+        # diameter exceeds max_iters would split into several clusters
+        # with no signal (the DuckDB closure oracle would disagree)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            f"rounds — a component's diameter exceeds the budget; "
+            f"raise max_iters or switch to the large-star/small-star "
+            f"contraction for long-chain graphs"
+        )
     return labels.select(
         F.col("src").alias("node"), F.col("lbl").alias("component")
     )

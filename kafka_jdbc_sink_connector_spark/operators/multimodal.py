@@ -133,9 +133,8 @@ def resize_images(
         suffix = f":{target_w}x{target_h}".encode()
         for pdf in batches:
             blobs = pdf[payload_col]
-            if use_real_decoder:
-                blobs.map(real_decode)  # raises: real path is gated
-            dims = blobs.map(_fake_decode)  # <- Image.open(...).size
+            decode = real_decode if use_real_decoder else _fake_decode
+            dims = blobs.map(decode)  # <- Image.open(...).size
             resized = blobs.map(                       # <- .resize(...)
                 lambda b: hashlib.md5(bytes(b) + suffix).hexdigest()
             )

@@ -341,9 +341,20 @@ def avro_decode_multi(
                 if out is None
                 else out.when(sid == F.lit(i), as_super)
             )
-        # unknown id → NULL struct here; the engine's validate stage
-        # quarantines the all-null row (keys missing)
-        return out
+        # unknown id / malformed frame → fail the batch loudly, the
+        # SAME behavior as the python fallback (a silent NULL struct
+        # would quarantine the rows as 'keys missing' — data loss with
+        # a misleading reason — and make identical pipelines behave
+        # differently depending on which decoder the classpath picks)
+        return out.otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("unknown schema id "),
+                    F.coalesce(sid.cast("string"), F.lit("<bad frame>")),
+                    F.lit(f" (registry miss); known: {sorted(schemas)}"),
+                )
+            ).cast(target)
+        )
 
     import pandas as pd
 

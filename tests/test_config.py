@@ -147,3 +147,20 @@ def test_from_connect_properties_rejects_typos():
     # engine knobs must use the prefix
     with pytest.raises(ConfigError, match="engine"):
         SinkConfig.from_connect_properties({"merge_mode": "mor"})
+
+
+def test_from_connect_properties_delete_enabled():
+    """Confluent delete.enabled is load-bearing: false disables delete
+    application unless the audit extension's delete.mode overrides."""
+    off = SinkConfig.from_connect_properties(
+        {"pk.fields": "conv_id,turn_idx", "delete.enabled": "false"})
+    assert off.delete_mode.value == "none"
+    on = SinkConfig.from_connect_properties(
+        {"pk.fields": "conv_id,turn_idx", "delete.enabled": "true"})
+    assert on.delete_mode.value == "update"  # engine default applies
+    overridden = SinkConfig.from_connect_properties({
+        "pk.fields": "conv_id,turn_idx", "delete.enabled": "false",
+        "delete.mode": "UPDATE",
+        "delete.as.update.identifier": "op_type=D",
+    })
+    assert overridden.delete_mode.value == "update"

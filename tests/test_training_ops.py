@@ -284,3 +284,16 @@ def test_simhash64_wide_bands(spark, docs):
         assert got.get((r["doc_id"], r["doc_id"] + 200000)) == 0
     for (a, b), h in got.items():
         assert bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") == h
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exceeding the round budget must fail loudly, never return
+    silently-wrong (split) components."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        docdedup.connected_components(chain, max_iters=2)
+    # with budget it converges fine
+    got = docdedup.connected_components(chain, max_iters=40).collect()
+    assert all(r["component"] == 1 for r in got)

@@ -318,6 +318,12 @@ class LakeTable:
 
         out_cols = [f.name for f in schema.fields] + [BUCKET_COL]
         _t0 = time.monotonic()
+        # NOTE measured non-win: sortWithinPartitions(bucket, pk) before
+        # the write changed written bytes by 0 (dictionary encoding
+        # already absorbs repeated keys regardless of row order) and
+        # showed no reproducible speed effect on this host — keep the
+        # write unsorted and let the merge join's ordering fall where
+        # it may
         (
             new_data.withColumn(_PART_DIR_COL, F.col(BUCKET_COL))
             .select(*out_cols, _PART_DIR_COL)

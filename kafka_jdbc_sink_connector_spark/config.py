@@ -304,17 +304,19 @@ class SinkConfig:
             return v if isinstance(v, bool) else str(v).lower() == "true"
 
         props = dict(props)
-        # Confluent `delete.enabled` is load-bearing, not ignorable:
-        # false means deletes/tombstones must NOT be applied. The audit
-        # extension's delete.mode overrides when explicitly set; with
-        # delete.enabled=false and no delete.mode, map to mode 'none'
-        # (silently keeping the engine's soft-delete default would mark
-        # rows deleted that the original connector left untouched).
+        # Confluent `delete.enabled` is load-bearing, not ignorable —
+        # the audit extension's delete.mode overrides when explicitly
+        # set, otherwise map faithfully: false = deletes/tombstones are
+        # NOT applied (mode none — the engine's soft-delete default
+        # would mark rows the original connector left untouched), true
+        # = the stock Confluent sink HARD-deletes on tombstones (mode
+        # delete).
         del_enabled = props.pop("delete.enabled", None)
         kw: dict = {}
-        if del_enabled is not None and not as_bool(del_enabled):
-            if "delete.mode" not in props:
-                kw["delete_mode"] = "none"
+        if del_enabled is not None and "delete.mode" not in props:
+            kw["delete_mode"] = (
+                "delete" if as_bool(del_enabled) else "none"
+            )
         engine_keys = {
             "engine.merge.mode": ("merge_mode", str),
             "engine.n.buckets": ("n_buckets", int),

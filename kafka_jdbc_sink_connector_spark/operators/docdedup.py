@@ -271,15 +271,29 @@ def connected_components(
         if not changed:
             break
     else:
-        # never exit with silently-wrong labels: a component whose
-        # diameter exceeds max_iters would split into several clusters
-        # with no signal (the DuckDB closure oracle would disagree)
-        raise RuntimeError(
-            f"connected_components did not converge within {max_iters} "
-            f"rounds — a component's diameter exceeds the budget; "
-            f"raise max_iters or switch to the large-star/small-star "
-            f"contraction for long-chain graphs"
+        # the budget may equal the diameter exactly — the final round
+        # applied the last change, so certify with one propagation
+        # probe before declaring failure (never exit with
+        # silently-wrong labels: a genuinely unconverged graph would
+        # split one cluster into several with no signal, and the
+        # DuckDB closure oracle would disagree)
+        pending = (
+            edges.join(labels, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.min("lbl").alias("nlbl"))
+            .join(labels, "src")
+            .filter(F.col("nlbl") < F.col("lbl"))
+            .limit(1)
+            .count()
         )
+        if pending:
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"{max_iters} rounds — a component's diameter exceeds "
+                f"the budget; raise max_iters or switch to the "
+                f"large-star/small-star contraction for long-chain "
+                f"graphs"
+            )
     return labels.select(
         F.col("src").alias("node"), F.col("lbl").alias("component")
     )

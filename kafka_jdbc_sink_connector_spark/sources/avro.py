@@ -320,7 +320,15 @@ def avro_decode_multi(
 
         sid = schema_id_column(col)
         body = confluent_payload(col)
-        out: Column | None = None
+        # mirror the python fallback exactly: NULL payload → NULL
+        # struct (tombstones), bad magic byte → loud frame error —
+        # same inputs must fail (or not) identically on both decoders
+        out: Column = F.when(col.isNull(), F.lit(None).cast(target)).when(
+            F.substring(col, 1, 1) != F.lit(b"\x00"),
+            F.raise_error(
+                F.lit("not Confluent wire format (magic byte != 0)")
+            ).cast(target),
+        )
         for i in sorted(schemas):
             dec = from_avro(body, schemas[i])
             present = {
@@ -336,11 +344,7 @@ def avro_decode_multi(
                     for f in target.fields
                 ]
             )
-            out = (
-                F.when(sid == F.lit(i), as_super)
-                if out is None
-                else out.when(sid == F.lit(i), as_super)
-            )
+            out = out.when(sid == F.lit(i), as_super)
         # unknown id / malformed frame → fail the batch loudly, the
         # SAME behavior as the python fallback (a silent NULL struct
         # would quarantine the rows as 'keys missing' — data loss with

@@ -155,9 +155,11 @@ def test_from_connect_properties_delete_enabled():
     off = SinkConfig.from_connect_properties(
         {"pk.fields": "conv_id,turn_idx", "delete.enabled": "false"})
     assert off.delete_mode.value == "none"
+    # stock Confluent semantics: delete.enabled=true hard-deletes on
+    # tombstones — mapped faithfully when no delete.mode overrides
     on = SinkConfig.from_connect_properties(
         {"pk.fields": "conv_id,turn_idx", "delete.enabled": "true"})
-    assert on.delete_mode.value == "update"  # engine default applies
+    assert on.delete_mode.value == "delete"
     overridden = SinkConfig.from_connect_properties({
         "pk.fields": "conv_id,turn_idx", "delete.enabled": "false",
         "delete.mode": "UPDATE",

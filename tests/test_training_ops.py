@@ -297,3 +297,16 @@ def test_connected_components_nonconvergence_raises(spark):
     # with budget it converges fine
     got = docdedup.connected_components(chain, max_iters=40).collect()
     assert all(r["component"] == 1 for r in got)
+
+
+def test_connected_components_budget_equals_diameter_accepts(spark):
+    """Converging exactly on the last allowed round must be accepted
+    (certified by a propagation probe), not spuriously rejected."""
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    # this chain needs exactly 3 propagation rounds; round 3 applies
+    # the final change so the loop exhausts — probe certifies success
+    got = {r["node"]: r["component"] for r in
+           docdedup.connected_components(chain, max_iters=3).collect()}
+    assert got == {n: 1 for n in range(1, 6)}

@@ -337,9 +337,38 @@ def _tmpfs_dir(name: str) -> str:
     return d
 
 
+def wait_calm(args) -> float:
+    """Block until the host looks calm (loadavg + a 5 s steal sample)
+    or ``--calm-wait-max`` elapses; returns the loadavg that ended the
+    wait. Gating uses host signals only, never throughput, so it
+    cannot bias the numbers — the same pre-registered protocol the
+    scaling run uses."""
+    deadline = time.monotonic() + args.calm_wait_max
+    while True:
+        time.sleep(args.settle_sec)
+        load = _loadavg()
+        s0, t0 = _cpu_stat()
+        time.sleep(5)
+        s1, t1 = _cpu_stat()
+        steal_now = 100.0 * (s1 - s0) / max(1, t1 - t0)
+        if load <= args.max_load and steal_now <= args.max_steal_pct:
+            return load
+        if time.monotonic() >= deadline:
+            return load  # proceed; the validity fields will flag it
+
+
 def main_default(args) -> None:
     sf = sf_of(args.sf_dir)
     n_events = args.events or max(20_000, int(EVENTS_PER_SF * sf))
+    # host-validity instrumentation: the sandbox host varies up to 3x
+    # between identical runs (shared VM, bursty co-tenants), so every
+    # emitted JSON carries the signals needed to tell a real
+    # regression from a noisy host — pre-run loadavg, hypervisor
+    # steal% measured over the whole run, and a host_valid verdict
+    # against the same pre-registered thresholds the scaling protocol
+    # uses. Default: wait (bounded) for a calm window first.
+    load0 = _loadavg() if args.no_wait_calm else wait_calm(args)
+    steal0, total0 = _cpu_stat()
     spark = build(args.cpus)
     work = tempfile.mkdtemp(prefix="bench_cdc_",
                             dir="/dev/shm" if os.path.isdir("/dev/shm")
@@ -364,6 +393,8 @@ def main_default(args) -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
+    steal1, total1 = _cpu_stat()
+    steal_pct = round(100.0 * (steal1 - steal0) / max(1, total1 - total0), 2)
     wa_sec = sum(wa[m]["steady_sec"] for m in ("cow", "mor")) if wa else 0
     total = round(cdc["seconds"] + sum(queries.values()) + wa_sec, 3)
     queries = {"cdc_apply": round(cdc["seconds"], 3), **queries}
@@ -371,6 +402,11 @@ def main_default(args) -> None:
         queries["mor_steady_apply"] = wa["mor"]["steady_sec"]
         queries["cow_steady_apply"] = wa["cow"]["steady_sec"]
     payload = {
+        "loadavg_at_start": load0,
+        "steal_pct": steal_pct,
+        "host_valid": bool(
+            steal_pct <= args.max_steal_pct and load0 <= args.max_load
+        ),
         "metric": "cdc-apply+operator suite wall seconds "
                   "(headline: change-events/sec end-to-end)",
         "value": total,
@@ -450,35 +486,19 @@ def main_scaling(args) -> None:
         gen_spark.stop()
     have_taskset = shutil.which("taskset") is not None
 
-    def wait_calm() -> float:
-        """Sleep/settle until the host looks calm (loadavg + a 5 s
-        steal sample), give up after --calm-wait-max. Returns the
-        loadavg that ended the wait."""
-        deadline = time.monotonic() + args.calm_wait_max
-        while True:
-            time.sleep(args.settle_sec)
-            load = _loadavg()
-            s0, t0 = _cpu_stat()
-            time.sleep(5)
-            s1, t1 = _cpu_stat()
-            steal_now = 100.0 * (s1 - s0) / max(1, t1 - t0)
-            if (load <= args.max_load
-                    and steal_now <= args.max_steal_pct):
-                return load
-            if time.monotonic() >= deadline:
-                return load  # proceed; validity gate will flag it
-
     def one_run(cores: int) -> dict:
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cores)
+        # --no-wait-calm: the parent gates calmness right here; the
+        # child gating too would double the settle and skew pairing
         cmd = [sys.executable, here, "--sf-dir", args.sf_dir,
                "--events", str(n_events), "--batches",
                str(args.batches), "--buckets", str(args.buckets),
                "--input-dir", gen_dir, "--skip-queries",
-               "--skip-write-amp"]
+               "--skip-write-amp", "--no-wait-calm"]
         if have_taskset:
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        load0 = wait_calm()
+        load0 = wait_calm(args)
         s0, t0 = _cpu_stat()
         out = subprocess.run(cmd, env=env, capture_output=True,
                              text=True, check=True)
@@ -638,6 +658,9 @@ def main() -> None:
     ap.add_argument("--max-load", type=float, default=5.0)
     ap.add_argument("--settle-sec", type=float, default=60.0)
     ap.add_argument("--calm-wait-max", type=float, default=900.0)
+    ap.add_argument("--no-wait-calm", action="store_true",
+                    help="skip the calm-window wait before the default "
+                         "run (validity fields are still recorded)")
     args = ap.parse_args()
     if args.events == 0:
         args.events = None

@@ -172,7 +172,9 @@ class CdcApplier:
         valid = tagged.filter(ok).drop("__error", "__b")
         if casts:
             valid = valid.withColumns(casts)
-        evolved = evolve_for_batch(table, valid, cfg)
+        evolved = evolve_for_batch(
+            table, valid, cfg, source_id=source_id, batch_id=batch_id
+        )
         _t = _tick("quarantine+evolve", _t)
 
         # --- job 3: the merge (or append) commit
@@ -308,7 +310,13 @@ class CdcApplier:
             # dynamic overwrite only replaces partitions present in the
             # written data — a replay that now quarantines ZERO rows
             # (schema evolved between attempts) must still clear the
-            # stale partition from the earlier attempt
+            # stale partition from the earlier attempt.
+            # NOTE local-FS assumption (same as the manifest log in
+            # lake/table.py, which uses os.link for atomic publish):
+            # on an object store this check is a no-op and the stale
+            # partition survives; the deployment seam is the same as
+            # the table's — swap the os/shutil calls for the store's
+            # filesystem client alongside the LogStore swap
             stale = os.path.join(
                 self.quarantine_path, f"batch_id={batch_id}"
             )
@@ -405,9 +413,18 @@ class CdcApplier:
                 return snap, snap
             if parent.applied_batches.get(source_id, -1) < batch_id:
                 # snap is the merge commit; step the schema pin past
-                # the batch's own evolution commit(s), if any
+                # the batch's OWN evolution commit(s) only — an
+                # untagged 'evolved_by' (pre-tagging log) is treated
+                # as this batch's for compatibility, but a commit
+                # tagged with another source/batch belongs to a
+                # concurrent writer and was already in place when this
+                # batch entered, so the pin stops above it
                 schema_snap = parent
                 while "evolved" in (schema_snap.stats or {}):
+                    tag = (schema_snap.stats or {}).get("evolved_by")
+                    if tag is not None and list(tag) != [source_id,
+                                                         batch_id]:
+                        break
                     below = parent_of(schema_snap)
                     if below is None:
                         break

@@ -17,15 +17,16 @@ resolved states:
   image a hard-deleted row has; soft deletes surface as ``update``
   because the row still exists with its marker flipped)
 
-This is O(old + new) — correct for any mode, any distance, and
-bucket-aligned (both sides share the bucket layout, so the join
-shuffles nothing when Spark picks the bucket-local plan; at 100 TB
-restrict it per bucket or partition range the same way reads are
-pruned). For adjacent MOR versions a cheaper path exists — the delta
-files ARE the change log — but its rows are pre-collapsed per batch;
-the diff gives the same answer for any version distance, so it is the
-one implementation here and the delta-replay fast path is a documented
-optimization seam.
+This is O(old + new) — correct for any mode and any distance. The
+full-outer join does shuffle both sides (plain parquet reads don't
+expose the bucket layout to Catalyst as a join distribution); the
+scale lever is one level up: manifest-level bucket pruning restricts
+both scans to buckets whose file lists differ, so feed cost follows
+changed data, not table size. For adjacent delta (MOR) versions
+:func:`table_changes` takes a cheaper route automatically — the
+commit's delta files list exactly the changed keys, so only they and
+the OLD state of their buckets are read (no resolve of the new
+snapshot); see :func:`_adjacent_delta_changes`.
 """
 
 from __future__ import annotations
@@ -56,6 +57,15 @@ def table_changes(
     moves on every re-application — e.g. an at-least-once redelivery
     re-writes identical values with a fresh audit ts, which most
     consumers don't want to see as an update.
+
+    Contract (checked): both versions share the bucket layout and the
+    old schema's columns are a subset of the new one's (the engine's
+    evolution is add-only — a column REMOVED between the versions
+    would otherwise silently drop out of both comparison and images).
+    Key presence per side is detected via the first pk column being
+    non-null, which holds because the write path quarantines events
+    with null keys before they ever reach a snapshot
+    (``operators/validate.py``).
     """
     to_version = table.version if to_version is None else to_version
     if from_version > to_version:
@@ -64,44 +74,46 @@ def table_changes(
         )
     old_snap = table._read_version(from_version)
     new_snap = table._read_version(to_version)
+    if old_snap.n_buckets != new_snap.n_buckets:
+        raise ValueError(
+            f"bucket layout changed between versions ({old_snap.n_buckets}"
+            f" -> {new_snap.n_buckets} buckets); the bucket-pruned diff "
+            f"is only valid within one layout"
+        )
+    dropped = {f.name for f in old_snap.schema.fields} - {
+        f.name for f in new_snap.schema.fields
+    }
+    if dropped:
+        raise ValueError(
+            f"columns {sorted(dropped)} exist in v{from_version} but not "
+            f"v{to_version}; the change feed compares the new schema's "
+            f"columns and cannot represent removed ones"
+        )
     keys = list(new_snap.key_fields)
     cols = [f.name for f in new_snap.schema.fields]
     non_keys = [c for c in cols if c not in keys]
     cmp_cols = non_keys if compare_cols is None else [
         c for c in non_keys if c in set(compare_cols)
     ]
-    # manifest-level bucket pruning: a bucket whose base/delta/sdel
-    # file lists are IDENTICAL in both snapshots cannot contain a
-    # changed row — the diff reads only buckets that differ, so feed
-    # cost scales with changed data, not table size (driver-side list
-    # compare, no data touched)
-    changed = [
-        b
-        for b in range(new_snap.n_buckets)
-        if (
-            old_snap.buckets.get(str(b), [])
-            != new_snap.buckets.get(str(b), [])
-            or old_snap.delta_buckets.get(str(b), [])
-            != new_snap.delta_buckets.get(str(b), [])
-            or old_snap.sdel_buckets.get(str(b), [])
-            != new_snap.sdel_buckets.get(str(b), [])
+    new_delta = _new_delta_files(old_snap, new_snap)
+    if new_delta is not None:
+        return _adjacent_delta_changes(
+            table, old_snap, new_snap, new_delta, keys, cols, cmp_cols
         )
-    ]
-    # schema may have evolved between the versions: columns the old
-    # snapshot predates read as NULL (same null-backfill the table
-    # itself applies to old files)
-    old_cols = {f.name for f in old_snap.schema.fields}
-    old = table.read(version=from_version, buckets=changed).select(
-        *[
-            (
-                F.col(c)
-                if c in old_cols
-                else F.lit(None).cast(new_snap.schema[c].dataType)
-            ).alias(f"o_{c}")
-            for c in cols
-        ]
-    )
-    new = table.read(version=to_version, buckets=changed)
+    return _diff_changes(table, old_snap, new_snap, keys, cols, cmp_cols)
+
+
+def _keywise_diff(
+    new: DataFrame,
+    old: DataFrame,
+    keys: list[str],
+    cols: list[str],
+    cmp_cols: list[str],
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Full-outer key diff of two same-schema states → change rows.
+    ``old``'s columns must be pre-renamed with an ``o_`` prefix."""
     cond = [new[k].eqNullSafe(old[f"o_{k}"]) for k in keys]
     j = new.join(old, cond, "full_outer")
 
@@ -133,3 +145,151 @@ def table_changes(
         F.lit(from_version).alias(FROM_VERSION),
         F.lit(to_version).alias(TO_VERSION),
     ).filter(F.col(CHANGE_TYPE).isNotNull())
+
+
+def _old_state(
+    table: LakeTable, old_snap, new_snap, buckets: list[int]
+) -> DataFrame:
+    """The old version's resolved state over ``buckets``, projected to
+    the NEW snapshot's schema (columns the old snapshot predates read
+    as NULL — the same null-backfill the table itself applies to old
+    files), with ``o_``-prefixed names for :func:`_keywise_diff`."""
+    old_cols = {f.name for f in old_snap.schema.fields}
+    return table.read(version=old_snap.version, buckets=buckets).select(
+        *[
+            (
+                F.col(c)
+                if c in old_cols
+                else F.lit(None).cast(new_snap.schema[c].dataType)
+            ).alias(f"o_{c}")
+            for c in (f.name for f in new_snap.schema.fields)
+        ]
+    )
+
+
+def _diff_changes(
+    table: LakeTable, old_snap, new_snap, keys, cols, cmp_cols
+) -> DataFrame:
+    """Generic path: diff the two fully resolved states. Correct for
+    any version distance, compaction-crossing windows included."""
+    # manifest-level bucket pruning: a bucket whose base/delta/sdel
+    # file lists are IDENTICAL in both snapshots cannot contain a
+    # changed row — the diff reads only buckets that differ, so feed
+    # cost scales with changed data, not table size (driver-side list
+    # compare, no data touched)
+    changed = [
+        b
+        for b in range(new_snap.n_buckets)
+        if (
+            old_snap.buckets.get(str(b), [])
+            != new_snap.buckets.get(str(b), [])
+            or old_snap.delta_buckets.get(str(b), [])
+            != new_snap.delta_buckets.get(str(b), [])
+            or old_snap.sdel_buckets.get(str(b), [])
+            != new_snap.sdel_buckets.get(str(b), [])
+        )
+    ]
+    old = _old_state(table, old_snap, new_snap, changed)
+    new = table.read(version=new_snap.version, buckets=changed)
+    return _keywise_diff(
+        new, old, keys, cols, cmp_cols, old_snap.version, new_snap.version
+    )
+
+
+def _new_delta_files(old_snap, new_snap) -> dict[str, list[str]] | None:
+    """When ``new_snap`` is exactly ``old_snap`` plus one merge-on-read
+    delta commit (no base rewrite, no compaction, no subset-delete
+    files), return the commit's delta files per bucket; else None.
+
+    The per-bucket prefix check (old delta list == head of new delta
+    list) is what proves the commit only APPENDED deltas — a
+    compaction between the versions reorders/folds the lists and
+    falls through to the generic diff."""
+    if new_snap.parent != old_snap.version:
+        return None
+    if new_snap.buckets != old_snap.buckets:
+        return None  # COW rewrite / append / compaction
+    if new_snap.sdel_buckets != old_snap.sdel_buckets:
+        return None  # subset-key deletes: keys not listed per row
+    out: dict[str, list[str]] = {}
+    for b, files in new_snap.delta_buckets.items():
+        head = old_snap.delta_buckets.get(b, [])
+        if files[: len(head)] != head:
+            return None
+        if files[len(head):]:
+            out[b] = files[len(head):]
+    for b, files in old_snap.delta_buckets.items():
+        if b not in new_snap.delta_buckets and files:
+            return None  # deltas disappeared: a fold happened
+    return out
+
+
+def _adjacent_delta_changes(
+    table: LakeTable, old_snap, new_snap,
+    new_delta: dict[str, list[str]], keys, cols, cmp_cols,
+) -> DataFrame:
+    """Adjacent-delta fast path: the just-committed delta files list
+    exactly the keys that can have changed, so the feed touches
+
+    * the commit's own delta files (batch-sized), and
+    * the OLD state of the affected buckets, key-filtered to the delta
+      keys before the diff join (needed for pre-images and the
+      insert-vs-update distinction — the deltas alone cannot say
+      whether a key existed at the old version),
+
+    and never resolves the NEW snapshot (whose delta history spans
+    every commit since the last compaction). Shuffle volume follows
+    the batch size, not the bucket contents: the delta-key semi-join
+    filters the old-state scan before the full-outer diff.
+
+    New state for the affected keys = ``mor.resolve(old state, new
+    deltas)`` — resolution composes (the resolved old row plays the
+    base role at position (-1, -inf), exactly how a base file row
+    written by compaction would), so this is the same answer the
+    two-snapshot diff computes, at batch cost.
+    """
+    import os
+
+    from kafka_jdbc_sink_connector_spark.lake import mor
+
+    affected = sorted(int(b) for b in new_delta)
+    if not affected:
+        # metadata-only / empty commit: nothing can have changed
+        empty = table.spark.createDataFrame(
+            [], table.read(version=new_snap.version, buckets=[]).schema
+        )
+        return empty.select(
+            "*",
+            F.lit(None).cast("string").alias(CHANGE_TYPE),
+            F.lit(old_snap.version).alias(FROM_VERSION),
+            F.lit(new_snap.version).alias(TO_VERSION),
+        ).filter(F.col(CHANGE_TYPE).isNotNull())
+    files = [
+        os.path.join(table.path, f)
+        for b in new_delta
+        for f in new_delta[b]
+    ]
+    deltas = table.spark.read.schema(
+        mor.delta_schema(new_snap.schema, keys)
+    ).parquet(*files)
+    dkeys = deltas.select(*keys).distinct()
+
+    # old resolved state of the affected buckets, restricted to the
+    # delta keys (left-semi; AQE broadcasts the batch-sized key set)
+    old_all = _old_state(table, old_snap, new_snap, affected)
+    old = old_all.join(
+        dkeys.select(*[F.col(k).alias(f"o_{k}") for k in keys]),
+        [f"o_{k}" for k in keys],
+        "left_semi",
+    )
+    # resolve the new deltas over the old state → new state per key
+    base = old.select(
+        *[F.col(f"o_{c}").alias(c) for c in cols]
+    ).withColumn(
+        mor.BUCKET_COL,
+        F.lit(None).cast("int"),  # only carried through, keys drive joins
+    )
+    new = mor.resolve(base, deltas, new_snap).drop(mor.BUCKET_COL)
+    return _keywise_diff(
+        new, old, keys, cols, cmp_cols, old_snap.version, new_snap.version
+    )

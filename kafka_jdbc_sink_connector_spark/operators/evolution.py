@@ -129,7 +129,8 @@ def target_schema_for(payload: T.StructType, cfg: SinkConfig) -> T.StructType:
 
 
 def evolve_for_batch(
-    table: LakeTable, events: DataFrame, cfg: SinkConfig
+    table: LakeTable, events: DataFrame, cfg: SinkConfig,
+    source_id: str | None = None, batch_id: int | None = None,
 ) -> list[str]:
     """Evolve ``table`` to accommodate the batch's columns.
 
@@ -165,7 +166,13 @@ def evolve_for_batch(
     head = [f for f in table.schema.fields if f.name not in managed]
     tail = [f for f in table.schema.fields if f.name in managed]
     new_schema = T.StructType(head + missing + tail)
-    table.commit_metadata(
-        new_schema, stats={"evolved": [f.name for f in missing]}
-    )
+    # the (source_id, batch_id) tag lets a replay tell THIS batch's
+    # evolution commit apart from another source's that happens to sit
+    # immediately below the merge commit in a multi-source table — the
+    # schema pin in apply._committing_snapshot only steps past commits
+    # this batch produced
+    stats: dict = {"evolved": [f.name for f in missing]}
+    if source_id is not None and batch_id is not None:
+        stats["evolved_by"] = [source_id, batch_id]
+    table.commit_metadata(new_schema, stats=stats)
     return [f.name for f in missing]

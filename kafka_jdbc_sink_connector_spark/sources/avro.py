@@ -323,8 +323,12 @@ def avro_decode_multi(
         # mirror the python fallback exactly: NULL payload → NULL
         # struct (tombstones), bad magic byte → loud frame error —
         # same inputs must fail (or not) identically on both decoders
+        # the length guard mirrors the python fallback's `len(b) < 5`
+        # check: a truncated frame must fail as a frame error, not
+        # yield a short schema id that could collide with a known one
+        # and surface as a confusing decode error downstream
         out: Column = F.when(col.isNull(), F.lit(None).cast(target)).when(
-            F.substring(col, 1, 1) != F.lit(b"\x00"),
+            (F.length(col) < 5) | (F.substring(col, 1, 1) != F.lit(b"\x00")),
             F.raise_error(
                 F.lit("not Confluent wire format (magic byte != 0)")
             ).cast(target),

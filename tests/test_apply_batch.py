@@ -349,6 +349,59 @@ def test_backfill_pins_committing_snapshot_version(spark, tmp_table):
     assert lin[1] == r1.snapshot_version
 
 
+def test_schema_pin_respects_other_sources_evolution(spark, tmp_table):
+    """In a multi-source table, an evolution commit tagged by ANOTHER
+    source that sits immediately below this batch's merge commit was
+    already in place when the batch entered — the replay schema pin
+    must NOT step past it (stepping past would recompute the replayed
+    batch's stats/quarantine under a schema older than the one the
+    batch actually saw)."""
+    from kafka_jdbc_sink_connector_spark.operators.evolution import (
+        evolve_for_batch,
+    )
+
+    cfg = SinkConfig(n_buckets=4)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                        batch_id=0)
+    table = applier.table()
+    # source "other" evolves the schema (tagged), then source
+    # "default"'s batch 1 merges right on top of that commit
+    evolve_for_batch(
+        table,
+        _events_df(spark, [ev(90, "c", "conv-x", 0, tool="t")],
+                   with_optional=("tool",)),
+        cfg, source_id="other", batch_id=7,
+    )
+    v_evolved = table.version
+    applier.apply_batch(_events_df(spark, [ev(2, "u", "conv-a", 0)]),
+                        batch_id=1)
+    table = applier.table()
+    commit_snap, schema_snap = CdcApplier._committing_snapshot(
+        table, 1, "default"
+    )
+    assert commit_snap.version == table.version
+    # pinned to the evolved schema batch 1 entered against — NOT past
+    # the foreign evolution commit to the pre-evolution schema
+    assert schema_snap.version == v_evolved
+    assert "tool" in [f.name for f in schema_snap.schema.fields]
+
+    # counter-case: an evolution commit tagged by THIS batch is
+    # stepped past (the batch's stats ran before its own evolution)
+    applier.apply_batch(
+        _events_df(spark, [ev(3, "u", "conv-a", 0, meta_source="s")],
+                   with_optional=("meta_source",)),
+        batch_id=2,
+    )
+    table = applier.table()
+    _, schema_snap2 = CdcApplier._committing_snapshot(
+        table, 2, "default"
+    )
+    assert "meta_source" not in [
+        f.name for f in schema_snap2.schema.fields
+    ]
+
+
 def test_replay_with_zero_quarantine_clears_stale_partition(
     spark, tmp_table
 ):

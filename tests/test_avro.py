@@ -270,6 +270,28 @@ def test_multi_schema_record_key_mode(spark):
     assert parsed[0]["shard"] is None and parsed[1]["shard"] == "s1"
 
 
+@pytest.mark.parametrize("decoder", ["python", "spark"])
+def test_multi_schema_truncated_frame_is_frame_error(spark, decoder):
+    """A frame shorter than magic+id (5 bytes) must fail as a FRAME
+    error on BOTH decoders — without the length guard the JVM path
+    would read a short big-endian id that can collide with a known
+    schema id and surface as a confusing decode error instead."""
+    if decoder == "spark" and not spark_avro_available(spark):
+        pytest.skip("spark-avro not on the classpath")
+    cfg = SinkConfig()
+    # 0x00 0x00 0x00: magic looks right, id truncated — and its short
+    # read (0) could collide with a registry that maps id 0
+    rows = [(None, b"\x00\x00\x00", "transcripts", 0, 1, None, 0)]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    parsed = parse_kafka_records(
+        raw, None, cfg, value_format="avro",
+        avro_value_schemas={0: VALUE_SCHEMA, 7: VALUE_SCHEMA},
+        avro_decoder=decoder,
+    )
+    with pytest.raises(Exception, match="not Confluent wire format"):
+        parsed.collect()
+
+
 def test_multi_schema_unknown_id_raises(spark):
     cfg = SinkConfig()
     rows = [(None, _confluent(encode_record(VALUE_SCHEMA, {

@@ -137,3 +137,134 @@ def test_change_feed_compare_cols_excludes_noise(spark, tmp_table):
 
     with pytest.raises(ValueError, match="from_version"):
         table_changes(t, from_version=t.version + 1, to_version=0)
+
+
+# --- adjacent-delta fast path ----------------------------------------
+
+
+def _feed_key(r):
+    return (r["conv_id"], r["turn_idx"], r["_change_type"])
+
+
+def _rows_sorted(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+
+
+@pytest.mark.parametrize("delete_mode", ["update", "delete"])
+def test_adjacent_delta_fast_path_equals_diff(spark, tmp_table,
+                                              delete_mode):
+    """For every adjacent MOR version pair, the delta-replay fast path
+    and the two-snapshot diff must produce identical change rows —
+    inserts, updates, hard deletes (pre-image), soft deletes
+    (marker-flip update), and re-upserts of deleted keys included."""
+    from kafka_jdbc_sink_connector_spark.lake import changes
+
+    cfg = SinkConfig(n_buckets=4, merge_mode="mor",
+                     delete_mode=delete_mode)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    batches = [
+        [ev(1, "c", "conv-a", 0), ev(2, "c", "conv-b", 0),
+         ev(3, "c", "conv-c", 0), ev(4, "c", "conv-d", 1)],
+        [ev(5, "u", "conv-a", 0, text="v2"), ev(6, "d", "conv-c", 0),
+         ev(7, "c", "conv-e", 0)],
+        [ev(8, "c", "conv-c", 0, text="back"),   # re-insert deleted key
+         ev(9, "d", "conv-c", 0),                # ...and delete again
+         ev(10, "d", "conv-b", 0), ev(11, "u", "conv-d", 1, text="v3")],
+    ]
+    for i, rows in enumerate(batches):
+        applier.apply_batch(_events_df(spark, rows), batch_id=i)
+    t = applier.table()
+    keys = list(t.snapshot.key_fields)
+    cols = [f.name for f in t.snapshot.schema.fields]
+    cmp_cols = [c for c in cols if c not in keys]
+    fast_pairs = 0
+    for v_from, v_to in zip(t.history(), t.history()[1:]):
+        old_snap = t._read_version(v_from)
+        new_snap = t._read_version(v_to)
+        nd = changes._new_delta_files(old_snap, new_snap)
+        if nd is None:
+            continue
+        fast_pairs += 1
+        fast = changes._adjacent_delta_changes(
+            t, old_snap, new_snap, nd, keys, cols, cmp_cols
+        )
+        ref = changes._diff_changes(
+            t, old_snap, new_snap, keys, cols, cmp_cols
+        )
+        assert _rows_sorted(fast) == _rows_sorted(ref), (v_from, v_to)
+        # dispatch: table_changes itself must pick the fast path's plan
+        assert _rows_sorted(
+            table_changes(t, from_version=v_from, to_version=v_to)
+        ) == _rows_sorted(ref)
+    assert fast_pairs >= 2  # the steady-state delta commits
+
+
+def test_adjacent_delta_fast_path_plan_reads_only_deltas_and_old_bucket(
+    spark, tmp_table
+):
+    """Adjacent delta feed scans ONLY the commit's delta files plus the
+    OLD state of their buckets — never other buckets, never the new
+    snapshot's accumulated delta history outside them."""
+    cfg = SinkConfig(n_buckets=8, merge_mode="mor")
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    rows0 = [ev(i, "c", f"conv-{i}", 0) for i in range(1, 17)]
+    applier.apply_batch(_events_df(spark, rows0), batch_id=0)
+    applier.apply_batch(
+        _events_df(spark, [ev(100, "u", "conv-3", 0, text="v2")]),
+        batch_id=1,
+    )
+    t = applier.table()
+    v_from, v_to = t.version - 1, t.version
+    from kafka_jdbc_sink_connector_spark.lake import changes
+
+    nd = changes._new_delta_files(
+        t._read_version(v_from), t._read_version(v_to)
+    )
+    assert nd is not None and len(nd) == 1   # one bucket touched
+    (bucket,) = nd.keys()
+    feed = table_changes(t, from_version=v_from, to_version=v_to)
+    rows = feed.collect()
+    assert len(rows) == 1 and rows[0]["text"] == "v2"
+    files = feed.inputFiles()
+    # every scanned file is either a delta of THIS commit or an
+    # old-version file of the touched bucket
+    new_delta_files = {f for fs in nd.values() for f in fs}
+    for f in files:
+        rel = f.split(tmp_table.rstrip("/") + "/", 1)[1]
+        assert (
+            rel in new_delta_files
+            or f"__bucket_p={bucket}" in rel
+        ), rel
+    whole_table = applier.read_target().inputFiles()
+    assert len(files) < len(whole_table)
+
+
+def test_fast_path_declined_for_compaction_and_cow(spark, tmp_table):
+    from kafka_jdbc_sink_connector_spark.lake import changes
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import compact
+
+    cfg = SinkConfig(n_buckets=4, merge_mode="mor")
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    applier.apply_batch(
+        _events_df(spark, [ev(1, "c", "conv-a", 0)]), batch_id=0
+    )
+    applier.apply_batch(
+        _events_df(spark, [ev(2, "u", "conv-a", 0, text="v2")]),
+        batch_id=1,
+    )
+    t = applier.table()
+    v_before = t.version
+    compact(t)
+    t.refresh()
+    # compaction fold: adjacent but NOT a pure delta append
+    assert changes._new_delta_files(
+        t._read_version(v_before), t._read_version(t.version)
+    ) is None
+    # the feed across the compaction stays correct (generic diff):
+    # compaction changes no row state
+    assert table_changes(
+        t, from_version=v_before, to_version=t.version
+    ).collect() == []

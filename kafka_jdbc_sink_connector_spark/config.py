@@ -164,6 +164,14 @@ class SinkConfig:
     max_retries: int = 3
     retry_backoff_ms: int = 1000
 
+    # --- schema registry (converter layer) ---------------------------
+    #: Confluent Schema Registry base URL (the converters'
+    #: ``schema.registry.url``); consumed by the Kafka source to build
+    #: an :class:`~.sources.registry.HttpSchemaRegistry` that resolves
+    #: per-record writer schemas by embedded id. None = schemas are
+    #: caller-supplied.
+    schema_registry_url: str | None = None
+
     # derived, filled by __post_init__
     soft_delete_column: str = field(init=False, default="op_type")
     soft_delete_value: str = field(init=False, default="D")
@@ -367,6 +375,16 @@ class SinkConfig:
                 kw["max_retries"] = int(raw)
             elif k == "retry.backoff.ms":
                 kw["retry_backoff_ms"] = int(raw)
+            elif k in (
+                "schema.registry.url",
+                "value.converter.schema.registry.url",
+                "key.converter.schema.registry.url",
+            ):
+                # the converters' registry endpoint is load-bearing
+                # (BufferedRecordsTest.java:94-99 relies on registry
+                # schema resolution); value/key converters share one
+                # registry in practice — last one listed wins
+                kw["schema_registry_url"] = str(raw)
             elif k in engine_keys:
                 field_name, conv = engine_keys[k]
                 kw[field_name] = conv(raw)

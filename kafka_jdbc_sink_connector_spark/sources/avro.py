@@ -28,9 +28,17 @@ Supported Avro types (the flat-CDC subset): null, boolean, int, long,
 float, double, string, bytes, and ``["null", T]`` unions; logical
 types ``timestamp-micros``/``timestamp-millis`` on long → Spark
 timestamps, ``date`` on int → Spark dates, ``decimal`` on bytes →
-``DecimalType(precision, scale)`` (Connect's Decimal logical type,
-which the reference's dialect layer binds scale-aware,
-``BaseDialectTest.java:80-109``).
+``DecimalType(precision, scale)``, and ``time-millis`` on int /
+``time-micros`` on long → **millis/micros-of-day integers** (the
+dialect layer the reference inherits maps Connect ``Time`` alongside
+Date/Timestamp/Decimal, ``BaseDialectTest.java:80-109``). The
+time-of-day representation is deliberately the raw Avro integer:
+Spark 4.1's ``TimeType`` cannot be written to parquet
+(``UNSUPPORTED_TIME_TYPE``), so an int/long column is the only form
+that survives the lake layer — and it is exactly what spark-avro
+yields for these logical types when it lacks a TIME target, keeping
+the two decoders identical. Consumers render with
+``F.make_timestamp``/division as needed.
 """
 
 from __future__ import annotations
@@ -104,6 +112,14 @@ def avro_schema_to_struct(schema_json: str) -> T.StructType:
             spark_t = T.DecimalType(
                 int(attrs.get("precision", 38)), int(attrs.get("scale", 0))
             )
+        elif logical in ("time-millis", "time-micros"):
+            # millis-of-day int / micros-of-day long (see module
+            # docstring: TimeType cannot reach parquet, and the raw
+            # integer is decoder-portable)
+            spark_t = (
+                T.IntegerType() if logical == "time-millis"
+                else T.LongType()
+            )
         elif prim in _PRIM_TO_SPARK:
             spark_t = _PRIM_TO_SPARK[prim]
         else:
@@ -152,6 +168,14 @@ def _encode_value(prim: str, logical: str | None, v, attrs: dict) -> bytes:
         v = int((v.replace(tzinfo=None) - _EPOCH).total_seconds() * unit)
     elif logical == "date" and isinstance(v, dt.date):
         v = (v - _EPOCH_DATE).days
+    elif logical in ("time-millis", "time-micros") and isinstance(
+        v, dt.time
+    ):
+        unit_us = 1_000 if logical == "time-millis" else 1
+        v = (
+            (v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000
+            + v.microsecond
+        ) // unit_us
     elif logical == "decimal" and prim == "bytes":
         scale = int(attrs.get("scale", 0))
         unscaled = int(

@@ -91,6 +91,7 @@ def parse_kafka_records(
     avro_decoder: str = "auto",
     avro_value_schemas: dict[int, str] | None = None,
     avro_key_schemas: dict[int, str] | None = None,
+    schema_registry=None,
 ) -> DataFrame:
     """Kafka wire records → engine change-event DataFrame.
 
@@ -111,6 +112,15 @@ def parse_kafka_records(
     null-backfill newer fields) — one micro-batch may carry several
     writer-schema versions, as under a live registry
     (``BufferedRecords.java:176-184``). Framing is implied.
+
+    ``schema_registry`` (a :class:`~.registry.SchemaRegistryClient`,
+    e.g. ``HttpSchemaRegistry(cfg.schema_registry_url)``) resolves the
+    id → schema maps ON DEMAND instead: the batch's distinct embedded
+    ids are harvested (one tiny aggregation) and fetched through the
+    client's cache — the live-registry behavior of the reference's
+    converters. Unknown ids fail loudly before decode is scheduled.
+    Explicit ``avro_value_schemas``/``avro_key_schemas`` take
+    precedence over the registry.
     """
     if pk_mode not in ("record_value", "record_key"):
         raise ValueError(f"unsupported pk_mode {pk_mode!r}")
@@ -120,6 +130,34 @@ def parse_kafka_records(
     if value_format == "avro":
         from kafka_jdbc_sink_connector_spark.sources import avro as avro_mod
 
+        if schema_registry is not None:
+            from kafka_jdbc_sink_connector_spark.sources.registry import (
+                schemas_for_batch,
+            )
+
+            if avro_value_schemas is None and avro_value_schema is None:
+                avro_value_schemas = schemas_for_batch(
+                    records, F.col("value"), schema_registry
+                )
+                if not avro_value_schemas:
+                    # all-tombstone / all-malformed batch: no embedded
+                    # id to resolve, so the frame's payload shape is
+                    # undeterminable — callers with such streams must
+                    # pin an explicit schema (the reference's converter
+                    # would equally have nothing to resolve here)
+                    raise ValueError(
+                        "batch carries no well-formed Confluent value "
+                        "frames to resolve against the registry; supply "
+                        "avro_value_schema(s) explicitly"
+                    )
+            if (
+                pk_mode == "record_key"
+                and avro_key_schemas is None
+                and avro_key_schema is None
+            ):
+                avro_key_schemas = schemas_for_batch(
+                    records, F.col("key"), schema_registry
+                )
         if avro_value_schema is None and avro_value_schemas is None:
             raise ValueError(
                 "value_format='avro' requires avro_value_schema or "

@@ -399,6 +399,98 @@ def test_decimal_logical_type_end_to_end(spark, tmp_table):
     assert total == int(sum(v * 100 for v in got.values()))
 
 
+TIME_SCHEMA = """
+{"type": "record", "name": "shift_event", "fields": [
+  {"name": "op", "type": "string"},
+  {"name": "conv_id", "type": "string"},
+  {"name": "turn_idx", "type": "int"},
+  {"name": "start_ms", "type": ["null", {"type": "int",
+    "logicalType": "time-millis"}]},
+  {"name": "start_us", "type": ["null", {"type": "long",
+    "logicalType": "time-micros"}]},
+  {"name": "ts", "type": {"type": "long",
+                          "logicalType": "timestamp-micros"}}
+]}
+"""
+
+
+def test_time_logical_type_end_to_end(spark, tmp_table):
+    """Connect Time parity (BaseDialectTest.java:80-109,184): Avro
+    time-millis/time-micros decode to millis/micros-of-day integers
+    (Spark 4.1 TimeType cannot be written to parquet — the raw integer
+    is the only lake-safe representation), flow through validate/merge,
+    and DuckDB agrees on the committed values."""
+    import os
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+
+    st = avro_schema_to_struct(TIME_SCHEMA)
+    assert st["start_ms"].dataType == T.IntegerType()
+    assert st["start_us"].dataType == T.LongType()
+
+    # codec: datetime.time encodes to its of-day integer; ints pass
+    # through; decode yields the documented integer representation
+    t = dt.time(12, 30, 45, 123456)
+    ms = ((12 * 3600 + 30 * 60 + 45) * 1000) + 123
+    us = ((12 * 3600 + 30 * 60 + 45) * 1_000_000) + 123456
+    rec = {"op": "c", "conv_id": "k", "turn_idx": 0,
+           "start_ms": t, "start_us": t, "ts": TS}
+    out = decode_record(TIME_SCHEMA, encode_record(TIME_SCHEMA, rec))
+    assert out["start_ms"] == ms and out["start_us"] == us
+    rec_int = dict(rec, start_ms=ms, start_us=us)
+    out2 = decode_record(TIME_SCHEMA, encode_record(TIME_SCHEMA, rec_int))
+    assert out2["start_ms"] == ms and out2["start_us"] == us
+
+    events = [
+        ("a", 1, "c", dt.time(0, 0, 0)),
+        ("a", 2, "u", t),                  # LWW: final value
+        ("b", 3, "c", dt.time(23, 59, 59, 999000)),
+    ]
+    rows = [
+        (None,
+         _confluent(encode_record(TIME_SCHEMA, {
+             "op": op, "conv_id": cid, "turn_idx": 0,
+             "start_ms": tv, "start_us": tv, "ts": TS})),
+         "shifts", 0, off, None, 0)
+        for cid, off, op, tv in events
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    cfg = SinkConfig(n_buckets=2, delete_retain_fields=("ts",))
+    parsed = parse_kafka_records(
+        raw, None, cfg, value_format="avro",
+        avro_value_schema=TIME_SCHEMA, confluent_wire=True,
+    )
+    applier = CdcApplier(
+        spark, cfg, tmp_table,
+        audit_ts=F.lit("2024-06-01T00:00:00Z").cast("timestamp"),
+    )
+    res = applier.apply_batch(parsed, batch_id=0)
+    assert res.n_events == 3 and res.n_quarantined == 0
+    tgt = applier.read_target()
+    assert tgt.schema["start_ms"].dataType == T.IntegerType()
+    assert tgt.schema["start_us"].dataType == T.LongType()
+    got = {r["conv_id"]: (r["start_ms"], r["start_us"])
+           for r in tgt.collect()}
+    end_ms = (23 * 3600 + 59 * 60 + 59) * 1000 + 999
+    assert got == {"a": (ms, us), "b": (end_ms, end_ms * 1000)}
+    # DuckDB reads the committed snapshot and reconstructs the same
+    # times of day from the integer columns — value-hash portability
+    files = [os.path.join(tmp_table, f)
+             for f in applier.table().snapshot.files()]
+    rows_db = dict(duckdb.sql(
+        "SELECT conv_id, CAST(make_time(start_ms // 3600000, "
+        "(start_ms // 60000) % 60, "
+        "((start_ms % 60000) / 1000.0)) AS TIME) "
+        "FROM read_parquet($f) ORDER BY conv_id",
+        params={"f": files},
+    ).fetchall())
+    assert rows_db["a"] == t.replace(microsecond=123000)
+    assert rows_db["b"] == dt.time(23, 59, 59, 999000)
+
+
 def test_decoder_selection(spark):
     """'auto' must fall back to the Arrow UDF when the external
     spark-avro module is absent (it is not bundled with pyspark)."""

@@ -1,0 +1,240 @@
+"""Schema Registry client (sources/registry.py): on-demand per-id
+schema resolution feeding the multi-schema Avro decode — the live
+behavior of the reference's registry-backed converters
+(``schema.registry.url``; ``BufferedRecordsTest.java:94-99``)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from kafka_jdbc_sink_connector_spark.config import SinkConfig
+from kafka_jdbc_sink_connector_spark.sources.avro import encode_record
+from kafka_jdbc_sink_connector_spark.sources.kafka import (
+    KAFKA_WIRE_SCHEMA,
+    parse_kafka_records,
+)
+from kafka_jdbc_sink_connector_spark.sources.registry import (
+    DictSchemaRegistry,
+    HttpSchemaRegistry,
+    SchemaRegistryError,
+    batch_schema_ids,
+    schemas_for_batch,
+)
+
+from tests.test_avro import TS, V2_SCHEMA, VALUE_SCHEMA, _confluent
+
+
+class _CountingRegistry(DictSchemaRegistry):
+    def __init__(self, schemas):
+        super().__init__(schemas)
+        self.calls = []
+
+    def fetch_schema(self, schema_id):
+        self.calls.append(int(schema_id))
+        return super().fetch_schema(schema_id)
+
+
+def _mixed_batch(spark):
+    v1 = {"op": "c", "conv_id": "a", "turn_idx": 0,
+          "role": "user", "text": "old", "ts": TS}
+    v2 = {"op": "c", "conv_id": "b", "turn_idx": 1, "role": "tool",
+          "text": "new", "ts": TS, "tool": "search"}
+    rows = [
+        (None, _confluent(encode_record(VALUE_SCHEMA, v1), 7),
+         "transcripts", 0, 1, None, 0),
+        (None, _confluent(encode_record(V2_SCHEMA, v2), 9),
+         "transcripts", 0, 2, None, 0),
+        # tombstone: must neither be harvested nor decoded
+        (None, None, "transcripts", 0, 3, None, 0),
+    ]
+    return spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+
+
+def test_mixed_version_batch_through_fake_registry(spark):
+    reg = _CountingRegistry({7: VALUE_SCHEMA, 9: V2_SCHEMA, 11: "unused"})
+    parsed = parse_kafka_records(
+        _mixed_batch(spark), None, SinkConfig(), value_format="avro",
+        schema_registry=reg,
+    ).orderBy("kafka_offset").collect()
+    assert parsed[0]["text"] == "old" and parsed[0]["tool"] is None
+    assert parsed[1]["tool"] == "search"
+    assert parsed[2]["op"] == "d"          # tombstone → delete
+    # only the ids the batch actually carries were fetched
+    assert sorted(reg.calls) == [7, 9]
+
+
+def test_registry_miss_fails_before_decode(spark):
+    reg = DictSchemaRegistry({7: VALUE_SCHEMA})
+    with pytest.raises(SchemaRegistryError, match="unknown schema id 9"):
+        parse_kafka_records(
+            _mixed_batch(spark), None, SinkConfig(),
+            value_format="avro", schema_registry=reg,
+        )
+
+
+def test_all_tombstone_batch_needs_explicit_schema(spark):
+    rows = [(None, None, "transcripts", 0, 1, None, 0)]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    with pytest.raises(ValueError, match="no well-formed Confluent"):
+        parse_kafka_records(
+            raw, None, SinkConfig(), value_format="avro",
+            schema_registry=DictSchemaRegistry({7: VALUE_SCHEMA}),
+        )
+
+
+def test_bad_frames_are_not_harvested(spark):
+    """Short/bad-magic frames don't reach the registry — they flow to
+    the decoder and fail there with the frame error (parity with the
+    no-registry path)."""
+    good = _confluent(encode_record(VALUE_SCHEMA, {
+        "op": "c", "conv_id": "a", "turn_idx": 0,
+        "role": None, "text": None, "ts": TS}), 7)
+    rows = [
+        (None, good, "t", 0, 1, None, 0),
+        (None, b"\x00\x00\x00", "t", 0, 2, None, 0),   # truncated
+        (None, b"\x01" + good[1:], "t", 0, 3, None, 0),  # bad magic
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    assert batch_schema_ids(raw, raw["value"]) == [7]
+    reg = _CountingRegistry({7: VALUE_SCHEMA})
+    parsed = parse_kafka_records(
+        raw, None, SinkConfig(), value_format="avro",
+        schema_registry=reg, avro_decoder="python",
+    )
+    assert reg.calls == [7]
+    with pytest.raises(Exception, match="not Confluent wire format"):
+        parsed.collect()
+
+
+def test_record_key_mode_resolves_key_schemas_too(spark):
+    key_schema = (
+        '{"type": "record", "name": "k", "fields": ['
+        '{"name": "conv_id", "type": "string"},'
+        '{"name": "turn_idx", "type": "int"}]}'
+    )
+    v = {"op": "u", "conv_id": "ignored", "turn_idx": 0,
+         "role": None, "text": "x", "ts": TS}
+    rows = [
+        (_confluent(encode_record(key_schema,
+                                  {"conv_id": "a", "turn_idx": 1}), 3),
+         _confluent(encode_record(VALUE_SCHEMA, v), 7),
+         "t", 0, 1, None, 0),
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    reg = _CountingRegistry({3: key_schema, 7: VALUE_SCHEMA})
+    parsed = parse_kafka_records(
+        raw, None, SinkConfig(), pk_mode="record_key",
+        value_format="avro", schema_registry=reg,
+    ).collect()
+    assert (parsed[0]["conv_id"], parsed[0]["turn_idx"]) == ("a", 1)
+    assert sorted(reg.calls) == [3, 7]
+
+
+# --- HTTP client ------------------------------------------------------
+
+
+class _Handler(BaseHTTPRequestHandler):
+    store: dict[int, str] = {}
+    hits: list[str] = []
+    fail_next: list[int] = []  # sids whose next request 500s
+
+    def do_GET(self):  # noqa: N802 — http.server API
+        _Handler.hits.append(self.path)
+        sid = int(self.path.rsplit("/", 1)[1])
+        if sid in _Handler.fail_next:
+            _Handler.fail_next.remove(sid)
+            self.send_response(500)
+            self.end_headers()
+            return
+        schema = _Handler.store.get(sid)
+        if schema is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        body = json.dumps({"schema": schema}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         "application/vnd.schemaregistry.v1+json")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture()
+def http_registry():
+    _Handler.store = {7: VALUE_SCHEMA, 9: V2_SCHEMA}
+    _Handler.hits = []
+    _Handler.fail_next = []
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield HttpSchemaRegistry(
+            f"http://127.0.0.1:{srv.server_port}",
+            timeout=2.0, max_retries=2, backoff_sec=0.01,
+        )
+    finally:
+        srv.shutdown()
+
+
+def test_http_registry_fetch_cache_retry_miss(http_registry):
+    reg = http_registry
+    assert json.loads(reg.fetch_schema(7))["name"] == "transcript_event"
+    # cache: the second fetch makes no HTTP request
+    n = len(_Handler.hits)
+    assert reg.fetch_schema(7) == reg.fetch_schema(7)
+    assert len(_Handler.hits) == n
+    # transient 500 retried transparently
+    _Handler.fail_next = [9]
+    assert "tool" in reg.fetch_schema(9)
+    assert _Handler.hits.count("/schemas/ids/9") == 2
+    # 404 = miss, immediate (exactly one request, no retries)
+    with pytest.raises(SchemaRegistryError, match="unknown schema id 42"):
+        reg.fetch_schema(42)
+    assert _Handler.hits.count("/schemas/ids/42") == 1
+
+
+def test_http_registry_unreachable_bounded_retries():
+    reg = HttpSchemaRegistry("http://127.0.0.1:9", timeout=0.2,
+                             max_retries=1, backoff_sec=0.01)
+    with pytest.raises(SchemaRegistryError, match="unreachable"):
+        reg.fetch_schema(7)
+
+
+def test_http_registry_end_to_end_decode(spark, http_registry):
+    parsed = parse_kafka_records(
+        _mixed_batch(spark), None, SinkConfig(), value_format="avro",
+        schema_registry=http_registry,
+    ).orderBy("kafka_offset").collect()
+    assert parsed[0]["text"] == "old" and parsed[1]["tool"] == "search"
+
+
+def test_connect_properties_accept_registry_url():
+    cfg = SinkConfig.from_connect_properties({
+        "pk.fields": "conv_id,turn_idx",
+        "value.converter": "io.confluent.connect.avro.AvroConverter",
+        "value.converter.schema.registry.url": "http://registry:8081",
+    })
+    assert cfg.schema_registry_url == "http://registry:8081"
+    # bare schema.registry.url works too
+    cfg2 = SinkConfig.from_connect_properties(
+        {"schema.registry.url": "http://r:8081"}
+    )
+    assert cfg2.schema_registry_url == "http://r:8081"
+
+
+def test_schemas_for_batch_empty_frame(spark):
+    raw = spark.createDataFrame(
+        [(None,)], "value binary"
+    )
+    from pyspark.sql import functions as F
+
+    assert schemas_for_batch(
+        raw, F.col("value"), DictSchemaRegistry({})
+    ) == {}

@@ -342,6 +342,101 @@ WHERE m.user_id IS NULL OR f.user_id IS NULL
 """
 
 
+def q_cdc_change_feed_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed under SOFT deletes on a merge-on-read table: rows
+    never leave the table, so a delete surfaces as ``update`` with the
+    marker flipped (op_type='D') and the retain field (ts) overwritten
+    from the delete event; ``compare_cols`` excludes the audit column
+    so apply-time noise is invisible. The second batch is a pure delta
+    commit adjacent to the first, so this entry drives the
+    delta-replay fast path (lake/changes._adjacent_delta_changes)
+    through the driver's oracle."""
+    from kafka_jdbc_sink_connector_spark.lake.changes import table_changes
+
+    cfg = SinkConfig(merge_mode="mor", **_CDC_CFG)
+    cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
+    mid = cdc.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    tmp = tempfile.mkdtemp(prefix="cdc_change_feed_soft_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
+    r1 = applier.apply_batch(
+        cdc.filter(F.col("kafka_offset") <= mid), batch_id=0
+    )
+    applier.apply_batch(cdc.filter(F.col("kafka_offset") > mid), batch_id=1)
+    feed = table_changes(
+        applier.table(), from_version=r1.snapshot_version,
+        compare_cols=["event_id", "event_type", "value", "ts", "op_type"],
+    )
+    return feed.select(
+        "user_id",
+        "_change_type",
+        F.col("op_type").alias("image_op_type"),
+        F.col("event_id").alias("image_event_id"),
+        F.col("event_type").alias("image_event_type"),
+        F.col("value").alias("image_value"),
+        F.unix_timestamp("ts").alias("image_ts_epoch"),
+    )
+
+
+def _sql_cdc_change_feed_soft() -> str:
+    # soft-delete state at a stream position: latest upsert per key;
+    # the WINNING delete is the EARLIEST one after that upsert (guard
+    # blocks later ones) — it flips op_type to 'D' and overwrites the
+    # retain field ts. Rows never disappear, so the feed has inserts
+    # and updates only; a marker flip alone is an update.
+    def soft_state(upto: str) -> str:
+        return f"""
+  SELECT u.user_id, u.event_id, u.event_type, u.value,
+         CASE WHEN w.del_id IS NOT NULL THEN 'D' ELSE 'U' END AS op_type,
+         CASE WHEN w.del_id IS NOT NULL THEN w.del_ts ELSE u.ts END AS ts
+  FROM (
+    SELECT * FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+      WHERE event_type <> 'error' AND event_id <= {upto}
+    ) WHERE rn = 1
+  ) u
+  LEFT JOIN (
+    SELECT u2.user_id AS uid, min(d.event_id) AS del_id,
+           arg_min(d.ts, d.event_id) AS del_ts
+    FROM (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+        WHERE event_type <> 'error' AND event_id <= {upto}
+      ) WHERE rn = 1
+    ) u2
+    JOIN events d ON d.user_id = u2.user_id
+                 AND d.event_type = 'error'
+                 AND d.event_id > u2.event_id AND d.event_id <= {upto}
+    GROUP BY 1
+  ) w ON u.user_id = w.uid
+"""
+
+    return f"""
+WITH bounds AS (
+  SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS mid FROM events
+),
+m AS ({soft_state("(SELECT mid FROM bounds)")}),
+f AS ({soft_state("(SELECT max(event_id) FROM events)")})
+SELECT f.user_id,
+       CASE WHEN m.user_id IS NULL THEN 'insert'
+            ELSE 'update' END AS _change_type,
+       f.op_type AS image_op_type,
+       f.event_id AS image_event_id,
+       f.event_type AS image_event_type,
+       f.value AS image_value,
+       CAST(floor(epoch(f.ts)) AS BIGINT) AS image_ts_epoch
+FROM f LEFT JOIN m ON f.user_id = m.user_id
+WHERE m.user_id IS NULL
+   OR f.event_id <> m.event_id OR f.op_type <> m.op_type
+   OR f.event_type <> m.event_type OR f.value <> m.value
+   OR f.ts <> m.ts
+"""
+
+
 def q_cdc_lineage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source-partition lineage (F5): offset ranges + op counts."""
     cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
@@ -1749,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_subset_delete_state_mor": q_cdc_subset_delete_state_mor,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_change_feed": q_cdc_change_feed,
+        "cdc_change_feed_soft": q_cdc_change_feed_soft,
         "cdc_lineage_agg": q_cdc_lineage_agg,
         "cdc_quarantine_split": q_cdc_quarantine_split,
         "cdc_schema_evolution_backfill": q_cdc_schema_evolution_backfill,
@@ -1800,6 +1896,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_subset_delete_state_mor": _sql_cdc_subset_delete_state(),
         "cdc_snapshot_diff": _sql_cdc_snapshot_diff(),
         "cdc_change_feed": _sql_cdc_change_feed(),
+        "cdc_change_feed_soft": _sql_cdc_change_feed_soft(),
         "cdc_lineage_agg": _sql_cdc_lineage(),
         "cdc_quarantine_split": _sql_cdc_quarantine(),
         "cdc_schema_evolution_backfill": _sql_cdc_evolution(),

@@ -210,6 +210,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 25,
+    algorithm: str = "hash-to-min",
 ) -> DataFrame:
     """Undirected edge list → (node, component) where component = the
     minimum node id reachable from the node.
@@ -228,11 +229,21 @@ def connected_components(
     converges in 2-4 rounds regardless of corpus size. Each round is
     ``localCheckpoint``-ed so round N's plan does not recompute rounds
     1..N-1, and the convergence check collects ONE scalar (an
-    existence probe, not data). For adversarial long-chain graphs at
-    web scale, swap in the large-star/small-star contraction (Kiveris
-    et al., "Connected Components in MapReduce and Beyond",
-    O(log n) rounds) behind the same interface.
+    existence probe, not data). For adversarial long-chain graphs
+    (round count = diameter would be fatal at web scale) pass
+    ``algorithm="two-phase-star"``: the large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", O(log² n) rounds with high probability regardless of
+    diameter) behind the same interface —
+    :func:`connected_components_star`.
     """
+    if algorithm == "two-phase-star":
+        return connected_components_star(pairs, a_col, b_col, max_iters)
+    if algorithm != "hash-to-min":
+        raise ValueError(
+            f"unknown algorithm {algorithm!r} "
+            f"(hash-to-min | two-phase-star)"
+        )
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(
@@ -296,6 +307,114 @@ def connected_components(
             )
     return labels.select(
         F.col("src").alias("node"), F.col("lbl").alias("component")
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", 2014) — the diameter-insensitive variant for
+    adversarial graphs (long chains, lattice-like near-dup webs) where
+    hash-to-min's rounds-=-diameter behavior is fatal.
+
+    Per round over the current edge set E (undirected):
+
+    * **large-star**: for each node u with neighborhood Γ(u) and
+      m = min(Γ(u) ∪ {u}), re-attach every STRICTLY LARGER neighbor
+      directly to m: emit (v, m) for v ∈ Γ(u), v > u.
+    * **small-star**: orient each edge larger→smaller; for each node
+      hi with smaller-neighbors L and m = min(L), emit (lo, m) for
+      lo ∈ L \\ {m} plus (hi, m).
+
+    Both steps are a groupBy-min plus a projection — one bounded
+    shuffle of E edges each, no join against a growing frontier — and
+    the edge count never grows (each emitted edge replaces one read
+    edge). The fixpoint is a star forest: every node points at its
+    component's minimum. Convergence is certified structurally (the
+    round leaves the edge set unchanged: equal counts + an
+    existence-probe anti-join), not by a checksum; exceeding
+    ``max_iters`` without a fixpoint raises rather than returning
+    possibly-split labels.
+
+    Output matches :func:`connected_components`: (node, component =
+    min reachable node id).
+    """
+    E = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        E.select(F.col("u").alias("node"))
+        .union(E.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        # large-star over the symmetrized edge set
+        sym = E.union(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("nu"),
+                F.least(F.col("u"), F.col("mn")).alias("nv"),
+            )
+            .distinct()
+        )
+        # small-star on larger→smaller oriented edges (ls already is:
+        # nu > u ≥ least(u, mn) = nv)
+        mins2 = ls.groupBy("nu").agg(F.min("nv").alias("mn"))
+        j = ls.join(mins2, "nu")
+        nxt = (
+            j.filter(F.col("nv") != F.col("mn"))
+            .select(F.col("nv").alias("u"), F.col("mn").alias("v"))
+            .union(
+                mins2.select(F.col("nu").alias("u"), F.col("mn").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # fixpoint test: |E'| == |E| and E' \ E == ∅ ⇒ E' == E
+        # (two bounded scalar jobs; never compares data row-by-row)
+        same_size = nxt.count() == E.count()
+        if same_size:
+            grew = (
+                nxt.join(E, ["u", "v"], "left_anti").limit(1).count()
+            )
+            if not grew:
+                E = nxt
+                break
+        E = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixpoint within "
+            f"{max_iters} rounds (bound is O(log^2 n) w.h.p. — raise "
+            f"max_iters)"
+        )
+    # star forest: every edge is (node, component-min); roots label
+    # themselves. The left join restores nodes whose every incident
+    # edge contracted away before the fixpoint (defensive — keeps the
+    # node set exactly equal to the input's).
+    star = E.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
+    return (
+        nodes.join(star, "node", "left")
+        .select(
+            "node",
+            F.coalesce("lbl", F.col("node")).alias("component"),
+        )
     )
 
 

@@ -193,6 +193,71 @@ def test_connected_components_matches_union_find(spark, docs):
     assert got == want
 
 
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_star_cc_chain_where_hash_to_min_exceeds_budget(spark):
+    """A 60-node chain: hash-to-min needs ~diameter rounds and RAISES
+    at max_iters=25; the two-phase star contraction is
+    diameter-insensitive and labels the whole chain with node 0."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        docdedup.connected_components(chain, max_iters=25)
+    got = {r["node"]: r["component"]
+           for r in docdedup.connected_components(
+               chain, algorithm="two-phase-star").collect()}
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_star_cc_agrees_with_hash_to_min_on_lsh_pairs(spark, docs):
+    """Both implementations must produce identical labels on the real
+    near-dup candidate graph (near-cliques, the default's home turf)."""
+    pairs = docdedup.minhash_lsh_candidates(docs, n_perm=8, bands=4, k=5)
+    h2m = {r["node"]: r["component"]
+           for r in docdedup.connected_components(pairs).collect()}
+    star = {r["node"]: r["component"]
+            for r in docdedup.connected_components(
+                pairs, algorithm="two-phase-star").collect()}
+    assert star == h2m and len(star) > 0
+
+
+def test_star_cc_random_graph_matches_union_find(spark):
+    """Seeded random graph with chains, cliques, and isolated pairs —
+    labels equal a sequential union-find."""
+    import random
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    # add a long chain in a disjoint id range (diameter stress)
+    edges += [(1000 + i, 1001 + i) for i in range(40)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = _union_find(edges)
+    got = {r["node"]: r["component"]
+           for r in docdedup.connected_components(
+               pairs, algorithm="two-phase-star").collect()}
+    assert got == want
+
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        docdedup.connected_components(pairs, algorithm="bogus")
+
+
 def test_multimodal_decode_plumbing(docs):
     media = multimodal.attach_binary_payload(docs)
     out = multimodal.decode_metadata(media).collect()

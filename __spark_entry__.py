@@ -746,6 +746,27 @@ GROUP BY 1
 """
 
 
+def q_doc_bpe_token_count_true(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRUE vocab-driven BPE token count (greedy ranked merges over
+    the committed deterministic 128-merge vocab, Arrow-batched) next
+    to the codegen'd pretokenizer lower bound. No SQL oracle: the
+    greedy merge loop is iterative and order-sensitive (see
+    operators/bpe.py docstring) — correctness is pinned by pytest
+    fixtures + an independent reference encoder; the driver records
+    the rows-only check."""
+    from kafka_jdbc_sink_connector_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = list(bpe.default_merges())
+    return docs.select(
+        "doc_id",
+        bpe.bpe_count("text", merges).alias("n_tokens_true"),
+        text.bpe_token_count("text").alias("n_pretokens"),
+    )
+
+
 def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     cols = text.quality_columns("text")
@@ -1862,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_cust_latest_orders": q_tpch_cust_latest_orders,
         "doc_textnorm": q_doc_textnorm,
         "doc_token_count": q_doc_token_count,
+        "doc_bpe_token_count_true": q_doc_bpe_token_count_true,
         "doc_quality_score": q_doc_quality_score,
         "doc_repetition_ratio": q_doc_repetition_ratio,
         "doc_length_percentiles": q_doc_length_percentiles,

@@ -1,0 +1,213 @@
+"""True byte-pair-encoding tokenization (vocab-driven greedy merges)
+on top of the pretokenizer in :mod:`.text`.
+
+``text.bpe_token_count`` counts pretokenizer matches — a cheap
+codegen'd LOWER BOUND on the real token cost (merges happen within
+matches, so every match yields ≥ 1 token). This module implements
+the actual BPE encode (the public algorithm: Sennrich et al. 2015 for
+training, the standard lowest-rank-first greedy merge loop for
+encoding, as popularized by the GPT-2 reference encoder) so counts are
+real token counts, not bounds:
+
+* :func:`train_bpe` — learn ``n_merges`` merge rules from a corpus
+  (most-frequent adjacent symbol pair wins; ties break
+  lexicographically so training is deterministic),
+* :func:`encode` — pure-Python single-text encode (training, tests,
+  and the executor-side kernel),
+* :func:`bpe_tokens` / :func:`bpe_count` — Arrow-batched
+  ``pandas_udf`` columns over a merge table. The merge-rank dict is
+  built once per executor from the broadcast closure; each batch is a
+  tight loop over pretokens with memoized encodes (Zipf reuse: the
+  same frequent pretokens dominate real corpora).
+
+The default vocabulary (:func:`default_merges`) is trained at first
+use from a small embedded English sample — deterministic, no external
+data — and is intentionally tiny (128 merges): it exists so counts are
+REAL BPE counts with a committed, reproducible vocab, not to compete
+with production vocabularies, which drop in through the same
+``merges`` parameter.
+
+Why the SQL oracle covers only the pretokenizer: greedy ranked merges
+are an inherently iterative, order-sensitive reduction per pretoken —
+not expressible as a set-oriented ANSI-SQL query short of a recursive
+CTE emulating the loop symbol-by-symbol, which would be an
+implementation mirror rather than an independent oracle. The
+correctness net here is a hand-computed fixture + an independent
+reference implementation in the tests; the driver records the rows-only
+check for the ``doc_bpe_token_count_true`` entry.
+
+Pretokenizer parity note: Spark's pattern uses ``\\p{L}``/``\\p{N}``;
+Python's ``re`` lacks those classes, so :data:`PRETOKEN_RE` uses the
+documented equivalents (``[^\\W\\d_]`` for letters, ``\\d`` for
+digits, punctuation as the complement incl. underscore) — asserted
+equal on the test corpus against the JVM pattern.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Python-re equivalent of text.BPE_TOKEN_RE (see parity note above)
+PRETOKEN_RE = re.compile(
+    r" ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+", re.UNICODE
+)
+
+
+def pretokenize(text: str) -> list[str]:
+    return PRETOKEN_RE.findall(text or "")
+
+
+def train_bpe(corpus: list[str], n_merges: int) -> list[tuple[str, str]]:
+    """Learn merge rules: repeatedly merge the most frequent adjacent
+    symbol pair across the corpus' pretokens (frequency-weighted),
+    ties broken lexicographically — fully deterministic."""
+    from collections import Counter
+
+    words = Counter()
+    for text in corpus:
+        for tok in pretokenize(text):
+            words[tuple(tok)] += 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, freq in words.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += freq
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = {}
+        a, b = best
+        ab = a + b
+        for sym, freq in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + freq
+        words = Counter(merged)
+    return merges
+
+
+def encode_pretoken(
+    tok: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Greedy BPE: repeatedly merge the LOWEST-RANKED pair present
+    (the standard reference-encoder loop)."""
+    sym = list(tok)
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        merged = sym[best_i] + sym[best_i + 1]
+        # merge EVERY occurrence of this pair left-to-right (one rank
+        # per pass, matching the reference algorithm)
+        out, i = [], 0
+        while i < len(sym):
+            if (
+                i + 1 < len(sym)
+                and sym[i] + sym[i + 1] == merged
+                and ranks.get((sym[i], sym[i + 1])) == best_rank
+            ):
+                out.append(merged)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def encode(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    out: list[str] = []
+    for tok in pretokenize(text):
+        out.extend(encode_pretoken(tok, ranks))
+    return out
+
+
+#: embedded training sample for the default vocab (original text,
+#: written for this repo — deterministic, no external data)
+_DEFAULT_CORPUS = [
+    "the quick brown fox jumps over the lazy dog and the dog sleeps",
+    "a stream of change events arrives in order and the engine applies "
+    "the latest update for every key in the table",
+    "training data pipelines deduplicate documents count tokens and "
+    "score quality before the model ever sees a single example",
+    "the user said hello and the assistant answered with a longer "
+    "message about the weather in the mountains",
+    "numbers like 12345 and punctuation marks , . ! ? appear between "
+    "the words of real conversations all the time",
+]
+
+
+@lru_cache(maxsize=1)
+def default_merges() -> tuple[tuple[str, str], ...]:
+    return tuple(train_bpe(_DEFAULT_CORPUS, 128))
+
+
+def _make_kernel(merges):
+    """Executor-side batch kernel with a per-pretoken memo (frequent
+    pretokens dominate real text — Zipf — so the memo hit rate is
+    high and the per-row cost is a dict lookup per pretoken)."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    memo: dict[str, int] = {}
+
+    def count_one(text: str | None) -> int:
+        if not text:
+            return 0
+        n = 0
+        for tok in PRETOKEN_RE.findall(text):
+            c = memo.get(tok)
+            if c is None:
+                c = len(encode_pretoken(tok, ranks))
+                memo[tok] = c
+            n += c
+        return n
+
+    return count_one
+
+
+def bpe_count(
+    text: str | Column, merges: list[tuple[str, str]] | None = None
+) -> Column:
+    """True BPE token count as an Arrow-batched column (vectorized
+    pandas UDF; the slow path by design — see module docstring — kept
+    off the default bench queries, opted into when real counts are
+    worth a Python stage)."""
+    merges = tuple(merges) if merges is not None else default_merges()
+    c = F.col(text) if isinstance(text, str) else text
+
+    def _count(s):  # pd.Series[str] -> pd.Series[int32]
+        kernel = _make_kernel(merges)
+        return s.map(kernel).astype("int32")
+
+    return F.pandas_udf(_count, returnType=T.IntegerType())(c)
+
+
+def bpe_tokens(
+    text: str | Column, merges: list[tuple[str, str]] | None = None
+) -> Column:
+    """The encoded token array itself (debugging / downstream use)."""
+    merges = tuple(merges) if merges is not None else default_merges()
+    c = F.col(text) if isinstance(text, str) else text
+
+    def _enc(s):  # pd.Series[str] -> pd.Series[list[str]]
+        m = list(merges)
+        return s.map(lambda t: encode(t, m) if t else [])
+
+    return F.pandas_udf(_enc, returnType=T.ArrayType(T.StringType()))(c)

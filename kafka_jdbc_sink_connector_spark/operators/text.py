@@ -45,9 +45,11 @@ BPE_TOKEN_RE = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
 
 def bpe_token_count(text: str | Column) -> Column:
     """Pretokenizer match count — the cheap proxy for 'how many BPE
-    tokens will this cost' used when sizing training corpora (a real
-    tokenizer merges within these matches, so this upper-bounds and
-    tracks the true count). One codegen'd regexp per row, no Python."""
+    tokens will this cost' used when sizing training corpora. A real
+    tokenizer merges WITHIN these matches, so every match yields ≥ 1
+    token: this LOWER-bounds and tracks the true count. One codegen'd
+    regexp per row, no Python; for real vocab-driven counts see
+    :mod:`.bpe` (Arrow-batched, the honest slow path)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
 

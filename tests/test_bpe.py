@@ -1,0 +1,138 @@
+"""True BPE encode (operators/bpe.py): deterministic training,
+hand-computed encode fixtures, an independent reference encoder, and
+Spark-column vs pure-Python agreement. The SQL oracle covers only the
+pretokenizer (see the module docstring for why); these tests are the
+correctness net for the merge loop itself."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_jdbc_sink_connector_spark.operators import bpe, text
+
+
+def test_pretokenizer_parity_python_vs_jvm(spark):
+    """bpe.PRETOKEN_RE (Python re) must split exactly like
+    text.BPE_TOKEN_RE (JVM \\p{L}/\\p{N} classes) — the documented
+    equivalence the encoder relies on."""
+    samples = [
+        "hello world",
+        "  leading and trailing  ",
+        "num 12345 mixed a1b2",
+        "punct , . ! ?? ... under_score",
+        "unicodé lëtters ärger résumé naïve",
+        "tabs\tand\nnewlines",
+        "",
+        "a",
+        "CamelCase and ALLCAPS",
+        "price $19.99 at 50% off!",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    jvm = [
+        r["toks"]
+        for r in df.select(
+            F.regexp_extract_all("t", F.lit(text.BPE_TOKEN_RE), 0)
+            .alias("toks")
+        ).collect()
+    ]
+    py = [bpe.pretokenize(s) for s in samples]
+    assert jvm == py
+
+
+def test_train_bpe_known_answer():
+    # "ababab": (a,b) x3 beats (b,a) x2; then ab-pairs chain up
+    merges = bpe.train_bpe(["ababab"], 3)
+    assert merges == [("a", "b"), ("ab", "ab"), ("abab", "ab")]
+    # frequency-weighted across words, deterministic tie-break
+    m2 = bpe.train_bpe(["low low lower"], 2)
+    assert m2[0] in (("l", "o"), ("o", "w")) and len(m2) == 2
+    assert bpe.train_bpe(["low low lower"], 2) == m2  # deterministic
+
+
+def test_encode_hand_fixture():
+    merges = [("l", "o"), ("lo", "w")]
+    assert bpe.encode("low lower", merges) == [
+        "low", " ", "low", "e", "r"
+    ]
+    # rank order matters: with (o,w) first, 'low' becomes l+ow
+    assert bpe.encode("low", [("o", "w"), ("l", "o")]) == ["l", "ow"]
+    # unknown characters stay single symbols
+    assert bpe.encode("xyz", merges) == ["x", "y", "z"]
+    assert bpe.encode("", merges) == []
+
+
+def _reference_encode(tok: str, merges) -> list[str]:
+    """Independent oracle: repeatedly merge only the FIRST occurrence
+    of the lowest-ranked pair. For any TRAINED vocab this equals the
+    all-occurrences-per-pass loop (a pair containing a merged token
+    always ranks later than the merge that created the token)."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    sym = list(tok)
+    while True:
+        best = None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, i)
+        if best is None:
+            return sym
+        i = best[1]
+        sym = sym[:i] + [sym[i] + sym[i + 1]] + sym[i + 2:]
+
+
+def test_encode_matches_independent_reference():
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "tokenization of the training corpus with the trained vocab",
+        "aaaa bbbb abab the the the",
+    ]
+    merges = bpe.train_bpe(corpus, 60)
+    for s in corpus + ["unseen words entirely", "the dog", "aaaaaaa"]:
+        got = bpe.encode(s, merges)
+        want = [
+            t for tok in bpe.pretokenize(s)
+            for t in _reference_encode(tok, merges)
+        ]
+        assert got == want, s
+
+
+def test_default_vocab_roundtrip_and_bound():
+    merges = bpe.default_merges()
+    assert len(merges) == 128
+    assert bpe.default_merges() is merges  # cached
+    s = "the engine applies the latest update for every key"
+    toks = bpe.encode(s, list(merges))
+    assert "".join(toks) == s                      # lossless
+    # merges act WITHIN pretokens: every pretoken yields >= 1 token
+    # (pretokenizer count is the LOWER bound) and <= its char count
+    assert len(bpe.pretokenize(s)) <= len(toks) <= len(s)
+    # the trained vocab actually compresses vs raw characters
+    assert len(toks) < len(s)
+
+
+def test_spark_column_agrees_with_python(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    merges = list(bpe.default_merges())
+    got = docs.select(
+        "doc_id",
+        bpe.bpe_count("text", merges).alias("n"),
+        text.bpe_token_count("text").alias("n_pre"),
+    ).collect()
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(got) == 60
+    for r in got:
+        want = len(bpe.encode(src[r["doc_id"]], merges))
+        assert r["n"] == want, r["doc_id"]
+        # each pretoken encodes to >= 1 token: the codegen'd
+        # pretokenizer proxy is a true lower bound
+        assert r["n"] >= r["n_pre"]
+
+
+def test_bpe_tokens_column(spark):
+    df = spark.createDataFrame([("the dog and the fox",)], "t string")
+    (row,) = df.select(
+        bpe.bpe_tokens("t", list(bpe.default_merges())).alias("toks")
+    ).collect()
+    assert "".join(row["toks"]) == "the dog and the fox"

@@ -301,8 +301,13 @@ def test_entry_contract_consistency(spark):
     oracles = entry.oracle_sql()
     assert set(oracles) <= set(qs)
     # every query carries a DuckDB oracle (emb_lsh_ann gained one once
-    # the bucket sign test was quantized on both engines)
-    assert set(qs) == set(oracles)
+    # the bucket sign test was quantized on both engines) EXCEPT the
+    # explicitly documented rows-only set: true BPE's greedy ranked
+    # merge loop is iterative/order-sensitive and not expressible as
+    # an independent set-oriented SQL query (operators/bpe.py
+    # docstring); its correctness net is tests/test_bpe.py
+    rows_only = {"doc_bpe_token_count_true"}
+    assert set(qs) - set(oracles) == rows_only
     df = entry.entry(spark)
     assert df.count() > 0
     assert df.schema is not None

@@ -767,6 +767,38 @@ def q_doc_bpe_token_count_true(
     )
 
 
+def q_doc_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 corpus split by salted content hash —
+    stable under re-runs/re-shards/incremental adds (no RNG). Hex
+    thresholds compare lexicographically on both engines, so the
+    oracle needs no hex→int conversion."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.hash_split(
+            "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05},
+            salt="corpus-v1",
+        ).alias("split"),
+    )
+
+
+def _sql_train_val_split() -> str:
+    # thresholds: int(0.90 * 16^8) = 0xe6666666, int(0.95 * 16^8) =
+    # 0xf3333333 — keep in sync with text.hash_split's computation
+    return """
+WITH h AS (
+  SELECT doc_id,
+         substr(md5('corpus-v1' || CAST(doc_id AS VARCHAR)), 1, 8) AS u
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN u < 'e6666666' THEN 'train'
+            WHEN u < 'f3333333' THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
 def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     cols = text.quality_columns("text")
@@ -1224,6 +1256,56 @@ pairs AS (
   FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
 )
 SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
+"""
+
+
+def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters: cosine near-dup pairs (LSH-bucketed
+    candidates + exact verify) → connected components → per-vector
+    cluster label. Runs the LARGE-STAR/SMALL-STAR contraction so the
+    diameter-insensitive CC variant is driver-oracled end-to-end (it
+    must produce the identical labels hash-to-min does)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_dup_pairs(emb, threshold=0.3, n_planes=8,
+                                        dim=64, round_digits=4)
+    cc = docdedup.connected_components(
+        pairs, a_col="id_a", b_col="id_b", algorithm="two-phase-star"
+    )
+    return (
+        emb.select("vec_id")
+        .join(cc, emb.vec_id == cc.node, "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("cluster_id"),
+            (F.coalesce("component", "vec_id") != F.col("vec_id")).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
+def _sql_emb_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE cpairs AS (
+  SELECT id_a, id_b FROM ({_sql_cosine_dup_pairs()})
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM cpairs
+),
+reach(node, m) AS (
+  SELECT src AS node, dst AS m FROM edges
+  UNION
+  SELECT e.src, r.m FROM edges e JOIN reach r ON r.node = e.dst
+),
+cc AS (
+  SELECT node, least(node, min(m)) AS component FROM reach GROUP BY node
+)
+SELECT v.vec_id,
+       coalesce(cc.component, v.vec_id) AS cluster_id,
+       coalesce(cc.component, v.vec_id) <> v.vec_id AS is_dup
+FROM embeddings v LEFT JOIN cc ON cc.node = v.vec_id
 """
 
 
@@ -1884,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_textnorm": q_doc_textnorm,
         "doc_token_count": q_doc_token_count,
         "doc_bpe_token_count_true": q_doc_bpe_token_count_true,
+        "doc_train_val_split": q_doc_train_val_split,
         "doc_quality_score": q_doc_quality_score,
         "doc_repetition_ratio": q_doc_repetition_ratio,
         "doc_length_percentiles": q_doc_length_percentiles,
@@ -1901,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
+        "emb_dup_clusters": q_emb_dup_clusters,
         "emb_lsh_ann": q_emb_lsh_ann,
         "emb_ivf_ann": q_emb_ivf_ann,
         "multimodal_decode": q_multimodal_decode,
@@ -1936,6 +2020,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_cust_latest_orders": _sql_tpch_latest_orders(),
         "doc_textnorm": _sql_textnorm(),
         "doc_token_count": _sql_token_count(),
+        "doc_train_val_split": _sql_train_val_split(),
         "doc_repetition_ratio": _sql_repetition_ratio(),
         "doc_length_percentiles": _sql_length_percentiles(),
         "doc_pii_redact": _sql_pii_redact(),
@@ -1953,6 +2038,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_bruteforce": _sql_knn(),
         "emb_lsh_buckets": _sql_lsh_buckets(),
         "emb_cosine_dup_pairs": _sql_cosine_dup_pairs(),
+        "emb_dup_clusters": _sql_emb_dup_clusters(),
         "emb_lsh_ann": _sql_lsh_ann(),
         "emb_ivf_ann": _sql_ivf_ann(),
         "multimodal_decode": _sql_multimodal(),

@@ -152,6 +152,7 @@ def cmd_show(args) -> None:
     snap = t.snapshot
     print(json.dumps({
         "version": snap.version,
+        "committed_at": snap.commit_ts,
         "history": t.history(),
         "n_buckets": snap.n_buckets,
         "n_files": len(snap.files()),

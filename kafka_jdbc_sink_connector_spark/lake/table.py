@@ -85,6 +85,10 @@ class Snapshot:
     #: columns) — written by the first delta commit so readers resolve
     #: without the writer's SinkConfig
     mor_meta: dict = field(default_factory=dict)
+    #: wall-clock commit time (epoch seconds, stamped at publish) —
+    #: powers AS-OF-TIMESTAMP time travel; None in pre-upgrade
+    #: snapshots (they remain readable, just not addressable by time)
+    commit_ts: float | None = None
 
     def to_json(self) -> str:
         d = dict(self.__dict__)
@@ -571,7 +575,33 @@ class LakeTable:
 
     # -- internals ----------------------------------------------------
 
+    def version_as_of(self, ts: float) -> int:
+        """Latest version whose commit time is <= ``ts`` (epoch
+        seconds) — the Delta/Iceberg ``AS OF TIMESTAMP`` resolution
+        rule. Driver-side walk over the manifest log (bounded by
+        retained versions). Raises when every retained snapshot is
+        newer than ``ts`` (the state at that time is vacuumed or
+        predates the table)."""
+        best: int | None = None
+        for v in self.history():
+            snap = self._read_version(v)
+            if snap.commit_ts is not None and snap.commit_ts <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot committed at or before ts={ts}; earliest "
+                f"retained versions: {self.history()[:3]}"
+            )
+        return best
+
+    def read_as_of(self, ts: float, **kwargs) -> DataFrame:
+        """Time travel by wall clock: read the table as it was at
+        epoch-seconds ``ts``."""
+        return self.read(version=self.version_as_of(ts), **kwargs)
+
     def _publish(self, snap: Snapshot) -> None:
+        if snap.commit_ts is None:
+            snap.commit_ts = time.time()
         log = os.path.join(self.path, _LOG_DIR)
         final = os.path.join(log, f"v{snap.version:020d}.json")
         tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}.json")

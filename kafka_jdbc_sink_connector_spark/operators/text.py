@@ -89,6 +89,44 @@ def quality_columns(text: str | Column) -> dict[str, Column]:
     }
 
 
+def hash_split(
+    id_col: str | Column,
+    weights: dict[str, float],
+    salt: str = "",
+) -> Column:
+    """Deterministic train/val/test split assignment by content hash —
+    the standard way large corpora are split so membership is stable
+    under re-runs, re-shards, and incremental additions (no RNG, no
+    state).
+
+    ``u = md5(salt || id)[:8]`` is compared LEXICOGRAPHICALLY against
+    precomputed hex thresholds — hex strings of equal length order
+    exactly like the integers they encode, so both Spark and an ANSI
+    oracle decide membership with plain string comparison, no
+    engine-specific hex→int conversion. Codegen'd, zero shuffle.
+    ``weights`` need not be normalized.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    total = sum(weights.values())
+    names = list(weights)
+    cuts, acc = [], 0.0
+    for n in names[:-1]:
+        acc += weights[n] / total
+        cuts.append(format(int(acc * 16**8), "08x"))
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")),
+        1, 8,
+    )
+    out = None
+    for name, cut in zip(names[:-1], cuts):
+        cond = h < F.lit(cut)
+        out = F.when(cond, F.lit(name)) if out is None else out.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    return last if out is None else out.otherwise(last)
+
+
 def lang_id(text: str | Column) -> Column:
     """N-gram/stopword language heuristic: English stopword density →
     'en', else 'unknown'. (A real model would score per-language

@@ -92,6 +92,42 @@ def test_time_travel_and_exactly_once_watermark(spark, tmp_path):
     assert t.history() == [0, 1, 2]
 
 
+def test_time_travel_by_timestamp(spark, tmp_path):
+    """AS-OF-TIMESTAMP resolution: latest version committed at or
+    before ts (Delta/Iceberg rule); pre-upgrade snapshots without
+    commit_ts stay readable by version but are skipped by time."""
+    import json as _json
+    import os as _os
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=2, key_fields=["k"]
+    )
+    t.overwrite(_df(spark, [("a", 1)]))
+    t.overwrite(_df(spark, [("a", 1), ("b", 2)]))
+    s1 = t._read_version(1)
+    s2 = t._read_version(2)
+    assert s1.commit_ts is not None and s2.commit_ts >= s1.commit_ts
+    assert t.version_as_of(s1.commit_ts) in (1, 2)  # ties: same second
+    assert t.version_as_of(s2.commit_ts + 1) == 2
+    assert t.read_as_of(s2.commit_ts + 1).count() == 2
+    mid = (s1.commit_ts + s2.commit_ts) / 2
+    v = t.version_as_of(mid)
+    assert v in (1, 2) and (v == 1 or s2.commit_ts <= mid)
+    with pytest.raises(ValueError, match="no snapshot committed"):
+        t.version_as_of(s1.commit_ts - 100)
+    # pre-upgrade manifest (no commit_ts key): loads, reads, and is
+    # invisible to time-based resolution
+    log = _os.path.join(t.path, "_log")
+    name = sorted(_os.listdir(log))[1]
+    d = _json.loads(open(_os.path.join(log, name)).read())
+    d.pop("commit_ts")
+    open(_os.path.join(log, name), "w").write(_json.dumps(d))
+    t2 = LakeTable.load(spark, t.path)
+    assert t2._read_version(1).commit_ts is None
+    assert t2.read(version=1).count() == 1
+    assert t2.version_as_of(s2.commit_ts + 1) == 2
+
+
 def test_schema_evolution_null_backfill_on_read(spark, tmp_path):
     t = LakeTable.create(
         spark, str(tmp_path / "t"), SCHEMA, n_buckets=2, key_fields=["k"]

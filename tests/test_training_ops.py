@@ -193,6 +193,45 @@ def test_connected_components_matches_union_find(spark, docs):
     assert got == want
 
 
+def test_hash_split_deterministic_and_proportional(spark):
+    """Split assignment equals an independent hashlib recompute, is
+    stable across runs, and lands near the requested proportions."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from kafka_jdbc_sink_connector_spark.operators.text import hash_split
+
+    ids = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r["doc_id"]: r["s"] for r in ids.select(
+        "doc_id", hash_split("doc_id", w, salt="s1").alias("s")
+    ).collect()}
+
+    def want(i):
+        u = hashlib.md5(f"s1{i}".encode()).hexdigest()[:8]
+        if u < format(int(0.8 * 16**8), "08x"):
+            return "train"
+        if u < format(int(0.9 * 16**8), "08x"):
+            return "val"
+        return "test"
+
+    assert out == {i: want(i) for i in range(2000)}
+    from collections import Counter
+
+    frac = Counter(out.values())
+    assert 0.75 < frac["train"] / 2000 < 0.85
+    assert 0.07 < frac["val"] / 2000 < 0.13
+    # a different salt reshuffles membership
+    out2 = {r["doc_id"]: r["s"] for r in ids.select(
+        "doc_id", hash_split("doc_id", w, salt="s2").alias("s")
+    ).collect()}
+    assert out2 != out
+    # single-bucket degenerate case
+    one = ids.select(hash_split("doc_id", {"all": 1.0}).alias("s"))
+    assert one.distinct().collect()[0]["s"] == "all"
+
+
 def _union_find(edges):
     parent: dict[int, int] = {}
 

@@ -240,7 +240,10 @@ def _adjacent_delta_changes(
     and never resolves the NEW snapshot (whose delta history spans
     every commit since the last compaction). Shuffle volume follows
     the batch size, not the bucket contents: the delta-key semi-join
-    filters the old-state scan before the full-outer diff.
+    filters the old-state scan before the full-outer diff (AQE can
+    convert it to a broadcast at runtime). Inputs are a strict subset
+    of the generic diff's; measured trade at local sizes in SCALE.md
+    ("Change data feed").
 
     New state for the affected keys = ``mor.resolve(old state, new
     deltas)`` — resolution composes (the resolved old row plays the
@@ -275,13 +278,16 @@ def _adjacent_delta_changes(
     dkeys = deltas.select(*keys).distinct()
 
     # old resolved state of the affected buckets, restricted to the
-    # delta keys (left-semi; AQE broadcasts the batch-sized key set)
+    # delta keys (left-semi; AQE broadcasts the batch-sized key set).
+    # localCheckpoint: both consumers below (the resolve base and the
+    # diff's old side) reuse ONE materialization of this batch-sized
+    # frame instead of scanning the old buckets twice
     old_all = _old_state(table, old_snap, new_snap, affected)
     old = old_all.join(
         dkeys.select(*[F.col(k).alias(f"o_{k}") for k in keys]),
         [f"o_{k}" for k in keys],
         "left_semi",
-    )
+    ).localCheckpoint(eager=False)
     # resolve the new deltas over the old state → new state per key
     base = old.select(
         *[F.col(f"o_{c}").alias(c) for c in cols]

@@ -131,6 +131,17 @@ def parse_kafka_records(
         from kafka_jdbc_sink_connector_spark.sources import avro as avro_mod
 
         if schema_registry is not None:
+            if records.isStreaming:
+                # id harvesting is one tiny batch aggregation — legal
+                # inside foreachBatch (where each micro-batch is a
+                # plain DataFrame), impossible on the unbounded stream
+                raise ValueError(
+                    "schema_registry resolution runs a per-batch id "
+                    "harvest and cannot be applied to a streaming "
+                    "DataFrame directly; call parse_kafka_records "
+                    "inside foreachBatch (CdcStreamRunner does), or "
+                    "pre-resolve avro_value_schemas"
+                )
             from kafka_jdbc_sink_connector_spark.sources.registry import (
                 schemas_for_batch,
             )

@@ -215,6 +215,21 @@ def test_http_registry_end_to_end_decode(spark, http_registry):
     assert parsed[0]["text"] == "old" and parsed[1]["tool"] == "search"
 
 
+def test_streaming_frame_rejected_with_guidance(spark, tmp_path):
+    """Registry harvesting aggregates the batch — impossible on an
+    unbounded stream; the error must say to use foreachBatch."""
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [(None, None, "t", 0, 1, None, 0)], KAFKA_WIRE_SCHEMA
+    ).write.parquet(src)
+    stream = spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(src)
+    with pytest.raises(ValueError, match="foreachBatch"):
+        parse_kafka_records(
+            stream, None, SinkConfig(), value_format="avro",
+            schema_registry=DictSchemaRegistry({7: VALUE_SCHEMA}),
+        )
+
+
 def test_connect_properties_accept_registry_url():
     cfg = SinkConfig.from_connect_properties({
         "pk.fields": "conv_id,turn_idx",

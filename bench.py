@@ -40,9 +40,11 @@ QUERY_NAMES = [
     "cdc_lineage_agg",
     "events_sessionize",
     "doc_quality_score",
+    "doc_train_val_split",
     "doc_minhash_lsh_pairs",
     "doc_simhash_dups",
     "doc_dup_clusters",
+    "emb_dup_clusters",
     "emb_knn_bruteforce",
     "emb_ivf_ann",
     "dup_signal_agreement",

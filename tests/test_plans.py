@@ -94,6 +94,24 @@ def test_codegen_in_scan_pipeline(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_hash_split_single_scan_no_shuffle(spark):
+    """Deterministic split assignment is one codegen'd scan: no
+    Exchange, no Python eval — the property that lets it run inline
+    in any corpus pipeline for free."""
+    from kafka_jdbc_sink_connector_spark.operators.text import hash_split
+
+    d = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    df = d.select(
+        "doc_id",
+        hash_split("doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+                   salt="s").alias("split"),
+    )
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_tpch_dim_joins_broadcast(spark):
     """The nation/region dim chain must broadcast (no shuffle of the
     customer fact side for a 25-row dim)."""

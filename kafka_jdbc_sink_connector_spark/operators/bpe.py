@@ -36,26 +36,37 @@ correctness net here is a hand-computed fixture + an independent
 reference implementation in the tests; the driver records the rows-only
 check for the ``doc_bpe_token_count_true`` entry.
 
-Pretokenizer parity note: Spark's pattern uses ``\\p{L}``/``\\p{N}``;
-Python's ``re`` lacks those classes, so :data:`PRETOKEN_RE` uses the
-documented equivalents (``[^\\W\\d_]`` for letters, ``\\d`` for
-digits, punctuation as the complement incl. underscore) — asserted
-equal on the test corpus against the JVM pattern.
+Pretokenizer parity note: Spark's pattern uses ``\\p{L}``/``\\p{N}``.
+The ``regex`` module (a pandas dependency, so present wherever the
+Arrow UDFs run) supports those classes directly, so
+:data:`PRETOKEN_RE` compiles the IDENTICAL pattern string as the JVM
+side. The stdlib-``re`` fallback uses documented approximations
+(``[^\\W\\d_]`` for letters, ``\\d`` for digits) which diverge on
+non-decimal Unicode numerics (No/Nl, e.g. ``²``/``Ⅻ``: ``\\p{N}``
+matches them, ``\\d`` does not) — parity including those characters
+is asserted in the tests when ``regex`` is available.
 """
 
 from __future__ import annotations
 
-import re
 from functools import lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Python-re equivalent of text.BPE_TOKEN_RE (see parity note above)
-PRETOKEN_RE = re.compile(
-    r" ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+", re.UNICODE
-)
+from kafka_jdbc_sink_connector_spark.operators.text import BPE_TOKEN_RE
+
+try:  # exact JVM-pattern parity (see module docstring)
+    import regex as _re
+
+    PRETOKEN_RE = _re.compile(BPE_TOKEN_RE)
+except ImportError:  # pragma: no cover — regex ships with pandas
+    import re as _re
+
+    PRETOKEN_RE = _re.compile(
+        r" ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+", _re.UNICODE
+    )
 
 
 def pretokenize(text: str) -> list[str]:
@@ -160,26 +171,38 @@ def default_merges() -> tuple[tuple[str, str], ...]:
     return tuple(train_bpe(_DEFAULT_CORPUS, 128))
 
 
-def _make_kernel(merges):
-    """Executor-side batch kernel with a per-pretoken memo (frequent
-    pretokens dominate real text — Zipf — so the memo hit rate is
-    high and the per-row cost is a dict lookup per pretoken)."""
+@lru_cache(maxsize=8)
+def _make_kernel(merges: tuple):
+    """Executor-side kernel, built ONCE per python worker process per
+    vocab (lru_cache on the merges tuple — both UDFs below call this
+    from inside the batch function, so the ranks dict and the
+    pretoken memo survive across Arrow batches). The memo maps
+    pretoken → encoded tuple; frequent pretokens dominate real text
+    (Zipf), so the steady-state per-pretoken cost is a dict lookup."""
     ranks = {tuple(m): i for i, m in enumerate(merges)}
-    memo: dict[str, int] = {}
+    memo: dict[str, tuple] = {}
+
+    def encode_one(tok: str) -> tuple:
+        enc = memo.get(tok)
+        if enc is None:
+            enc = tuple(encode_pretoken(tok, ranks))
+            memo[tok] = enc
+        return enc
 
     def count_one(text: str | None) -> int:
         if not text:
             return 0
-        n = 0
-        for tok in PRETOKEN_RE.findall(text):
-            c = memo.get(tok)
-            if c is None:
-                c = len(encode_pretoken(tok, ranks))
-                memo[tok] = c
-            n += c
-        return n
+        return sum(len(encode_one(t)) for t in PRETOKEN_RE.findall(text))
 
-    return count_one
+    def tokens_one(text: str | None) -> list:
+        if not text:
+            return []
+        out: list[str] = []
+        for t in PRETOKEN_RE.findall(text):
+            out.extend(encode_one(t))
+        return out
+
+    return count_one, tokens_one
 
 
 def bpe_count(
@@ -189,12 +212,13 @@ def bpe_count(
     pandas UDF; the slow path by design — see module docstring — kept
     off the default bench queries, opted into when real counts are
     worth a Python stage)."""
-    merges = tuple(merges) if merges is not None else default_merges()
+    merges = (tuple(tuple(m) for m in merges) if merges is not None
+              else default_merges())
     c = F.col(text) if isinstance(text, str) else text
 
     def _count(s):  # pd.Series[str] -> pd.Series[int32]
-        kernel = _make_kernel(merges)
-        return s.map(kernel).astype("int32")
+        count_one, _ = _make_kernel(merges)
+        return s.map(count_one).astype("int32")
 
     return F.pandas_udf(_count, returnType=T.IntegerType())(c)
 
@@ -203,11 +227,12 @@ def bpe_tokens(
     text: str | Column, merges: list[tuple[str, str]] | None = None
 ) -> Column:
     """The encoded token array itself (debugging / downstream use)."""
-    merges = tuple(merges) if merges is not None else default_merges()
+    merges = (tuple(tuple(m) for m in merges) if merges is not None
+              else default_merges())
     c = F.col(text) if isinstance(text, str) else text
 
     def _enc(s):  # pd.Series[str] -> pd.Series[list[str]]
-        m = list(merges)
-        return s.map(lambda t: encode(t, m) if t else [])
+        _, tokens_one = _make_kernel(merges)
+        return s.map(tokens_one)
 
     return F.pandas_udf(_enc, returnType=T.ArrayType(T.StringType()))(c)

@@ -359,6 +359,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    n_edges = None  # carried across rounds: |E| = previous |E'|
     for _ in range(max_iters):
         # large-star over the symmetrized edge set
         sym = E.union(
@@ -387,17 +388,20 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        # fixpoint test: |E'| == |E| and E' \ E == ∅ ⇒ E' == E
-        # (two bounded scalar jobs; never compares data row-by-row)
-        same_size = nxt.count() == E.count()
-        if same_size:
+        # fixpoint test: |E'| == |E| and E' \ E == ∅ ⇒ E' == E.
+        # |E| is carried from the previous round's |E'| (one count job
+        # per round, plus the anti-join probe only on size ties)
+        if n_edges is None:
+            n_edges = E.count()
+        n_next = nxt.count()
+        if n_next == n_edges:
             grew = (
                 nxt.join(E, ["u", "v"], "left_anti").limit(1).count()
             )
             if not grew:
                 E = nxt
                 break
-        E = nxt
+        E, n_edges = nxt, n_next
     else:
         raise RuntimeError(
             f"connected_components_star did not reach a fixpoint within "

@@ -107,19 +107,30 @@ def hash_split(
     ``weights`` need not be normalized.
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and non-negative")
     total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
     names = list(weights)
-    cuts, acc = [], 0.0
-    for n in names[:-1]:
-        acc += weights[n] / total
-        cuts.append(format(int(acc * 16**8), "08x"))
     h = F.substring(
         F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")),
         1, 8,
     )
     out = None
-    for name, cut in zip(names[:-1], cuts):
-        cond = h < F.lit(cut)
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cut = int(acc * 16**8)
+        if cut >= 16**8:
+            # cumulative weight reached 1.0 before the last name (the
+            # remaining names have zero weight): everything left goes
+            # here — a 9-digit hex threshold would break the
+            # fixed-width string comparison and leak rows into the
+            # zero-weight splits
+            cond = F.lit(True)
+        else:
+            cond = h < F.lit(format(cut, "08x"))
         out = F.when(cond, F.lit(name)) if out is None else out.when(
             cond, F.lit(name)
         )

@@ -130,6 +130,17 @@ def parse_kafka_records(
     if value_format == "avro":
         from kafka_jdbc_sink_connector_spark.sources import avro as avro_mod
 
+        if schema_registry is None and getattr(
+            cfg, "schema_registry_url", None
+        ):
+            # the converters' schema.registry.url from the Connect
+            # properties: resolve through one process-wide cached HTTP
+            # client per URL (the cache survives across micro-batches)
+            from kafka_jdbc_sink_connector_spark.sources.registry import (
+                client_for,
+            )
+
+            schema_registry = client_for(cfg.schema_registry_url)
         if schema_registry is not None:
             if records.isStreaming:
                 # id harvesting is one tiny batch aggregation — legal
@@ -138,8 +149,8 @@ def parse_kafka_records(
                 raise ValueError(
                     "schema_registry resolution runs a per-batch id "
                     "harvest and cannot be applied to a streaming "
-                    "DataFrame directly; call parse_kafka_records "
-                    "inside foreachBatch (CdcStreamRunner does), or "
+                    "DataFrame directly; call parse_kafka_records on "
+                    "each micro-batch inside foreachBatch, or "
                     "pre-resolve avro_value_schemas"
                 )
             from kafka_jdbc_sink_connector_spark.sources.registry import (
@@ -150,17 +161,24 @@ def parse_kafka_records(
                 avro_value_schemas = schemas_for_batch(
                     records, F.col("value"), schema_registry
                 )
-                if not avro_value_schemas:
-                    # all-tombstone / all-malformed batch: no embedded
-                    # id to resolve, so the frame's payload shape is
-                    # undeterminable — callers with such streams must
-                    # pin an explicit schema (the reference's converter
-                    # would equally have nothing to resolve here)
-                    raise ValueError(
-                        "batch carries no well-formed Confluent value "
-                        "frames to resolve against the registry; supply "
-                        "avro_value_schema(s) explicitly"
-                    )
+                # empty harvest = tombstone-only / all-malformed batch
+                # (a delete burst mid-stream is normal). Tombstones
+                # bypass value decode entirely, so all that is needed
+                # is a column SHAPE: an explicit value_schema pins it
+                # exactly (decode skipped below); otherwise fall back
+                # to the client's cached schemas — best-effort, correct
+                # for single-subject pipelines, documented as such.
+                # Only a cold start with neither is undeterminable.
+                if not avro_value_schemas and value_schema is None:
+                    avro_value_schemas = schema_registry.known_schemas()
+                    if not avro_value_schemas:
+                        raise ValueError(
+                            "batch carries no well-formed Confluent "
+                            "value frames, no value_schema was given, "
+                            "and the registry client has no cached "
+                            "schemas yet; supply avro_value_schema(s) "
+                            "or value_schema explicitly"
+                        )
             if (
                 pk_mode == "record_key"
                 and avro_key_schemas is None
@@ -169,6 +187,19 @@ def parse_kafka_records(
                 avro_key_schemas = schemas_for_batch(
                     records, F.col("key"), schema_registry
                 )
+                if not avro_key_schemas:
+                    # no cache fallback here (unlike values): the cache
+                    # mixes key and value schemas, and in record_key
+                    # mode every routable record MUST carry a framed
+                    # key — an empty harvest means the batch has none,
+                    # which no schema choice can fix. Without this
+                    # guard the empty dict would slip past the is-None
+                    # checks and surface as a low-level AvroDecodeError
+                    raise ValueError(
+                        "pk_mode='record_key' but the batch carries no "
+                        "well-formed Confluent key frames to resolve; "
+                        "supply avro_key_schema(s) explicitly"
+                    )
         if avro_value_schema is None and avro_value_schemas is None:
             raise ValueError(
                 "value_format='avro' requires avro_value_schema or "
@@ -189,12 +220,24 @@ def parse_kafka_records(
             )
         spark = records.sparkSession
         if avro_value_schemas is not None:
-            if value_schema is None:
-                value_schema = avro_mod.superset_struct(avro_value_schemas)
-            decoded = avro_mod.avro_decode_multi(
-                spark, F.col("value"), avro_value_schemas,
-                decoder=avro_decoder,
-            )
+            if not avro_value_schemas:
+                # registry path, no frames in the batch, shape pinned
+                # by the caller's value_schema: nothing to decode
+                decoded = F.lit(None).cast(
+                    T.StructType(
+                        [T.StructField(f.name, f.dataType, True)
+                         for f in value_schema.fields]
+                    )
+                )
+            else:
+                if value_schema is None:
+                    value_schema = avro_mod.superset_struct(
+                        avro_value_schemas
+                    )
+                decoded = avro_mod.avro_decode_multi(
+                    spark, F.col("value"), avro_value_schemas,
+                    decoder=avro_decoder,
+                )
         else:
             if value_schema is None:
                 value_schema = avro_mod.avro_schema_to_struct(

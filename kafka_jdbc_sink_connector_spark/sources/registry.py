@@ -50,6 +50,15 @@ class SchemaRegistryClient:
     def fetch_schema(self, schema_id: int) -> str:
         raise NotImplementedError
 
+    def known_schemas(self) -> dict[int, str]:
+        """Every id → schema this client can resolve WITHOUT a remote
+        round-trip (its cache / backing map). Used as the decode shape
+        for batches that carry no id to harvest — e.g. a tombstone-only
+        micro-batch mid-stream, where the columns must keep the shape
+        of the schemas seen so far (registry ids are immutable, so a
+        cached entry is always still correct)."""
+        return {}
+
 
 class DictSchemaRegistry(SchemaRegistryClient):
     """Dict-backed fake/adapter with the same miss semantics."""
@@ -65,6 +74,9 @@ class DictSchemaRegistry(SchemaRegistryClient):
                 f"unknown schema id {schema_id} (registry miss); known: "
                 f"{sorted(self._schemas)}"
             ) from None
+
+    def known_schemas(self) -> dict[int, str]:
+        return dict(self._schemas)
 
 
 class HttpSchemaRegistry(SchemaRegistryClient):
@@ -123,6 +135,22 @@ class HttpSchemaRegistry(SchemaRegistryClient):
             f"{self.max_retries + 1} attempts fetching id {schema_id}: "
             f"{last_err}"
         ) from last_err
+
+    def known_schemas(self) -> dict[int, str]:
+        return dict(self._cache)
+
+
+#: one client (= one schema cache) per registry URL across the
+#: process — cfg-driven resolution must not rebuild the client (and
+#: lose the cache) per micro-batch
+_CLIENTS: dict[str, "HttpSchemaRegistry"] = {}
+
+
+def client_for(base_url: str) -> HttpSchemaRegistry:
+    c = _CLIENTS.get(base_url)
+    if c is None:
+        c = _CLIENTS[base_url] = HttpSchemaRegistry(base_url)
+    return c
 
 
 def batch_schema_ids(records: DataFrame, col: Column) -> list[int]:

@@ -26,6 +26,10 @@ def test_pretokenizer_parity_python_vs_jvm(spark):
         "a",
         "CamelCase and ALLCAPS",
         "price $19.99 at 50% off!",
+        # non-decimal Unicode numerics (No/Nl): \\p{N} matches them,
+        # stdlib \\d does not — the regex-module path must agree with
+        # the JVM classes here
+        "x² and ½ cup plus Ⅻ chapters",
     ]
     df = spark.createDataFrame([(s,) for s in samples], "t string")
     jvm = [

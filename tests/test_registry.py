@@ -76,13 +76,40 @@ def test_registry_miss_fails_before_decode(spark):
         )
 
 
-def test_all_tombstone_batch_needs_explicit_schema(spark):
+def test_all_tombstone_batch_uses_cached_or_pinned_shape(spark):
+    """A tombstone-only micro-batch (normal mid-stream: a delete
+    burst) must NOT kill a registry-driven pipeline: the column shape
+    comes from the client's known schemas, or from an explicitly
+    pinned value_schema; only a cold client with neither fails."""
+    from kafka_jdbc_sink_connector_spark.sources.avro import (
+        avro_schema_to_struct,
+    )
+
     rows = [(None, None, "transcripts", 0, 1, None, 0)]
     raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
-    with pytest.raises(ValueError, match="no well-formed Confluent"):
+    # client knows schemas (dict-backed / warmed HTTP cache): decode
+    # shape = known superset, tombstone becomes a delete event
+    parsed = parse_kafka_records(
+        raw, None, SinkConfig(), value_format="avro",
+        schema_registry=DictSchemaRegistry({7: VALUE_SCHEMA}),
+    ).collect()
+    assert parsed[0]["op"] == "d" and parsed[0]["text"] is None
+    # cold client + pinned value_schema: shape from the caller, no
+    # registry traffic at all
+    class _Exploding(DictSchemaRegistry):
+        def fetch_schema(self, schema_id):
+            raise AssertionError("must not fetch for tombstones")
+
+    parsed2 = parse_kafka_records(
+        raw, avro_schema_to_struct(VALUE_SCHEMA), SinkConfig(),
+        value_format="avro", schema_registry=_Exploding({}),
+    ).collect()
+    assert parsed2[0]["op"] == "d"
+    # cold client, nothing pinned: genuinely undeterminable
+    with pytest.raises(ValueError, match="no cached schemas"):
         parse_kafka_records(
             raw, None, SinkConfig(), value_format="avro",
-            schema_registry=DictSchemaRegistry({7: VALUE_SCHEMA}),
+            schema_registry=DictSchemaRegistry({}),
         )
 
 
@@ -213,6 +240,25 @@ def test_http_registry_end_to_end_decode(spark, http_registry):
         schema_registry=http_registry,
     ).orderBy("kafka_offset").collect()
     assert parsed[0]["text"] == "old" and parsed[1]["tool"] == "search"
+
+
+def test_cfg_schema_registry_url_drives_resolution(spark, http_registry):
+    """schema_registry_url from the Connect properties is actually
+    consumed: parse_kafka_records builds a process-cached HTTP client
+    from it when no explicit registry/schemas were passed."""
+    from kafka_jdbc_sink_connector_spark.sources.registry import (
+        client_for,
+    )
+
+    cfg = SinkConfig(schema_registry_url=http_registry.base_url)
+    parsed = parse_kafka_records(
+        _mixed_batch(spark), None, cfg, value_format="avro",
+    ).orderBy("kafka_offset").collect()
+    assert parsed[0]["text"] == "old" and parsed[1]["tool"] == "search"
+    # one client (= one cache) per URL across the process
+    assert client_for(http_registry.base_url) is client_for(
+        http_registry.base_url
+    )
 
 
 def test_streaming_frame_rejected_with_guidance(spark, tmp_path):

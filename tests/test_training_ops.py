@@ -230,6 +230,26 @@ def test_hash_split_deterministic_and_proportional(spark):
     # single-bucket degenerate case
     one = ids.select(hash_split("doc_id", {"all": 1.0}).alias("s"))
     assert one.distinct().collect()[0]["s"] == "all"
+    # zero-weight splits receive NO rows — the cumulative cut reaching
+    # 16^8 must not produce a 9-hex-digit threshold that breaks the
+    # fixed-width string compare and leaks the tail into them
+    z = ids.select(
+        hash_split("doc_id", {"train": 0.95, "val": 0.05, "test": 0.0})
+        .alias("s")
+    )
+    zc = {r["s"]: r["n"] for r in z.groupBy("s").agg(
+        F.count("*").alias("n")).collect()}
+    assert zc.get("test", 0) == 0 and zc["train"] > zc["val"] > 0
+    zz = ids.select(
+        hash_split("doc_id", {"a": 1.0, "b": 0.0}).alias("s")
+    ).distinct().collect()
+    assert [r["s"] for r in zz] == ["a"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-negative"):
+        hash_split("doc_id", {"a": -1.0, "b": 2.0})
+    with _pytest.raises(ValueError, match="sum"):
+        hash_split("doc_id", {"a": 0.0})
 
 
 def _union_find(edges):

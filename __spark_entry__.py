@@ -751,11 +751,12 @@ def q_doc_bpe_token_count_true(
 ) -> DataFrame:
     """TRUE vocab-driven BPE token count (greedy ranked merges over
     the committed deterministic 128-merge vocab, Arrow-batched) next
-    to the codegen'd pretokenizer lower bound. No SQL oracle: the
-    greedy merge loop is iterative and order-sensitive (see
-    operators/bpe.py docstring) — correctness is pinned by pytest
-    fixtures + an independent reference encoder; the driver records
-    the rows-only check."""
+    to the codegen'd pretokenizer lower bound. Oracled by an
+    independent recursive-CTE greedy-merge encoder in DuckDB
+    (:func:`_sql_bpe_token_count_true`) — different engine, different
+    paradigm (declarative list ops per merge round vs the imperative
+    Python loop) — plus the pytest fixtures + reference encoder in
+    ``tests/test_bpe.py``."""
     from kafka_jdbc_sink_connector_spark.operators import bpe
 
     docs = _t(spark, sf_dir, "documents")
@@ -765,6 +766,74 @@ def q_doc_bpe_token_count_true(
         bpe.bpe_count("text", merges).alias("n_tokens_true"),
         text.bpe_token_count("text").alias("n_pretokens"),
     )
+
+
+def _sql_bpe_token_count_true() -> str:
+    """Independent DuckDB oracle for greedy ranked-merge BPE as a
+    RECURSIVE CTE: each recursion round finds the lowest-ranked
+    adjacent pair in the symbol list (map lookup over the shared vocab
+    — the vocab is an *input*, the encoder is re-implemented) and
+    merges every non-overlapping occurrence left-to-right via
+    ``list_reduce``; a pretoken is final when no adjacent pair has a
+    rank. Encodes each DISTINCT pretoken once, then joins counts back
+    per doc. Declarative set-oriented list algebra — no shared code
+    with :mod:`operators.bpe`'s imperative loop."""
+    from kafka_jdbc_sink_connector_spark.operators import bpe
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({q(a)}, {q(b)}, {i})"
+        for i, (a, b) in enumerate(bpe.default_merges())
+    )
+    pat = text.BPE_TOKEN_RE
+    return f"""
+WITH RECURSIVE merges(a, b, rank) AS (VALUES {vals}),
+rankmap AS (
+  SELECT map(list(a || chr(1) || b), list(rank)) AS m FROM merges
+),
+docpre AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{pat}')) AS tok
+  FROM documents
+),
+toks AS (SELECT DISTINCT tok FROM docpre),
+enc(tok, sym) AS (
+  SELECT tok, regexp_extract_all(tok, '(?s).') FROM toks
+  UNION ALL
+  SELECT tok, list_reduce(
+      list_transform(sym, s -> [s]),
+      (acc, x) -> CASE
+        WHEN acc[-1] || chr(1) || x[1] = bp
+          THEN acc[:-2] || [acc[-1] || x[1]]
+        ELSE acc || x END)
+  FROM (
+    SELECT tok, sym,
+      pairs[list_position(ranks, list_aggregate(ranks, 'min'))] AS bp
+    FROM (
+      SELECT tok, sym,
+        list_transform(range(1, len(sym)),
+                       i -> sym[i] || chr(1) || sym[i + 1]) AS pairs,
+        list_transform(range(1, len(sym)),
+                       i -> m[sym[i] || chr(1) || sym[i + 1]][1]) AS ranks
+      FROM enc, rankmap
+    ) WHERE list_aggregate(ranks, 'min') IS NOT NULL
+  )
+),
+toklen AS (
+  SELECT tok, len(sym) AS n FROM enc, rankmap
+  WHERE list_aggregate(list_transform(range(1, len(sym)),
+        i -> m[sym[i] || chr(1) || sym[i + 1]][1]), 'min') IS NULL
+),
+percount AS (
+  SELECT p.doc_id, sum(t.n) AS n_true, count(*) AS n_pre
+  FROM docpre p JOIN toklen t USING (tok) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.n_true, 0) AS INTEGER) AS n_tokens_true,
+       CAST(coalesce(c.n_pre, 0) AS INTEGER) AS n_pretokens
+FROM documents d LEFT JOIN percount c USING (doc_id)
+"""
 
 
 def q_doc_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2020,6 +2089,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_cust_latest_orders": _sql_tpch_latest_orders(),
         "doc_textnorm": _sql_textnorm(),
         "doc_token_count": _sql_token_count(),
+        "doc_bpe_token_count_true": _sql_bpe_token_count_true(),
         "doc_train_val_split": _sql_train_val_split(),
         "doc_repetition_ratio": _sql_repetition_ratio(),
         "doc_length_percentiles": _sql_length_percentiles(),

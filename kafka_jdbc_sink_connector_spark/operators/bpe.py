@@ -27,14 +27,15 @@ REAL BPE counts with a committed, reproducible vocab, not to compete
 with production vocabularies, which drop in through the same
 ``merges`` parameter.
 
-Why the SQL oracle covers only the pretokenizer: greedy ranked merges
-are an inherently iterative, order-sensitive reduction per pretoken —
-not expressible as a set-oriented ANSI-SQL query short of a recursive
-CTE emulating the loop symbol-by-symbol, which would be an
-implementation mirror rather than an independent oracle. The
-correctness net here is a hand-computed fixture + an independent
-reference implementation in the tests; the driver records the rows-only
-check for the ``doc_bpe_token_count_true`` entry.
+Oracle: the driver's ``doc_bpe_token_count_true`` entry is checked
+against an independent DuckDB RECURSIVE-CTE encoder
+(``__spark_entry__._sql_bpe_token_count_true``) — one merge round per
+recursion step, lowest-ranked adjacent pair found by map lookup,
+non-overlapping left-to-right application via ``list_reduce`` —
+declarative list algebra in a different engine, sharing only the vocab
+(an input) with this module. The pytest net (hand-computed fixture +
+an independent reference implementation) additionally pins the
+per-token encodes.
 
 Pretokenizer parity note: Spark's pattern uses ``\\p{L}``/``\\p{N}``.
 The ``regex`` module (a pandas dependency, so present wherever the

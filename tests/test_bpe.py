@@ -1,8 +1,8 @@
 """True BPE encode (operators/bpe.py): deterministic training,
-hand-computed encode fixtures, an independent reference encoder, and
-Spark-column vs pure-Python agreement. The SQL oracle covers only the
-pretokenizer (see the module docstring for why); these tests are the
-correctness net for the merge loop itself."""
+hand-computed encode fixtures, an independent reference encoder,
+Spark-column vs pure-Python agreement, and the DuckDB recursive-CTE
+oracle (the driver's independent check) exercised on adversarial
+pretokens beyond what the driver data contains."""
 
 from __future__ import annotations
 
@@ -140,3 +140,40 @@ def test_bpe_tokens_column(spark):
         bpe.bpe_tokens("t", list(bpe.default_merges())).alias("toks")
     ).collect()
     assert "".join(row["toks"]) == "the dog and the fox"
+
+
+def test_duckdb_recursive_cte_oracle_adversarial():
+    """The driver-facing DuckDB oracle re-implements greedy ranked
+    merges declaratively; pin it against the Python encoder on inputs
+    the driver corpus does NOT contain: repeated-pair runs (the
+    left-to-right non-overlap rule), quotes (SQL escaping), digits,
+    punctuation runs, whitespace pretokens, and empty text."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    texts = [
+        "aaaa the thethe 'quoted' text",
+        "ababab   mixed 12345 !!??..",
+        "deduplicate streams the the the",
+        "x",
+        "",
+        "   ",
+        "it's the dog's toy''s",
+    ]
+    lit = "[" + ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in texts
+    ) + "]"
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT i AS doc_id, t AS text FROM ("
+        "SELECT unnest(range(" + str(len(texts)) + ")) AS i, "
+        "unnest(" + lit + ") AS t)"
+    )
+    rows = con.sql(entrymod._sql_bpe_token_count_true()).fetchall()
+    merges = list(bpe.default_merges())
+    got = {r[0]: (r[1], r[2]) for r in rows}
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        want = (len(bpe.encode(t, merges)), len(bpe.pretokenize(t)))
+        assert got[i] == want, (i, t, got[i], want)

@@ -344,18 +344,21 @@ def connected_components_star(
     Output matches :func:`connected_components`: (node, component =
     min reachable node id).
     """
-    E = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
+    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # node set from the RAW pairs — BEFORE the self-loop filter — so a
+    # node appearing only as (u, u) still gets a label (component =
+    # itself), matching the hash-to-min variant's coverage
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    nodes = (
-        E.select(F.col("u").alias("node"))
-        .union(E.select(F.col("v").alias("node")))
+    E = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
         .distinct()
         .localCheckpoint(eager=False)
     )

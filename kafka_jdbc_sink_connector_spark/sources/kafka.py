@@ -154,30 +154,74 @@ def parse_kafka_records(
                     "pre-resolve avro_value_schemas"
                 )
             from kafka_jdbc_sink_connector_spark.sources.registry import (
+                SchemaRegistryError,
+                batch_schema_ids_by_topic,
                 schemas_for_batch,
             )
 
             if avro_value_schemas is None and avro_value_schema is None:
-                avro_value_schemas = schemas_for_batch(
-                    records, F.col("value"), schema_registry
+                by_topic = batch_schema_ids_by_topic(
+                    records, F.col("value")
                 )
+                avro_value_schemas = {}
+                for topic, ids in by_topic.items():
+                    for sid in ids:
+                        if sid not in avro_value_schemas:
+                            avro_value_schemas[sid] = (
+                                schema_registry.fetch_schema(sid)
+                            )
+                    if ids:
+                        # per-topic value-side scope: the shared client
+                        # also caches other pipelines' (and key-side)
+                        # schemas, which must never leak into THIS
+                        # topic's shape fallback below
+                        schema_registry.note_scope(f"value:{topic}", ids)
                 # empty harvest = tombstone-only / all-malformed batch
                 # (a delete burst mid-stream is normal). Tombstones
                 # bypass value decode entirely, so all that is needed
                 # is a column SHAPE: an explicit value_schema pins it
                 # exactly (decode skipped below); otherwise fall back
-                # to the client's cached schemas — best-effort, correct
-                # for single-subject pipelines, documented as such.
-                # Only a cold start with neither is undeterminable.
+                # to the value-side schemas cached FOR THIS BATCH'S
+                # TOPICS, then to cold-start subject resolution
+                # (Confluent TopicNameStrategy: '{topic}-value' latest).
                 if not avro_value_schemas and value_schema is None:
-                    avro_value_schemas = schema_registry.known_schemas()
+                    topics = [
+                        t for t in sorted(by_topic, key=str)
+                        if t is not None
+                    ]
+                    cached: dict[int, str] = {}
+                    for t in topics:
+                        cached.update(
+                            schema_registry.known_schemas(
+                                scope=f"value:{t}"
+                            )
+                        )
+                    errs: list[str] = []
+                    if not cached:
+                        for t in topics:
+                            try:
+                                sid, sj = schema_registry.fetch_latest(
+                                    f"{t}-value"
+                                )
+                            except SchemaRegistryError as e:
+                                errs.append(str(e))
+                                continue
+                            cached[sid] = sj
+                            schema_registry.note_scope(
+                                f"value:{t}", [sid]
+                            )
+                    avro_value_schemas = cached
                     if not avro_value_schemas:
                         raise ValueError(
                             "batch carries no well-formed Confluent "
                             "value frames, no value_schema was given, "
-                            "and the registry client has no cached "
-                            "schemas yet; supply avro_value_schema(s) "
-                            "or value_schema explicitly"
+                            "no value-side schemas are cached for this "
+                            "batch's topics, and subject resolution "
+                            "('{topic}-value' latest) found nothing: "
+                            + ("; ".join(errs) if errs
+                               else "batch names no topics")
+                            + "; supply avro_value_schema(s) or "
+                            "value_schema explicitly"
                         )
             if (
                 pk_mode == "record_key"
@@ -185,16 +229,17 @@ def parse_kafka_records(
                 and avro_key_schema is None
             ):
                 avro_key_schemas = schemas_for_batch(
-                    records, F.col("key"), schema_registry
+                    records, F.col("key"), schema_registry,
+                    scope_prefix="key",
                 )
                 if not avro_key_schemas:
-                    # no cache fallback here (unlike values): the cache
-                    # mixes key and value schemas, and in record_key
-                    # mode every routable record MUST carry a framed
-                    # key — an empty harvest means the batch has none,
-                    # which no schema choice can fix. Without this
-                    # guard the empty dict would slip past the is-None
-                    # checks and surface as a low-level AvroDecodeError
+                    # no cache fallback here (unlike values): in
+                    # record_key mode every routable record MUST carry
+                    # a framed key — an empty harvest means the batch
+                    # has none, which no schema choice can fix. Without
+                    # this guard the empty dict would slip past the
+                    # is-None checks and surface as a low-level
+                    # AvroDecodeError
                     raise ValueError(
                         "pk_mode='record_key' but the batch carries no "
                         "well-formed Confluent key frames to resolve; "
@@ -221,9 +266,17 @@ def parse_kafka_records(
         spark = records.sparkSession
         if avro_value_schemas is not None:
             if not avro_value_schemas:
-                # registry path, no frames in the batch, shape pinned
-                # by the caller's value_schema: nothing to decode
-                decoded = F.lit(None).cast(
+                # registry path, no WELL-FORMED frames in the batch,
+                # shape pinned by the caller's value_schema. Tombstones
+                # (NULL values) bypass this expression via the
+                # isNotNull guard below; any non-null value here failed
+                # the magic-byte/length harvest check, so it must fail
+                # with the decoders' frame error — not silently decode
+                # to a NULL struct and quarantine as 'null op' (the
+                # decoder contract: same inputs fail identically)
+                decoded = F.raise_error(
+                    F.lit("not Confluent wire format (magic byte != 0)")
+                ).cast(
                     T.StructType(
                         [T.StructField(f.name, f.dataType, True)
                          for f in value_schema.fields]

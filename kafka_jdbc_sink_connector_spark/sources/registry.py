@@ -50,14 +50,39 @@ class SchemaRegistryClient:
     def fetch_schema(self, schema_id: int) -> str:
         raise NotImplementedError
 
-    def known_schemas(self) -> dict[int, str]:
+    def fetch_latest(self, subject: str) -> tuple[int, str]:
+        """(schema id, schema JSON) of the subject's latest version —
+        Confluent's ``GET /subjects/{subject}/versions/latest``. Used
+        for COLD-START pinning: a tombstone-only first batch carries no
+        id to harvest, but its topic names the subject (Confluent
+        TopicNameStrategy: ``{topic}-value``). Optional — clients that
+        cannot resolve subjects raise a miss."""
+        raise SchemaRegistryError(
+            f"{type(self).__name__} cannot resolve subjects "
+            f"(requested {subject!r})"
+        )
+
+    def known_schemas(self, scope: str | None = None) -> dict[int, str]:
         """Every id → schema this client can resolve WITHOUT a remote
         round-trip (its cache / backing map). Used as the decode shape
         for batches that carry no id to harvest — e.g. a tombstone-only
         micro-batch mid-stream, where the columns must keep the shape
         of the schemas seen so far (registry ids are immutable, so a
-        cached entry is always still correct)."""
+        cached entry is always still correct).
+
+        ``scope`` narrows the answer to ids previously recorded under
+        that scope via :meth:`note_scope` (e.g. ``"value:<topic>"``) —
+        a shared client accumulates schemas from every topic/pipeline
+        (and, under pk_mode=record_key, key schemas too); an UNSCOPED
+        fallback could pin a batch's value shape to a superset
+        containing foreign or key-side columns. Clients that do not
+        track scopes may ignore the argument (documented per class)."""
         return {}
+
+    def note_scope(self, scope: str, ids) -> None:
+        """Record that ``ids`` were harvested under ``scope`` so scoped
+        :meth:`known_schemas` lookups stay per-topic/per-column. No-op
+        by default."""
 
 
 class DictSchemaRegistry(SchemaRegistryClient):
@@ -75,7 +100,10 @@ class DictSchemaRegistry(SchemaRegistryClient):
                 f"{sorted(self._schemas)}"
             ) from None
 
-    def known_schemas(self) -> dict[int, str]:
+    def known_schemas(self, scope: str | None = None) -> dict[int, str]:
+        """Scope is ignored: the backing map is supplied explicitly by
+        the caller for one pipeline, so it cannot accumulate foreign
+        schemas the way a shared HTTP client's cache can."""
         return dict(self._schemas)
 
 
@@ -99,31 +127,21 @@ class HttpSchemaRegistry(SchemaRegistryClient):
         self.max_retries = max_retries
         self.backoff_sec = backoff_sec
         self._cache: dict[int, str] = {}
+        self._scope_ids: dict[str, set[int]] = {}
 
-    def fetch_schema(self, schema_id: int) -> str:
-        schema_id = int(schema_id)
-        cached = self._cache.get(schema_id)
-        if cached is not None:
-            return cached
-        url = f"{self.base_url}/schemas/ids/{schema_id}"
+    def _get_json(self, url: str, miss_msg: str) -> dict:
+        """GET with bounded linear-backoff retries; 404 is a MISS and
+        fails immediately (retrying cannot make an unregistered
+        id/subject appear)."""
         last_err: Exception | None = None
         for attempt in range(self.max_retries + 1):
             try:
                 with urllib.request.urlopen(url, timeout=self.timeout) as r:
-                    body = json.loads(r.read().decode("utf-8"))
-                schema = body.get("schema")
-                if not isinstance(schema, str):
-                    raise SchemaRegistryError(
-                        f"registry response for id {schema_id} has no "
-                        f"'schema' string member: {body!r}"
-                    )
-                self._cache[schema_id] = schema
-                return schema
+                    return json.loads(r.read().decode("utf-8"))
             except urllib.error.HTTPError as e:
                 if e.code == 404:
                     raise SchemaRegistryError(
-                        f"unknown schema id {schema_id} (registry miss, "
-                        f"HTTP 404 from {url})"
+                        f"{miss_msg} (registry miss, HTTP 404 from {url})"
                     ) from e
                 last_err = e  # 5xx etc.: transient, retry
             except (urllib.error.URLError, OSError, TimeoutError) as e:
@@ -132,12 +150,54 @@ class HttpSchemaRegistry(SchemaRegistryClient):
                 time.sleep(self.backoff_sec * (attempt + 1))
         raise SchemaRegistryError(
             f"schema registry at {self.base_url} unreachable after "
-            f"{self.max_retries + 1} attempts fetching id {schema_id}: "
-            f"{last_err}"
+            f"{self.max_retries + 1} attempts ({miss_msg}): {last_err}"
         ) from last_err
 
-    def known_schemas(self) -> dict[int, str]:
-        return dict(self._cache)
+    def fetch_schema(self, schema_id: int) -> str:
+        schema_id = int(schema_id)
+        cached = self._cache.get(schema_id)
+        if cached is not None:
+            return cached
+        body = self._get_json(
+            f"{self.base_url}/schemas/ids/{schema_id}",
+            f"unknown schema id {schema_id}",
+        )
+        schema = body.get("schema")
+        if not isinstance(schema, str):
+            raise SchemaRegistryError(
+                f"registry response for id {schema_id} has no "
+                f"'schema' string member: {body!r}"
+            )
+        self._cache[schema_id] = schema
+        return schema
+
+    def fetch_latest(self, subject: str) -> tuple[int, str]:
+        body = self._get_json(
+            f"{self.base_url}/subjects/{subject}/versions/latest",
+            f"unknown subject {subject!r}",
+        )
+        schema, sid = body.get("schema"), body.get("id")
+        if not isinstance(schema, str) or not isinstance(sid, int):
+            raise SchemaRegistryError(
+                f"registry response for subject {subject!r} lacks "
+                f"'schema'/'id' members: {body!r}"
+            )
+        self._cache[sid] = schema
+        return sid, schema
+
+    def note_scope(self, scope: str, ids) -> None:
+        self._scope_ids.setdefault(scope, set()).update(
+            int(i) for i in ids
+        )
+
+    def known_schemas(self, scope: str | None = None) -> dict[int, str]:
+        if scope is None:
+            return dict(self._cache)
+        return {
+            i: self._cache[i]
+            for i in self._scope_ids.get(scope, ())
+            if i in self._cache
+        }
 
 
 #: one client (= one schema cache) per registry URL across the
@@ -176,14 +236,64 @@ def batch_schema_ids(records: DataFrame, col: Column) -> list[int]:
     return sorted(int(i) for i in (row["ids"] or []))
 
 
+def batch_schema_ids_by_topic(
+    records: DataFrame, col: Column
+) -> dict[str | None, list[int]]:
+    """Distinct Confluent schema ids per TOPIC in one tiny aggregation
+    (both dimensions bounded: topics by the subscription, ids by
+    registry versions). Topics with only tombstones/malformed frames
+    appear with an empty id list — exactly the signal the cold-start /
+    cached-shape fallbacks need (the topic names the subject even when
+    no frame names a schema)."""
+    from kafka_jdbc_sink_connector_spark.sources.avro import (
+        schema_id_column,
+    )
+
+    well_framed = (
+        col.isNotNull()
+        & (F.length(col) >= 5)
+        & (F.substring(col, 1, 1) == F.lit(b"\x00"))
+    )
+    rows = (
+        records.groupBy("topic")
+        .agg(
+            F.collect_set(F.when(well_framed, schema_id_column(col)))
+            .alias("ids")
+        )
+        .collect()
+    )
+    return {
+        r["topic"]: sorted(int(i) for i in (r["ids"] or []))
+        for r in rows
+    }
+
+
 def schemas_for_batch(
-    records: DataFrame, col: Column, registry: SchemaRegistryClient
+    records: DataFrame,
+    col: Column,
+    registry: SchemaRegistryClient,
+    scope_prefix: str | None = None,
 ) -> dict[int, str]:
     """id → writer schema JSON for every id the batch carries, resolved
     through ``registry`` (cached client ⇒ one HTTP round-trip per
     never-seen id across the stream's lifetime). Unknown ids raise
-    loudly here — before any decode work is scheduled."""
-    return {
-        sid: registry.fetch_schema(sid)
-        for sid in batch_schema_ids(records, col)
-    }
+    loudly here — before any decode work is scheduled.
+
+    With ``scope_prefix`` (e.g. ``"value"``), ids are harvested per
+    topic and recorded under ``"{scope_prefix}:{topic}"`` scopes on the
+    client, so later scoped :meth:`~SchemaRegistryClient.known_schemas`
+    fallbacks see only this column's/topic's schemas."""
+    if scope_prefix is None:
+        return {
+            sid: registry.fetch_schema(sid)
+            for sid in batch_schema_ids(records, col)
+        }
+    by_topic = batch_schema_ids_by_topic(records, col)
+    out: dict[int, str] = {}
+    for topic, ids in by_topic.items():
+        for sid in ids:
+            if sid not in out:
+                out[sid] = registry.fetch_schema(sid)
+        if ids:
+            registry.note_scope(f"{scope_prefix}:{topic}", ids)
+    return out

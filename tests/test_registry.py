@@ -105,8 +105,9 @@ def test_all_tombstone_batch_uses_cached_or_pinned_shape(spark):
         value_format="avro", schema_registry=_Exploding({}),
     ).collect()
     assert parsed2[0]["op"] == "d"
-    # cold client, nothing pinned: genuinely undeterminable
-    with pytest.raises(ValueError, match="no cached schemas"):
+    # cold client, nothing pinned, subject resolution unsupported by
+    # the dict fake: genuinely undeterminable
+    with pytest.raises(ValueError, match="no value-side schemas"):
         parse_kafka_records(
             raw, None, SinkConfig(), value_format="avro",
             schema_registry=DictSchemaRegistry({}),
@@ -166,11 +167,32 @@ def test_record_key_mode_resolves_key_schemas_too(spark):
 
 class _Handler(BaseHTTPRequestHandler):
     store: dict[int, str] = {}
+    subjects: dict[str, tuple[int, str]] = {}  # subject → (id, schema)
     hits: list[str] = []
     fail_next: list[int] = []  # sids whose next request 500s
 
+    def _reply(self, body: dict):
+        raw = json.dumps(body).encode()
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         "application/vnd.schemaregistry.v1+json")
+        self.end_headers()
+        self.wfile.write(raw)
+
     def do_GET(self):  # noqa: N802 — http.server API
         _Handler.hits.append(self.path)
+        if self.path.startswith("/subjects/"):
+            # /subjects/{subject}/versions/latest
+            subject = self.path.split("/")[2]
+            hit = _Handler.subjects.get(subject)
+            if hit is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            sid, schema = hit
+            self._reply({"subject": subject, "version": 1,
+                         "id": sid, "schema": schema})
+            return
         sid = int(self.path.rsplit("/", 1)[1])
         if sid in _Handler.fail_next:
             _Handler.fail_next.remove(sid)
@@ -182,12 +204,7 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_response(404)
             self.end_headers()
             return
-        body = json.dumps({"schema": schema}).encode()
-        self.send_response(200)
-        self.send_header("Content-Type",
-                         "application/vnd.schemaregistry.v1+json")
-        self.end_headers()
-        self.wfile.write(body)
+        self._reply({"schema": schema})
 
     def log_message(self, *a):  # quiet
         pass
@@ -196,6 +213,7 @@ class _Handler(BaseHTTPRequestHandler):
 @pytest.fixture()
 def http_registry():
     _Handler.store = {7: VALUE_SCHEMA, 9: V2_SCHEMA}
+    _Handler.subjects = {"transcripts-value": (9, V2_SCHEMA)}
     _Handler.hits = []
     _Handler.fail_next = []
     srv = HTTPServer(("127.0.0.1", 0), _Handler)
@@ -299,3 +317,100 @@ def test_schemas_for_batch_empty_frame(spark):
     assert schemas_for_batch(
         raw, F.col("value"), DictSchemaRegistry({})
     ) == {}
+
+
+def test_cold_start_tombstone_batch_pins_subject(spark, http_registry):
+    """A COLD client + tombstone-only FIRST batch: no id to harvest,
+    nothing cached — the topic still names the subject (Confluent
+    TopicNameStrategy '{topic}-value'), so the value shape resolves
+    from /subjects/{subject}/versions/latest instead of raising."""
+    raw = spark.createDataFrame(
+        [(None, None, "transcripts", 0, 1, None, 0)], KAFKA_WIRE_SCHEMA
+    )
+    parsed = parse_kafka_records(
+        raw, None, SinkConfig(), value_format="avro",
+        schema_registry=http_registry,
+    ).collect()
+    assert parsed[0]["op"] == "d"
+    # shape came from the subject's latest version (V2 carries 'tool')
+    assert "tool" in parsed[0].asDict()
+    assert any("/subjects/transcripts-value/versions/latest" == h
+               for h in _Handler.hits)
+    # and the resolved id is now scope-cached: a second tombstone-only
+    # batch resolves without registry traffic
+    n = len(_Handler.hits)
+    parse_kafka_records(
+        raw, None, SinkConfig(), value_format="avro",
+        schema_registry=http_registry,
+    ).collect()
+    assert len(_Handler.hits) == n
+
+
+def test_tombstone_fallback_scoped_to_value_and_topic(spark,
+                                                      http_registry):
+    """The tombstone-only shape fallback must use only VALUE-side ids
+    harvested for THIS topic — never key schemas (record_key mode) or
+    another topic's schemas accumulated in the shared client cache."""
+    key_schema = json.dumps({
+        "type": "record", "name": "k", "fields": [
+            {"name": "conv_id", "type": "string"},
+            {"name": "turn_idx", "type": "int"},
+        ],
+    })
+    _Handler.store[21] = key_schema
+    v1 = {"op": "c", "conv_id": "a", "turn_idx": 0,
+          "role": "user", "text": "x", "ts": TS}
+    k1 = {"conv_id": "a", "turn_idx": 0}
+    batch1 = spark.createDataFrame([
+        (_confluent(encode_record(key_schema, k1), 21),
+         _confluent(encode_record(VALUE_SCHEMA, v1), 7),
+         "transcripts", 0, 1, None, 0),
+    ], KAFKA_WIRE_SCHEMA)
+    parse_kafka_records(
+        batch1, None, SinkConfig(), pk_mode="record_key",
+        value_format="avro", schema_registry=http_registry,
+    ).collect()
+    # client cache now holds value id 7 AND key id 21; the value-side
+    # scoped view must exclude the key schema
+    assert set(http_registry.known_schemas()) == {7, 21}
+    assert set(http_registry.known_schemas("value:transcripts")) == {7}
+    assert set(http_registry.known_schemas("key:transcripts")) == {21}
+    # a different topic's tombstone-only batch must NOT inherit the
+    # transcripts schemas: with no subject registered for it, it fails
+    other = spark.createDataFrame(
+        [(None, None, "audit", 0, 9, None, 0)], KAFKA_WIRE_SCHEMA
+    )
+    with pytest.raises(ValueError, match="audit-value"):
+        parse_kafka_records(
+            other, None, SinkConfig(), value_format="avro",
+            schema_registry=http_registry,
+        )
+
+
+def test_empty_harvest_malformed_frames_keep_frame_error(spark):
+    """Empty harvest + caller-pinned value_schema: NON-NULL values in
+    such a batch are by definition malformed (no well-formed frame was
+    harvested) and must raise the decoders' frame error — not silently
+    become NULL structs quarantined with a misleading reason."""
+    from kafka_jdbc_sink_connector_spark.sources.avro import (
+        avro_schema_to_struct,
+    )
+
+    rows = [
+        (None, None, "t", 0, 1, None, 0),            # tombstone: fine
+        (None, b"\x01garbage", "t", 0, 2, None, 0),  # bad magic byte
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    parsed = parse_kafka_records(
+        raw, avro_schema_to_struct(VALUE_SCHEMA), SinkConfig(),
+        value_format="avro", schema_registry=DictSchemaRegistry({}),
+    )
+    with pytest.raises(Exception, match="magic byte"):
+        parsed.collect()
+    # tombstone-only batch through the same path still decodes cleanly
+    only_tomb = spark.createDataFrame(rows[:1], KAFKA_WIRE_SCHEMA)
+    out = parse_kafka_records(
+        only_tomb, avro_schema_to_struct(VALUE_SCHEMA), SinkConfig(),
+        value_format="avro", schema_registry=DictSchemaRegistry({}),
+    ).collect()
+    assert out[0]["op"] == "d"

@@ -297,13 +297,17 @@ def test_star_cc_agrees_with_hash_to_min_on_lsh_pairs(spark, docs):
 
 
 def test_star_cc_random_graph_matches_union_find(spark):
-    """Seeded random graph with chains, cliques, and isolated pairs —
-    labels equal a sequential union-find."""
+    """Seeded random graph with chains, cliques, isolated pairs, AND
+    self-loop-only nodes (kept by both algorithms: a node seen only as
+    (u, u) labels itself) — labels equal a sequential union-find."""
     import random
 
     rng = random.Random(42)
     edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
     edges = [(a, b) for a, b in edges if a != b]
+    # nodes that appear ONLY in self-pairs: both variants must emit
+    # them with component = self (coverage parity across algorithms)
+    edges += [(5000, 5000), (5001, 5001)]
     # add a long chain in a disjoint id range (diameter stress)
     edges += [(1000 + i, 1001 + i) for i in range(40)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
@@ -359,14 +363,10 @@ def test_entry_contract_consistency(spark):
     qs = entry.queries()
     oracles = entry.oracle_sql()
     assert set(oracles) <= set(qs)
-    # every query carries a DuckDB oracle (emb_lsh_ann gained one once
-    # the bucket sign test was quantized on both engines) EXCEPT the
-    # explicitly documented rows-only set: true BPE's greedy ranked
-    # merge loop is iterative/order-sensitive and not expressible as
-    # an independent set-oriented SQL query (operators/bpe.py
-    # docstring); its correctness net is tests/test_bpe.py
-    rows_only = {"doc_bpe_token_count_true"}
-    assert set(qs) - set(oracles) == rows_only
+    # every query carries a DuckDB oracle — including true BPE, whose
+    # greedy ranked merge loop is oracled by an independent
+    # recursive-CTE encoder (see _sql_bpe_token_count_true)
+    assert set(qs) == set(oracles)
     df = entry.entry(spark)
     assert df.count() > 0
     assert df.schema is not None

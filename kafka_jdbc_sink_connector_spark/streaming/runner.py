@@ -41,17 +41,43 @@ NON_RETRIABLE = (ConfigError, SchemaEvolutionError, MissingRetainFieldError)
 
 
 class CdcStreamRunner:
-    """Drives one streaming source into one destination table."""
+    """Drives one streaming source into one destination table.
+
+    ``record_parser`` is the engine-plumbed analog of the reference's
+    converter layer (the Connect worker invokes the configured
+    converters before ``put(records)`` ever sees a record;
+    ``BufferedRecordsTest.java:94-99`` drives two registered schema
+    versions through it): an optional callable ``DataFrame →
+    DataFrame`` run INSIDE the managed ``foreachBatch`` on each
+    micro-batch, before apply. This is where registry-driven Avro
+    decode belongs — the per-batch schema-id harvest cannot run on the
+    unbounded stream (:func:`..sources.kafka.parse_kafka_records`
+    rejects streaming frames), but inside ``foreachBatch`` every
+    micro-batch is a plain DataFrame::
+
+        runner = CdcStreamRunner(
+            applier, ckpt,
+            record_parser=lambda df: parse_kafka_records(
+                df, None, cfg, value_format="avro"),
+        )
+        runner.start(kafka_stream(spark, brokers, topic))
+
+    The parser runs inside the bounded retry loop, so a transiently
+    unreachable registry gets the runner's backoff on top of the HTTP
+    client's own retries.
+    """
 
     def __init__(
         self,
         applier: CdcApplier,
         checkpoint_dir: str,
         source_id: str = "stream",
+        record_parser=None,
     ):
         self.applier = applier
         self.checkpoint_dir = checkpoint_dir
         self.source_id = source_id
+        self.record_parser = record_parser
         self.results: list[BatchResult] = []
 
     # foreachBatch body — public so tests can drive it directly
@@ -62,8 +88,13 @@ class CdcStreamRunner:
         res: BatchResult | None = None
         for attempt in range(attempts):
             try:
+                parsed = (
+                    self.record_parser(batch_df)
+                    if self.record_parser is not None
+                    else batch_df
+                )
                 res = self.applier.apply_batch(
-                    batch_df, batch_id=batch_id, source_id=self.source_id
+                    parsed, batch_id=batch_id, source_id=self.source_id
                 )
                 self.results.append(res)
                 break
@@ -165,6 +196,7 @@ class MultiTableRunner:
         checkpoint_dir: str,
         topic_column: str = "topic",
         source_id: str = "stream",
+        record_parser=None,
     ):
         #: topic -> CdcApplier, created lazily like the per-table
         #: BufferedRecords map (JdbcAuditDbWriter.java:63-83)
@@ -173,8 +205,14 @@ class MultiTableRunner:
         self.topic_column = topic_column
         self.checkpoint_dir = checkpoint_dir
         self.source_id = source_id
+        #: same converter-layer hook as CdcStreamRunner; the parser
+        #: must PRESERVE the topic column (parse_kafka_records:
+        #: keep_topic=True) or routing has nothing to split on
+        self.record_parser = record_parser
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.record_parser is not None:
+            batch_df = self.record_parser(batch_df)
         topics = [
             r[0]
             for r in batch_df.select(self.topic_column).distinct().collect()

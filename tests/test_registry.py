@@ -414,3 +414,97 @@ def test_empty_harvest_malformed_frames_keep_frame_error(spark):
         value_format="avro", schema_registry=DictSchemaRegistry({}),
     ).collect()
     assert out[0]["op"] == "d"
+
+
+def test_stream_runner_record_parser_live_registry_e2e(
+    spark, http_registry, tmp_path
+):
+    """Verdict-item e2e: binary Confluent wire frames flow through a
+    file stream into CdcStreamRunner's record_parser hook (the
+    engine-plumbed converter layer), decoding via the LIVE local HTTP
+    registry inside the managed foreachBatch — mixed writer-schema
+    versions, deletes, exactly-once across restart."""
+    from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+    from kafka_jdbc_sink_connector_spark.sources.cdc import file_stream
+    from kafka_jdbc_sink_connector_spark.streaming.runner import (
+        CdcStreamRunner,
+    )
+
+    from kafka_jdbc_sink_connector_spark.config import DeleteMode
+
+    cfg = SinkConfig(n_buckets=2, delete_mode=DeleteMode.DELETE)
+    src = str(tmp_path / "wire")
+    ckpt = str(tmp_path / "ckpt")
+
+    def frame(schema, sid, **rec):
+        return _confluent(encode_record(schema, rec), sid)
+
+    def v1(op, conv, turn, text):
+        return frame(VALUE_SCHEMA, 7, op=op, conv_id=conv,
+                     turn_idx=turn, role="user", text=text, ts=TS)
+
+    def v2(op, conv, turn, text, tool):
+        return frame(V2_SCHEMA, 9, op=op, conv_id=conv, turn_idx=turn,
+                     role="tool", text=text, ts=TS, tool=tool)
+
+    chunk1 = [
+        (None, v1("c", "a", 0, "one"), "transcripts", 0, 0, None, 0),
+        (None, v1("c", "b", 0, "two"), "transcripts", 0, 1, None, 0),
+        (None, v1("c", "c", 0, "three"), "transcripts", 0, 2, None, 0),
+    ]
+    chunk2 = [
+        # newer writer schema updates a; delete c via op (the V2
+        # records exercise per-record id routing inside the runner)
+        (None, v2("u", "a", 0, "one-v2", "search"),
+         "transcripts", 0, 3, None, 0),
+        (None, v1("d", "c", 0, None), "transcripts", 0, 4, None, 0),
+    ]
+    spark.createDataFrame(chunk1, KAFKA_WIRE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(chunk2, KAFKA_WIRE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    def parser(df):
+        return parse_kafka_records(
+            df, None, cfg, value_format="avro",
+            schema_registry=http_registry,
+        )
+
+    applier = CdcApplier(spark, cfg, str(tmp_path / "tgt"))
+    runner = CdcStreamRunner(applier, ckpt, record_parser=parser)
+    stream = file_stream(spark, src, KAFKA_WIRE_SCHEMA,
+                         max_files_per_trigger=1)
+    results = runner.run_available(stream)
+    assert len(results) >= 2  # really micro-batched
+
+    got = {(r["conv_id"], r["turn_idx"]): r.asDict()
+           for r in applier.read_target().collect()}
+    assert set(got) == {("a", 0), ("b", 0)}      # c deleted
+    assert got[("a", 0)]["text"] == "one-v2"
+    assert got[("a", 0)]["tool"] == "search"      # evolved column
+    assert got[("b", 0)]["text"] == "two"
+    v_after = applier.table().version
+
+    # restart from the same checkpoint with no new data: nothing
+    # re-applied (exactly-once via checkpoint + batch watermark)
+    applier2 = CdcApplier(spark, cfg, str(tmp_path / "tgt"))
+    runner2 = CdcStreamRunner(applier2, ckpt, record_parser=parser)
+    runner2.run_available(
+        file_stream(spark, src, KAFKA_WIRE_SCHEMA,
+                    max_files_per_trigger=1))
+    assert applier2.table().version == v_after
+
+    # new data after restart applies exactly once
+    chunk3 = [(None, v2("u", "b", 0, "two-v2", None),
+               "transcripts", 0, 5, None, 0)]
+    spark.createDataFrame(chunk3, KAFKA_WIRE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+    runner3 = CdcStreamRunner(
+        CdcApplier(spark, cfg, str(tmp_path / "tgt")), ckpt,
+        record_parser=parser)
+    runner3.run_available(
+        file_stream(spark, src, KAFKA_WIRE_SCHEMA,
+                    max_files_per_trigger=1))
+    got2 = {(r["conv_id"], r["turn_idx"]): r["text"]
+            for r in applier2.read_target().collect()}
+    assert got2 == {("a", 0): "one-v2", ("b", 0): "two-v2"}

@@ -22,11 +22,12 @@ full-outer join does shuffle both sides (plain parquet reads don't
 expose the bucket layout to Catalyst as a join distribution); the
 scale lever is one level up: manifest-level bucket pruning restricts
 both scans to buckets whose file lists differ, so feed cost follows
-changed data, not table size. For adjacent delta (MOR) versions
-:func:`table_changes` takes a cheaper route automatically — the
-commit's delta files list exactly the changed keys, so only they and
-the OLD state of their buckets are read (no resolve of the new
-snapshot); see :func:`_adjacent_delta_changes`.
+changed data, not table size. For adjacent delta (MOR) versions — subset-delete
+commits included — :func:`table_changes` takes a cheaper route
+automatically: the commit's delta/sdel files list exactly the changed
+keys (resp. subsets), so only they and the OLD state of their buckets
+are read (no resolve of the new snapshot); see
+:func:`_adjacent_delta_changes`.
 """
 
 from __future__ import annotations
@@ -95,10 +96,11 @@ def table_changes(
     cmp_cols = non_keys if compare_cols is None else [
         c for c in non_keys if c in set(compare_cols)
     ]
-    new_delta = _new_delta_files(old_snap, new_snap)
-    if new_delta is not None:
+    new_files = _new_commit_files(old_snap, new_snap)
+    if new_files is not None:
         return _adjacent_delta_changes(
-            table, old_snap, new_snap, new_delta, keys, cols, cmp_cols
+            table, old_snap, new_snap, *new_files,
+            keys=keys, cols=cols, cmp_cols=cmp_cols,
         )
     return _diff_changes(table, old_snap, new_snap, keys, cols, cmp_cols)
 
@@ -196,66 +198,109 @@ def _diff_changes(
     )
 
 
-def _new_delta_files(old_snap, new_snap) -> dict[str, list[str]] | None:
-    """When ``new_snap`` is exactly ``old_snap`` plus one merge-on-read
-    delta commit (no base rewrite, no compaction, no subset-delete
-    files), return the commit's delta files per bucket; else None.
-
-    The per-bucket prefix check (old delta list == head of new delta
-    list) is what proves the commit only APPENDED deltas — a
-    compaction between the versions reorders/folds the lists and
-    falls through to the generic diff."""
-    if new_snap.parent != old_snap.version:
-        return None
-    if new_snap.buckets != old_snap.buckets:
-        return None  # COW rewrite / append / compaction
-    if new_snap.sdel_buckets != old_snap.sdel_buckets:
-        return None  # subset-key deletes: keys not listed per row
+def _appended_files(
+    old_buckets: dict[str, list[str]], new_buckets: dict[str, list[str]]
+) -> dict[str, list[str]] | None:
+    """Per-bucket file-list tails when ``new`` is exactly ``old`` with
+    files APPENDED (old list == head of new list, nothing removed);
+    None if any list shrank or reordered (a compaction fold)."""
     out: dict[str, list[str]] = {}
-    for b, files in new_snap.delta_buckets.items():
-        head = old_snap.delta_buckets.get(b, [])
+    for b, files in new_buckets.items():
+        head = old_buckets.get(b, [])
         if files[: len(head)] != head:
             return None
         if files[len(head):]:
             out[b] = files[len(head):]
-    for b, files in old_snap.delta_buckets.items():
-        if b not in new_snap.delta_buckets and files:
-            return None  # deltas disappeared: a fold happened
+    for b, files in old_buckets.items():
+        if b not in new_buckets and files:
+            return None  # files disappeared: a fold happened
     return out
+
+
+def _new_commit_files(
+    old_snap, new_snap
+) -> tuple[dict[str, list[str]], dict[str, list[str]]] | None:
+    """When ``new_snap`` is exactly ``old_snap`` plus one merge-on-read
+    commit (no base rewrite, no compaction — delta AND subset-delete
+    file lists strictly appended), return the commit's (delta files,
+    sdel files) per bucket; else None.
+
+    The per-bucket prefix check (old list == head of new list) is what
+    proves the commit only APPENDED files — a compaction between the
+    versions reorders/folds the lists and falls through to the generic
+    diff.
+
+    One declined combination: NEW sdel files under
+    ``insert_mode=update`` + hard delete. There a subset delete kills
+    its subset key for good (``mor.apply_subset_overlays`` matches on
+    the sdel's existence, not its position), so resolving a commit's
+    rows needs the FULL sdel history since compaction, not just this
+    commit's — the generic diff already reads it."""
+    if new_snap.parent != old_snap.version:
+        return None
+    if new_snap.buckets != old_snap.buckets:
+        return None  # COW rewrite / append / compaction
+    new_delta = _appended_files(
+        old_snap.delta_buckets, new_snap.delta_buckets
+    )
+    new_sdel = _appended_files(
+        old_snap.sdel_buckets, new_snap.sdel_buckets
+    )
+    if new_delta is None or new_sdel is None:
+        return None
+    meta = new_snap.mor_meta
+    if new_sdel and bool(meta.get("upd_only")) and bool(meta.get("hard")):
+        return None
+    return new_delta, new_sdel
 
 
 def _adjacent_delta_changes(
     table: LakeTable, old_snap, new_snap,
-    new_delta: dict[str, list[str]], keys, cols, cmp_cols,
+    new_delta: dict[str, list[str]],
+    new_sdel: dict[str, list[str]] | None = None,
+    *, keys, cols, cmp_cols,
 ) -> DataFrame:
-    """Adjacent-delta fast path: the just-committed delta files list
-    exactly the keys that can have changed, so the feed touches
+    """Adjacent-delta fast path: the just-committed delta/sdel files
+    list exactly the keys that can have changed, so the feed touches
 
-    * the commit's own delta files (batch-sized), and
+    * the commit's own delta files (batch-sized),
+    * the commit's own subset-delete files, if any (the delete-key
+      subsets this batch issued under ``delete.as.update.key ⊂ pk``),
+      and
     * the OLD state of the affected buckets, key-filtered to the delta
-      keys before the diff join (needed for pre-images and the
-      insert-vs-update distinction — the deltas alone cannot say
-      whether a key existed at the old version),
+      keys plus the rows matching the sdel subset keys before the diff
+      join (needed for pre-images and the insert-vs-update distinction
+      — the deltas alone cannot say whether a key existed at the old
+      version; the sdel files name subsets, and only the old state
+      enumerates which pk rows they hit),
 
     and never resolves the NEW snapshot (whose delta history spans
     every commit since the last compaction). Shuffle volume follows
-    the batch size, not the bucket contents: the delta-key semi-join
-    filters the old-state scan before the full-outer diff (AQE can
-    convert it to a broadcast at runtime). Inputs are a strict subset
+    the batch size plus the sdel-matched rows, not the bucket
+    contents: both key filters run before the full-outer diff (AQE can
+    convert them to broadcasts at runtime). Inputs are a strict subset
     of the generic diff's; measured trade at local sizes in SCALE.md
     ("Change data feed").
 
     New state for the affected keys = ``mor.resolve(old state, new
-    deltas)`` — resolution composes (the resolved old row plays the
-    base role at position (-1, -inf), exactly how a base file row
-    written by compaction would), so this is the same answer the
-    two-snapshot diff computes, at batch cost.
+    deltas)`` then ``mor.apply_subset_overlays(…, new sdels)`` —
+    resolution composes (the resolved old row plays the base role at
+    position (-1, -inf), exactly how a base file row written by
+    compaction would, and every NEW sdel entry is positioned after
+    any old-state row), so this is the same answer the two-snapshot
+    diff computes, at batch cost. Historical sdel entries need never
+    be read: a row present in the old state by definition survived
+    them (they are not applicable after its position), and the one
+    combination where existence alone matters (update+hard) is
+    declined by :func:`_new_commit_files`.
     """
     import os
 
     from kafka_jdbc_sink_connector_spark.lake import mor
 
-    affected = sorted(int(b) for b in new_delta)
+    new_sdel = new_sdel or {}
+    affected = sorted({int(b) for b in new_delta}
+                      | {int(b) for b in new_sdel})
     if not affected:
         # metadata-only / empty commit: nothing can have changed
         empty = table.spark.createDataFrame(
@@ -267,35 +312,70 @@ def _adjacent_delta_changes(
             F.lit(old_snap.version).alias(FROM_VERSION),
             F.lit(new_snap.version).alias(TO_VERSION),
         ).filter(F.col(CHANGE_TYPE).isNotNull())
-    files = [
+    spark = table.spark
+    dschema = mor.delta_schema(new_snap.schema, keys)
+    dfiles = [
         os.path.join(table.path, f)
         for b in new_delta
         for f in new_delta[b]
     ]
-    deltas = table.spark.read.schema(
-        mor.delta_schema(new_snap.schema, keys)
-    ).parquet(*files)
+    deltas = (
+        spark.read.schema(dschema).parquet(*dfiles)
+        if dfiles
+        else spark.createDataFrame([], dschema)
+    )
     dkeys = deltas.select(*keys).distinct()
+    skey = list(new_snap.mor_meta.get("sdel_key") or [])
+    sdels = None
+    if new_sdel:
+        sfiles = [
+            os.path.join(table.path, f)
+            for b in new_sdel
+            for f in new_sdel[b]
+        ]
+        sdels = spark.read.schema(
+            mor.sdel_schema(new_snap.schema, keys, skey)
+        ).parquet(*sfiles)
+        skeys = sdels.select(*skey).distinct()
 
     # old resolved state of the affected buckets, restricted to the
-    # delta keys (left-semi; AQE broadcasts the batch-sized key set).
+    # affected keys (left joins against the distinct key sets — no row
+    # duplication; AQE broadcasts the batch-sized key frames).
     # localCheckpoint: both consumers below (the resolve base and the
     # diff's old side) reuse ONE materialization of this batch-sized
     # frame instead of scanning the old buckets twice
     old_all = _old_state(table, old_snap, new_snap, affected)
-    old = old_all.join(
-        dkeys.select(*[F.col(k).alias(f"o_{k}") for k in keys]),
-        [f"o_{k}" for k in keys],
-        "left_semi",
-    ).localCheckpoint(eager=False)
-    # resolve the new deltas over the old state → new state per key
+    in_d = dkeys.select(
+        *[F.col(k).alias(f"o_{k}") for k in keys],
+        F.lit(True).alias("__in_d"),
+    )
+    old = old_all.join(in_d, [f"o_{k}" for k in keys], "left")
+    if sdels is not None:
+        in_s = skeys.select(
+            *[F.col(k).alias(f"o_{k}") for k in skey],
+            F.lit(True).alias("__in_s"),
+        )
+        old = old.join(in_s, [f"o_{k}" for k in skey], "left")
+        hit = F.col("__in_d").isNotNull() | F.col("__in_s").isNotNull()
+        old = old.filter(hit).drop("__in_d", "__in_s")
+    else:
+        old = old.filter(F.col("__in_d").isNotNull()).drop("__in_d")
+    old = old.localCheckpoint(eager=False)
+    # resolve the new deltas (and sdel overlays) over the old state →
+    # new state per key
     base = old.select(
         *[F.col(f"o_{c}").alias(c) for c in cols]
     ).withColumn(
         mor.BUCKET_COL,
         F.lit(None).cast("int"),  # only carried through, keys drive joins
     )
-    new = mor.resolve(base, deltas, new_snap).drop(mor.BUCKET_COL)
+    if sdels is not None:
+        resolved = mor.resolve(base, deltas, new_snap, carry_pos=True)
+        new = mor.apply_subset_overlays(resolved, sdels, new_snap).drop(
+            mor.BUCKET_COL
+        )
+    else:
+        new = mor.resolve(base, deltas, new_snap).drop(mor.BUCKET_COL)
     return _keywise_diff(
         new, old, keys, cols, cmp_cols, old_snap.version, new_snap.version
     )

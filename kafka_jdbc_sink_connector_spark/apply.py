@@ -62,6 +62,7 @@ from kafka_jdbc_sink_connector_spark.operators.evolution import (
     evolve_for_batch,
     event_payload_schema,
     target_schema_for,
+    widen_for_batch,
 )
 from kafka_jdbc_sink_connector_spark.operators.validate import (
     check_retain_fields,
@@ -78,6 +79,9 @@ class BatchResult:
     n_quarantined: int = 0
     snapshot_version: int | None = None
     evolved_columns: list[str] = field(default_factory=list)
+    #: "col: int->bigint" entries from auto_evolve_widen (see
+    #: operators/evolution.widen_for_batch)
+    widened_columns: list[str] = field(default_factory=list)
     seconds: float = 0.0
 
 
@@ -157,6 +161,16 @@ class CdcApplier:
         check_retain_fields(
             cfg, events.columns, [f.name for f in table.schema.fields]
         )
+        widened: list[str] = []
+        if cfg.auto_evolve_widen:
+            # widen BEFORE coercion so the per-row try_cast below goes
+            # value→(already widened) target instead of down-casting
+            # and quarantining; the commit is tagged evolved_by so
+            # replays pin the pre-widening schema
+            widened = widen_for_batch(
+                table, events, cfg, source_id=source_id,
+                batch_id=batch_id,
+            )
         tagged, casts, stats_rows = self._stats_and_quarantine(
             events, table, batch_id
         )
@@ -221,6 +235,7 @@ class CdcApplier:
         n_quarantined=n_quarantined,
         snapshot_version=snap.version,
         evolved_columns=evolved,
+        widened_columns=widened,
         seconds=time.monotonic() - t0,
         )
 

@@ -156,6 +156,15 @@ class SinkConfig:
     n_buckets: int = 16
     auto_create: bool = True
     auto_evolve: bool = True
+    #: widen TARGET column types to the batch's when the change is a
+    #: safe widening (int chain, float->double, decimal precision at
+    #: equal scale) instead of try_cast-ing values down and
+    #: quarantining the unrepresentable ones. Off by default: the
+    #: reference only ever ADDS columns, never alters a type
+    #: (DbStructure.amendIfNecessary). Never applies to pk columns
+    #: (bucketing hashes are type-sensitive). Connect property:
+    #: ``auto.evolve.widen``.
+    auto_evolve_widen: bool = False
     #: salt factor for the two-phase dedup (0/1 = single-phase)
     dedup_salt: int = 1
 
@@ -369,6 +378,8 @@ class SinkConfig:
                 kw["auto_create"] = as_bool(raw)
             elif k == "auto.evolve":
                 kw["auto_evolve"] = as_bool(raw)
+            elif k == "auto.evolve.widen":
+                kw["auto_evolve_widen"] = as_bool(raw)
             elif k == "batch.size":
                 kw["batch_size"] = int(raw)
             elif k == "max.retries":

@@ -578,21 +578,27 @@ class LakeTable:
     def version_as_of(self, ts: float) -> int:
         """Latest version whose commit time is <= ``ts`` (epoch
         seconds) — the Delta/Iceberg ``AS OF TIMESTAMP`` resolution
-        rule. Driver-side walk over the manifest log (bounded by
-        retained versions). Raises when every retained snapshot is
-        newer than ``ts`` (the state at that time is vacuumed or
-        predates the table)."""
-        best: int | None = None
-        for v in self.history():
-            snap = self._read_version(v)
-            if snap.commit_ts is not None and snap.commit_ts <= ts:
-                best = v
-        if best is None:
-            raise ValueError(
-                f"no snapshot committed at or before ts={ts}; earliest "
-                f"retained versions: {self.history()[:3]}"
-            )
-        return best
+        rule. Walks the manifest log NEWEST-FIRST reading only each
+        manifest's ``commit_ts`` field (no schema/bucket-list parse)
+        and stops at the first hit, which IS the maximum qualifying
+        version regardless of clock ordering — typical queries ask for
+        recent timestamps, so this touches one or two manifests.
+        Raises when every retained snapshot is newer than ``ts`` (the
+        state at that time is vacuumed or predates the table)."""
+        for v in reversed(self.history()):
+            cts = self._commit_ts_of(v)
+            if cts is not None and cts <= ts:
+                return v
+        raise ValueError(
+            f"no snapshot committed at or before ts={ts}; earliest "
+            f"retained versions: {self.history()[:3]}"
+        )
+
+    def _commit_ts_of(self, version: int) -> float | None:
+        with open(
+            os.path.join(self.path, _LOG_DIR, f"v{version:020d}.json")
+        ) as fh:
+            return json.load(fh).get("commit_ts")
 
     def read_as_of(self, ts: float, **kwargs) -> DataFrame:
         """Time travel by wall clock: read the table as it was at

@@ -16,7 +16,11 @@ segmenting, the engine:
    NULL (``unionByName(allowMissingColumns=True)`` semantics).
 
 Type changes are rejected, as in the reference (it never alters column
-types; incompatible records would fail and dead-letter).
+types; incompatible records would fail and dead-letter) — unless
+``auto_evolve_widen`` is on, in which case SAFE widenings (int chain,
+float→double, decimal precision at equal scale) alter the TARGET
+column type instead of quarantining unrepresentable values; see
+:func:`widen_for_batch`.
 """
 
 from __future__ import annotations
@@ -126,6 +130,89 @@ def target_schema_for(payload: T.StructType, cfg: SinkConfig) -> T.StructType:
     if cfg.audit_ts_column not in names:
         fields.append(T.StructField(cfg.audit_ts_column, T.TimestampType(), True))
     return T.StructType(fields)
+
+
+#: integer widening chain — each type reads losslessly as any later one
+_INT_RANK = {T.ByteType(): 0, T.ShortType(): 1, T.IntegerType(): 2,
+             T.LongType(): 3}
+
+
+def _is_safe_widening(src: T.DataType, dst: T.DataType) -> bool:
+    """True when every value of ``src`` is exactly representable in
+    ``dst`` AND Spark's parquet reader up-converts ``src``-typed files
+    under a ``dst`` read schema (probed on this Spark version for the
+    vectorized and row-based readers, top-level and nested): the
+    integer chain, float→double, and decimal precision growth at equal
+    scale. Deliberately excluded: int→float/double (precision loss
+    past 2^24/2^53), string widenings, date/timestamp (timezone
+    semantics), anything complex."""
+    if isinstance(src, tuple(type(t) for t in _INT_RANK)) and isinstance(
+        dst, tuple(type(t) for t in _INT_RANK)
+    ):
+        return _INT_RANK[src] < _INT_RANK[dst]
+    if isinstance(src, T.FloatType) and isinstance(dst, T.DoubleType):
+        return True
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        return dst.scale == src.scale and dst.precision > src.precision
+    return False
+
+
+def widen_for_batch(
+    table: LakeTable, events: DataFrame, cfg: SinkConfig,
+    source_id: str | None = None, batch_id: int | None = None,
+) -> list[str]:
+    """Widen TARGET column types to the batch's where the change is a
+    safe widening (``auto_evolve_widen``) — beyond reference parity
+    (the reference only auto-ADDS columns,
+    ``DbStructure.createOrAmendIfNecessary``): an upstream ALTER from
+    int to bigint otherwise strands every out-of-int-range value in
+    quarantine forever.
+
+    Metadata-only commit, same as column adds: existing parquet (base,
+    delta, sdel) files need no rewrite — the explicit read schema
+    up-converts them (probed; see :func:`_is_safe_widening`). The
+    commit's stats carry the ``evolved``/``evolved_by`` tags so a
+    replayed batch pins its historical (narrow) schema exactly like it
+    does across column-add commits.
+
+    Key columns never widen: the bucket layout hashes the first pk
+    field and Spark's hash is type-sensitive — a widened key would
+    silently re-bucket the table. Mistyped keys keep raising
+    :class:`SchemaEvolutionError` (coerce_for_target).
+
+    Returns ``["col: int->bigint", ...]`` (empty = nothing widened).
+    """
+    payload = event_payload_schema(events, cfg)
+    by_name = {f.name: f for f in payload.fields}
+    changed: list[str] = []
+    fields: list[T.StructField] = []
+    for f in table.schema.fields:
+        p = by_name.get(f.name)
+        if (
+            p is not None
+            and p.dataType != f.dataType
+            and f.name not in cfg.pk_fields
+            and _is_safe_widening(f.dataType, p.dataType)
+        ):
+            fields.append(T.StructField(f.name, p.dataType, f.nullable))
+            changed.append(
+                f"{f.name}: {f.dataType.simpleString()}->"
+                f"{p.dataType.simpleString()}"
+            )
+        else:
+            fields.append(f)
+    if not changed:
+        return []
+    stats: dict = {
+        # the 'evolved' key is what the replay schema pin walks past
+        # (apply._committing_snapshot); 'widened' records the detail
+        "evolved": [c.split(":", 1)[0] for c in changed],
+        "widened": changed,
+    }
+    if source_id is not None and batch_id is not None:
+        stats["evolved_by"] = [source_id, batch_id]
+    table.commit_metadata(T.StructType(fields), stats=stats)
+    return changed
 
 
 def evolve_for_batch(

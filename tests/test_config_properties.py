@@ -85,3 +85,13 @@ def test_op_vocabulary_invariants(insert, updates, delete):
 def test_mor_compact_cadence_validation():
     with pytest.raises(ConfigError, match="mor_compact"):
         SinkConfig(mor_compact_every_batches=0)
+
+
+def test_auto_evolve_widen_property():
+    from kafka_jdbc_sink_connector_spark.config import SinkConfig
+
+    cfg = SinkConfig.from_connect_properties(
+        {"pk.fields": "conv_id,turn_idx", "auto.evolve.widen": "true"}
+    )
+    assert cfg.auto_evolve_widen is True
+    assert SinkConfig().auto_evolve_widen is False

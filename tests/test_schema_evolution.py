@@ -163,3 +163,115 @@ def test_auto_evolve_disabled_rejects_new_columns(spark, tmp_table):
                        with_optional=("tool",)),
             batch_id=1,
         )
+
+
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_type_widening_evolves_target_instead_of_quarantine(
+    spark, tmp_table, merge_mode
+):
+    """auto_evolve_widen: an upstream int→bigint ALTER (values beyond
+    int range) widens the TARGET column via a metadata-only commit and
+    applies every row — no quarantine, old files read back widened —
+    while replays of pre-widening batches still pin the narrow
+    historical schema."""
+    from kafka_jdbc_sink_connector_spark.config import SinkConfig
+
+    cfg = SinkConfig(n_buckets=2, merge_mode=merge_mode,
+                     auto_evolve_widen=True)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    base = spark.createDataFrame(
+        [(0, 1, "c", "conv-a", 0, "hello", None, 5),
+         (0, 2, "c", "conv-b", 0, "world", None, 6)],
+        "kafka_partition int, kafka_offset long, op string, "
+        "conv_id string, turn_idx int, text string, ts timestamp, "
+        "n_tool_calls int",
+    )
+    applier.apply_batch(base, batch_id=0)
+    assert dict(applier.table().schema["n_tool_calls"].jsonValue(),
+                )["type"] == "integer"
+    big = 2**40  # unrepresentable as int — would quarantine without
+    wide = spark.createDataFrame(
+        [(0, 3, "u", "conv-a", 0, "t0", None, big),
+         (0, 4, "c", "conv-c", 0, "t1", None, 7)],
+        "kafka_partition int, kafka_offset long, op string, "
+        "conv_id string, turn_idx int, text string, ts timestamp, "
+        "n_tool_calls long",
+    )
+    r = applier.apply_batch(wide, batch_id=1)
+    assert r.n_quarantined == 0 and r.n_events == 2
+    assert r.widened_columns == ["n_tool_calls: int->bigint"]
+    t = applier.table()
+    assert t.schema["n_tool_calls"].dataType.simpleString() == "bigint"
+    got = {x["conv_id"]: x["n_tool_calls"]
+           for x in applier.read_target().collect()}
+    # conv-b's value comes from a PRE-widening parquet file read back
+    # through the widened schema
+    assert got == {"conv-a": big, "conv-b": 6, "conv-c": 7}
+    # replaying the pre-widening batch is skipped and its side tables
+    # recompute under the narrow historical schema (no crash, no dupes)
+    r0 = applier.apply_batch(base, batch_id=0)
+    assert r0.skipped
+    r1 = applier.apply_batch(wide, batch_id=1)
+    assert r1.skipped
+    assert applier.read_target().count() == 3
+    # narrowing is NOT widening: a long column arriving as int just
+    # up-casts per row (no schema change, no quarantine)
+    shrink = spark.createDataFrame(
+        [(0, 5, "u", "conv-c", 0, "t2", None, 8)],
+        "kafka_partition int, kafka_offset long, op string, "
+        "conv_id string, turn_idx int, text string, ts timestamp, "
+        "n_tool_calls int",
+    )
+    r2 = applier.apply_batch(shrink, batch_id=2)
+    assert r2.widened_columns == [] and r2.n_quarantined == 0
+    assert t.refresh().schema["n_tool_calls"].dataType.simpleString() \
+        == "bigint"
+
+
+def test_widening_disabled_by_default_keeps_quarantine_contract(
+    spark, tmp_table
+):
+    """Without the flag, out-of-range values keep the prior contract:
+    try_cast down + quarantine the unrepresentable row."""
+    cfg = SinkConfig(n_buckets=2)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    base = spark.createDataFrame(
+        [(0, 1, "c", "conv-a", 0, "x", None, 5)],
+        "kafka_partition int, kafka_offset long, op string, "
+        "conv_id string, turn_idx int, text string, ts timestamp, "
+        "n int",
+    )
+    applier.apply_batch(base, batch_id=0)
+    wide = spark.createDataFrame(
+        [(0, 2, "u", "conv-a", 0, "y", None, 2**40)],
+        "kafka_partition int, kafka_offset long, op string, "
+        "conv_id string, turn_idx int, text string, ts timestamp, "
+        "n long",
+    )
+    r = applier.apply_batch(wide, batch_id=1)
+    assert r.n_quarantined == 1 and r.widened_columns == []
+    assert applier.table().schema["n"].dataType.simpleString() == "int"
+
+
+def test_widening_never_touches_key_columns(spark, tmp_table):
+    """A widened pk would silently re-bucket the table (hash is
+    type-sensitive) — key type changes keep raising even with the
+    flag on."""
+    from kafka_jdbc_sink_connector_spark.operators.evolution import (
+        SchemaEvolutionError,
+    )
+
+    cfg = SinkConfig(n_buckets=2, auto_evolve_widen=True)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    applier.apply_batch(_events_df(spark, [ev(1, "c", "conv-a", 0)]),
+                        batch_id=0)
+    bad_key = spark.createDataFrame(
+        [(0, 2, "u", "conv-a", 0, "user", "y", None)],
+        "kafka_partition int, kafka_offset long, op string, "
+        "conv_id string, turn_idx long, role string, text string, "
+        "ts timestamp",
+    )
+    with pytest.raises(SchemaEvolutionError, match="key column"):
+        applier.apply_batch(bad_key, batch_id=1)
+    assert applier.table().schema["turn_idx"].dataType.simpleString() \
+        == "int"

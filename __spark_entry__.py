@@ -518,6 +518,71 @@ def q_cdc_schema_evolution_backfill(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_cdc_schema_widening_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Type-widening evolution (round 5, beyond reference parity):
+    batch 0 writes a ``units`` column as INT (narrow writer); batch 1
+    arrives with ``units`` as BIGINT carrying values beyond int range
+    (an upstream ALTER). With ``auto_evolve_widen`` the TARGET column
+    widens via a metadata-only commit and every row applies — batch-0
+    parquet files read back up-converted. Final state: any batch-1
+    (odd event_id) row beats all batch-0 rows for its key (applied
+    later); latest event_id wins within a batch. Values derive from
+    exact integer arithmetic (``event_id % 1000``) so both engines
+    agree bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+
+    def frame(df, units):
+        return df.select(
+            F.pmod(F.col("user_id"), F.lit(8)).cast("int")
+            .alias("kafka_partition"),
+            F.col("event_id").alias("kafka_offset"),
+            F.lit("u").alias("op"),
+            "user_id",
+            "event_id",
+            "ts",
+            units.alias("units"),
+        )
+
+    narrow = F.pmod(F.col("event_id"), F.lit(1000)).cast("int")
+    wide = (F.pmod(F.col("event_id"), F.lit(1000))
+            + F.lit(2 ** 35)).cast("long")
+    b0 = frame(ev.filter(F.col("event_id") % 2 == 0), narrow)
+    b1 = frame(ev.filter(F.col("event_id") % 2 == 1), wide)
+    cfg = SinkConfig(pk_fields=("user_id",), n_buckets=8,
+                     auto_evolve_widen=True)
+    tmp = tempfile.mkdtemp(prefix="cdc_widening_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
+    applier.apply_batch(b0, batch_id=0)
+    res = applier.apply_batch(b1, batch_id=1)
+    assert res.widened_columns == ["units: int->bigint"], (
+        res.widened_columns
+    )
+    return applier.read_target().select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        "units",
+    )
+
+
+def _sql_cdc_widening() -> str:
+    return """
+WITH ranked AS (
+  SELECT user_id, event_id, event_id % 2 AS par,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY event_id % 2 DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       CAST(CASE WHEN par = 1 THEN event_id % 1000 + 34359738368
+                 ELSE event_id % 1000 END AS BIGINT) AS units
+FROM ranked WHERE rn = 1
+"""
+
+
 def _sql_cdc_evolution() -> str:
     return """
 WITH merged AS (
@@ -2020,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lineage_agg": q_cdc_lineage_agg,
         "cdc_quarantine_split": q_cdc_quarantine_split,
         "cdc_schema_evolution_backfill": q_cdc_schema_evolution_backfill,
+        "cdc_schema_widening_state": q_cdc_schema_widening_state,
         "events_sessionize": q_events_sessionize,
         "events_topk_per_type": q_events_topk_per_type,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
@@ -2075,6 +2141,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lineage_agg": _sql_cdc_lineage(),
         "cdc_quarantine_split": _sql_cdc_quarantine(),
         "cdc_schema_evolution_backfill": _sql_cdc_evolution(),
+        "cdc_schema_widening_state": _sql_cdc_widening(),
         "events_sessionize": _sql_sessionize(),
         "events_topk_per_type": _sql_topk(),
         "tpch_q1_pricing_summary": _sql_tpch_q1(),

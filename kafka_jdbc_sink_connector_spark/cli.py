@@ -98,20 +98,34 @@ def cmd_stream(args) -> None:
             spark, args.bootstrap, args.topic,
             max_offsets_per_trigger=args.max_offsets_per_trigger,
         )
-        schema_version = CDC_EVENT_SCHEMAS[args.schema_version]
-        from pyspark.sql import types as T
+        if args.value_format == "avro":
+            # registry-driven Avro decode must run per micro-batch
+            # (the schema-id harvest is a batch aggregation), so it
+            # rides the runner's record_parser hook inside the managed
+            # retry/exactly-once loop; the registry client comes from
+            # the connector's schema.registry.url (cfg)
+            stream = raw
+            record_parser = lambda df: parse_kafka_records(  # noqa: E731
+                df, None, cfg, value_format="avro",
+            )
+        else:
+            schema_version = CDC_EVENT_SCHEMAS[args.schema_version]
+            from pyspark.sql import types as T
 
-        value_schema = T.StructType(
-            [f for f in schema_version.fields
-             if f.name not in ("kafka_partition", "kafka_offset")]
-        )
-        stream = parse_kafka_records(raw, value_schema, cfg)
+            value_schema = T.StructType(
+                [f for f in schema_version.fields
+                 if f.name not in ("kafka_partition", "kafka_offset")]
+            )
+            stream = parse_kafka_records(raw, value_schema, cfg)
+            record_parser = None
     else:
         stream = cdc_src.file_stream(
             spark, args.input, CDC_EVENT_SCHEMAS[args.schema_version],
             max_files_per_trigger=args.max_files_per_trigger,
         )
-    runner = CdcStreamRunner(applier, args.checkpoint)
+        record_parser = None
+    runner = CdcStreamRunner(applier, args.checkpoint,
+                             record_parser=record_parser)
     if args.once:
         runner.run_available(stream)
         # north-rule metrics: per-run throughput summary (per-batch
@@ -236,6 +250,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--processing-time", default="10 seconds")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--max-offsets-per-trigger", type=int, default=None)
+    p.add_argument("--value-format", choices=["json", "avro"],
+                   default="json",
+                   help="kafka source only: avro decodes Confluent "
+                        "frames per micro-batch via the record_parser "
+                        "hook (registry from schema.registry.url)")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("compact")

@@ -398,3 +398,63 @@ def test_multitable_partial_failure_retries_only_failed_topic(
     assert runner.appliers["t_a"].read_target().count() == 1
     assert runner.appliers["t_b"].read_target().count() == 1
     assert calls["n"] == 2  # failed once, retried once
+
+
+def test_multi_table_runner_record_parser_routes_decoded_topics(
+    spark, tmp_path
+):
+    """MultiTableRunner's record_parser (the converter-layer hook)
+    decodes raw Kafka wire records inside process_batch, preserving
+    the topic column (keep_topic=True) so routing still splits per
+    destination table."""
+    import json as jsonlib
+
+    from kafka_jdbc_sink_connector_spark.sources.kafka import (
+        KAFKA_WIRE_SCHEMA,
+        parse_kafka_records,
+    )
+    from pyspark.sql import types as T
+
+    cfg = SinkConfig(n_buckets=2)
+    value_schema = T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+
+    def wire(off, topic, conv):
+        v = jsonlib.dumps({
+            "op": "c", "conv_id": conv, "turn_idx": 0,
+            "role": "user", "text": f"m{off}",
+            "ts": "2024-01-01T00:00:00",
+        }).encode()
+        return (None, v, topic, 0, off, None, 0)
+
+    raw = spark.createDataFrame(
+        [wire(1, "t_a", "conv-1"), wire(2, "t_b", "conv-2"),
+         wire(3, "t_a", "conv-3")],
+        KAFKA_WIRE_SCHEMA,
+    )
+    made = {}
+
+    def factory(topic):
+        a = CdcApplier(
+            spark, cfg, str(tmp_path / cfg.table_name(topic)),
+            audit_ts=audit_col(),
+        )
+        made[topic] = a
+        return a
+
+    runner = MultiTableRunner(
+        factory, str(tmp_path / "ckpt"),
+        record_parser=lambda df: parse_kafka_records(
+            df, value_schema, cfg, keep_topic=True,
+        ),
+    )
+    runner.process_batch(raw, batch_id=0)
+    assert set(made) == {"t_a", "t_b"}
+    assert made["t_a"].read_target().count() == 2
+    assert made["t_b"].read_target().count() == 1

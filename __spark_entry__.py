@@ -933,6 +933,103 @@ FROM h
 """
 
 
+def q_doc_contamination_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eval-set decontamination audit: split the corpus with the SAME
+    deterministic hash split as ``doc_train_val_split``, then measure
+    each test doc's 5-gram overlap against the train slice
+    (``docdedup.ngram_contamination`` — distinct train shingle-hash
+    set, left-semi per eval shingle). The duplicated docs planted in
+    the corpus make several test docs fully contaminated; unique docs
+    score 0."""
+    from kafka_jdbc_sink_connector_spark.operators import docdedup
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "split",
+        text.hash_split(
+            "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05},
+            salt="corpus-v1",
+        ),
+    )
+    train = d.filter(F.col("split") == "train")
+    test = d.filter(F.col("split") == "test")
+    return docdedup.ngram_contamination(train, test, k=5)
+
+
+def _sql_contamination() -> str:
+    # split thresholds shared with _sql_train_val_split
+    return r"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5('corpus-v1' || CAST(doc_id AS VARCHAR)),
+                          1, 8) < 'e6666666' THEN 'train'
+              WHEN substr(md5('corpus-v1' || CAST(doc_id AS VARCHAR)),
+                          1, 8) < 'f3333333' THEN 'val'
+              ELSE 'test' END AS split,
+         [array_to_string(toks[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(toks) - 4, 1) + 1)] AS shingles
+  FROM (SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+),
+tsh AS (
+  SELECT DISTINCT unnest(shingles) AS sh FROM s WHERE split = 'train'
+),
+esh AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS sh
+  FROM s WHERE split = 'test'
+),
+tot AS (
+  SELECT doc_id, len(list_distinct(shingles)) AS n_shingles
+  FROM s WHERE split = 'test'
+),
+hits AS (
+  SELECT e.doc_id, count(*) AS n_overlap
+  FROM esh e JOIN tsh t USING (sh) GROUP BY 1
+)
+SELECT t.doc_id,
+       t.n_shingles,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / t.n_shingles,
+             4) AS contamination
+FROM tot t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_doc_stratified_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic per-language subsampling (corpus mixing): keep
+    60% of English, 25% of German/French, all of Spanish, drop
+    Chinese (unlisted stratum) — salted-hash thresholds, stable under
+    re-runs and re-shards, zero shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    keep = text.stratified_keep(
+        "doc_id", "lang",
+        {"en": 0.60, "de": 0.25, "fr": 0.25, "es": 1.0},
+        salt="mix-v1",
+    )
+    return d.filter(keep).select("doc_id", "lang")
+
+
+def _sql_stratified_sample() -> str:
+    # thresholds: int(0.60 * 16^8) = 0x99999999,
+    # int(0.25 * 16^8) = 0x40000000; es = 1.0 keeps all; zh unlisted
+    # -> dropped. Keep in sync with text.stratified_keep.
+    return """
+WITH h AS (
+  SELECT doc_id, lang,
+         substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8) AS u
+  FROM documents
+)
+SELECT doc_id, lang FROM h
+WHERE (lang = 'en' AND u < '99999999')
+   OR (lang IN ('de', 'fr') AND u < '40000000')
+   OR lang = 'es'
+"""
+
+
 def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     cols = text.quality_columns("text")
@@ -2102,6 +2199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": q_doc_token_count,
         "doc_bpe_token_count_true": q_doc_bpe_token_count_true,
         "doc_train_val_split": q_doc_train_val_split,
+        "doc_contamination_check": q_doc_contamination_check,
+        "doc_stratified_sample": q_doc_stratified_sample,
         "doc_quality_score": q_doc_quality_score,
         "doc_repetition_ratio": q_doc_repetition_ratio,
         "doc_length_percentiles": q_doc_length_percentiles,
@@ -2158,6 +2257,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": _sql_token_count(),
         "doc_bpe_token_count_true": _sql_bpe_token_count_true(),
         "doc_train_val_split": _sql_train_val_split(),
+        "doc_contamination_check": _sql_contamination(),
+        "doc_stratified_sample": _sql_stratified_sample(),
         "doc_repetition_ratio": _sql_repetition_ratio(),
         "doc_length_percentiles": _sql_length_percentiles(),
         "doc_pii_redact": _sql_pii_redact(),

@@ -432,3 +432,58 @@ def simhash_groups(
     sh = simhash32_table(docs, id_col, text_col)
     canon = sh.groupBy("simhash").agg(F.min(id_col).alias("canonical_id"))
     return sh.join(canon, "simhash").select(id_col, "simhash", "canonical_id")
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Train/eval overlap audit — the standard eval-set
+    decontamination check (n-gram collision between a benchmark and
+    the training corpus): per eval document, the fraction of its
+    DISTINCT k-word shingles that appear ANYWHERE in the training
+    corpus.
+
+    Output: ``(id_col, n_shingles, n_overlap, contamination)`` with
+    ``contamination = round(n_overlap / n_shingles, 4)``; every eval
+    doc appears (0.0 when clean).
+
+    Scale shape: the train side reduces to its DISTINCT shingle-hash
+    set (one shuffle, md5 keys — fixed-width and portable to the SQL
+    oracle); eval shingles LEFT-SEMI join that set per shingle and
+    aggregate per doc. No all-pairs anything — cost is
+    O(train shingles + eval shingles), and the train-side distinct
+    set is the natural thing to pre-materialize (or replace with a
+    bloom filter for an approximate pre-pass) when screening many
+    benchmarks against one 100 TB corpus.
+    """
+    sh_t = word_shingles(F.col(text_col), k)
+    t = (
+        train.select(F.explode(sh_t).alias("sh"))
+        .select(F.md5("sh").alias("h"))
+        .distinct()
+    )
+    sh_e = F.array_distinct(word_shingles(F.col(text_col), k))
+    e = eval_docs.select(F.col(id_col), F.explode(sh_e).alias("sh"))
+    e = e.select(id_col, F.md5("sh").alias("h"))
+    hits = (
+        e.join(t, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    totals = eval_docs.select(
+        F.col(id_col), F.size(sh_e).alias("n_shingles")
+    )
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        F.round(
+            F.coalesce("n_overlap", F.lit(0))
+            / F.col("n_shingles").cast("double"),
+            4,
+        ).alias("contamination"),
+    )

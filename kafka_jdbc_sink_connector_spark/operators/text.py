@@ -138,6 +138,50 @@ def hash_split(
     return last if out is None else out.otherwise(last)
 
 
+def stratified_keep(
+    id_col: str | Column,
+    stratum_col: str | Column,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> Column:
+    """Deterministic per-stratum subsampling predicate — the standard
+    corpus-mixing move (keep 50% of web text, 100% of books, …):
+    ``keep iff md5(salt || id)[:8] < hex_threshold(fraction of the
+    row's stratum)``. Same salted-hash/hex-threshold machinery as
+    :func:`hash_split`, so membership is stable under re-runs,
+    re-shards, and incremental additions, and an ANSI oracle decides
+    it with plain string comparison. Rows whose stratum is not listed
+    are DROPPED (an unlisted stratum has no sampling rate — silently
+    keeping it would change the mix). Codegen'd, zero shuffle."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    s = (F.col(stratum_col) if isinstance(stratum_col, str)
+         else stratum_col)
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    for name, frac in fractions.items():
+        if not (0.0 <= frac <= 1.0):
+            raise ValueError(
+                f"fraction for stratum {name!r} must be in [0, 1], "
+                f"got {frac}"
+            )
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")),
+        1, 8,
+    )
+    out = None
+    for name, frac in fractions.items():
+        cut = int(frac * 16 ** 8)
+        keep = (
+            F.lit(True) if cut >= 16 ** 8  # frac == 1.0: keep all —
+            # a 9-hex-digit threshold would break the fixed-width
+            # string comparison (same guard as hash_split)
+            else h < F.lit(format(cut, "08x"))
+        )
+        out = (F.when(s == name, keep) if out is None
+               else out.when(s == name, keep))
+    return out.otherwise(F.lit(False))
+
+
 def lang_id(text: str | Column) -> Column:
     """N-gram/stopword language heuristic: English stopword density →
     'en', else 'unknown'. (A real model would score per-language

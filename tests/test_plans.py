@@ -112,6 +112,24 @@ def test_hash_split_single_scan_no_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_stratified_sample_single_scan_no_shuffle(spark):
+    """Per-stratum subsampling is a filter on one codegen'd scan: no
+    Exchange, no Python eval — like hash_split, free to run inline."""
+    from kafka_jdbc_sink_connector_spark.operators.text import (
+        stratified_keep,
+    )
+
+    d = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    df = d.filter(
+        stratified_keep("doc_id", "lang", {"en": 0.6, "de": 0.25},
+                        salt="s")
+    ).select("doc_id", "lang")
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_tpch_dim_joins_broadcast(spark):
     """The nation/region dim chain must broadcast (no shuffle of the
     customer fact side for a 25-row dim)."""

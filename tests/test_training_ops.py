@@ -439,3 +439,52 @@ def test_connected_components_budget_equals_diameter_accepts(spark):
     got = {r["node"]: r["component"] for r in
            docdedup.connected_components(chain, max_iters=3).collect()}
     assert got == {n: 1 for n in range(1, 6)}
+
+
+def test_ngram_contamination_semantics(spark):
+    """Planted duplicate → 1.0; clean doc → 0.0 (still emitted);
+    partial overlap → exact distinct-shingle fraction."""
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h"),
+         (2, "completely different training material here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "a b c d e f g h"),          # exact dup of train doc 1
+         (11, "nothing shared with corpus at all whatsoever"),
+         (12, "x y z q w a b c d e")],     # suffix overlaps train 1
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           docdedup.ngram_contamination(train, ev, k=5).collect()}
+    assert set(out) == {10, 11, 12}
+    assert out[10]["contamination"] == 1.0
+    assert out[11]["contamination"] == 0.0
+    assert out[11]["n_overlap"] == 0
+    # doc 12: shingles of "x y z q w a b c d e" (k=5) = 6 windows,
+    # exactly one ("a b c d e") appears in train doc 1's windows
+    assert out[12]["n_shingles"] == 6
+    assert out[12]["n_overlap"] == 1
+    assert out[12]["contamination"] == round(1 / 6, 4)
+
+
+def test_stratified_keep_deterministic_and_scoped(spark, docs):
+    keep = text.stratified_keep(
+        "doc_id", "lang", {"en": 0.5, "de": 1.0}, salt="s1"
+    )
+    a = sorted(r["doc_id"] for r in docs.filter(keep).collect())
+    b = sorted(r["doc_id"] for r in docs.filter(keep).collect())
+    assert a == b and len(a) > 0            # deterministic
+    langs = {r["lang"] for r in docs.filter(keep)
+             .select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}            # unlisted strata dropped
+    n_de = docs.filter(F.col("lang") == "de").count()
+    n_de_kept = docs.filter(keep).filter(F.col("lang") == "de").count()
+    assert n_de_kept == n_de                # frac 1.0 keeps all
+    none = text.stratified_keep("doc_id", "lang", {"en": 0.0})
+    assert docs.filter(none).count() == 0   # frac 0.0 keeps none
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        text.stratified_keep("doc_id", "lang", {})
+    with _pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        text.stratified_keep("doc_id", "lang", {"en": 1.5})

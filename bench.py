@@ -41,6 +41,8 @@ QUERY_NAMES = [
     "events_sessionize",
     "doc_quality_score",
     "doc_train_val_split",
+    "doc_stratified_sample",
+    "doc_contamination_check",
     "doc_minhash_lsh_pairs",
     "doc_simhash_dups",
     "doc_dup_clusters",
@@ -674,6 +676,66 @@ Reproduce: `python bench.py --scaling --scaling-append --scale-low {lo}
     }))
 
 
+def main_ladder(args) -> None:
+    """Single-run throughput ladder over core counts (same job + same
+    pre-generated input as --scaling, one taskset-pinned subprocess
+    per rung, calm-window gated). NOT a paired efficiency protocol —
+    one run per rung, no validity-based stopping — its purpose is the
+    SHAPE: where single-node throughput saturates as cores grow,
+    the supplementary evidence behind BENCH/BASELINE.md's second-span
+    analysis."""
+    here = os.path.abspath(__file__)
+    n_events = args.events or 64_000_000
+    rungs = [int(c) for c in args.ladder.split(",")]
+    gen_dir = _tmpfs_dir("ladder-input")
+    gen_spark = build(str(os.cpu_count() or 32))
+    try:
+        gen_input(gen_spark, n_events, gen_dir, 128)
+    finally:
+        gen_spark.stop()
+    have_taskset = shutil.which("taskset") is not None
+    out_rows = []
+    try:
+        for cores in rungs:
+            env = dict(os.environ)
+            env["SPARK_GRAFT_CPUS"] = str(cores)
+            cmd = [sys.executable, here, "--sf-dir", args.sf_dir,
+                   "--events", str(n_events), "--batches",
+                   str(args.batches), "--buckets", str(args.buckets),
+                   "--input-dir", gen_dir, "--skip-queries",
+                   "--skip-write-amp", "--no-wait-calm"]
+            if have_taskset:
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+            load0 = wait_calm(args)
+            s0, t0 = _cpu_stat()
+            res = subprocess.run(cmd, env=env, capture_output=True,
+                                 text=True, check=True)
+            s1, t1 = _cpu_stat()
+            line = [l for l in res.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            r = json.loads(line)
+            out_rows.append({
+                "cores": cores,
+                "events_per_sec": r["cdc_events_per_sec"],
+                "wall_sec": r["queries"]["cdc_apply"],
+                "loadavg_at_start": load0,
+                "steal_pct": round(
+                    100.0 * (s1 - s0) / max(1, t1 - t0), 2),
+            })
+    finally:
+        shutil.rmtree(gen_dir, ignore_errors=True)
+    print(json.dumps({
+        "metric": "cdc-apply single-run throughput ladder (ev/s by "
+                  "pinned core count; saturation-shape evidence, not "
+                  "a paired efficiency protocol)",
+        "value": out_rows[-1]["events_per_sec"] if out_rows else 0,
+        "unit": "events_per_sec",
+        "events": n_events,
+        "rungs": out_rows,
+        "sf": sf_of(args.sf_dir),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=SF_DIR)
@@ -694,6 +756,10 @@ def main() -> None:
                     help="append this span's evidence to BENCH/"
                          "BASELINE.md instead of replacing the "
                          "committed first-span measurement")
+    ap.add_argument("--ladder", default=None,
+                    help="comma-separated core counts for a single-run "
+                         "throughput ladder (saturation shape, not a "
+                         "paired protocol), e.g. --ladder 2,4,8,16,32")
     ap.add_argument("--min-valid-pairs", type=int, default=2)
     ap.add_argument("--max-pairs", type=int, default=6)
     ap.add_argument("--max-steal-pct", type=float, default=1.5)
@@ -708,6 +774,8 @@ def main() -> None:
         args.events = None
     if args.scaling:
         main_scaling(args)
+    elif args.ladder:
+        main_ladder(args)
     elif args.cadence:
         main_cadence(args)
     else:

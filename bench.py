@@ -451,6 +451,44 @@ def _loadavg() -> float:
         return float(fh.read().split()[0])
 
 
+def _pinned_run(args, cores: int, n_events: int, gen_dir: str) -> dict:
+    """One calm-gated bench child pinned to exactly ``cores`` CPUs
+    with `taskset`, over the shared pre-generated input. Returns the
+    child's JSON result annotated with the parent-measured validity
+    fields (pre-run loadavg, steal% over the run). Shared by the
+    paired-median scaling protocol and the single-run ladder so the
+    two modes cannot drift apart.
+
+    The child runs with --no-wait-calm: the parent gates calmness
+    right here; the child gating too would double the settle and skew
+    pairing."""
+    here = os.path.abspath(__file__)
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cores)
+    cmd = [sys.executable, here, "--sf-dir", args.sf_dir,
+           "--events", str(n_events), "--batches", str(args.batches),
+           "--buckets", str(args.buckets), "--input-dir", gen_dir,
+           "--skip-queries", "--skip-write-amp", "--no-wait-calm"]
+    if shutil.which("taskset") is not None:
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    load0 = wait_calm(args)
+    s0, t0 = _cpu_stat()
+    out = subprocess.run(cmd, env=env, capture_output=True,
+                         text=True, check=True)
+    s1, t1 = _cpu_stat()
+    json_lines = [l for l in out.stdout.splitlines()
+                  if l.startswith("{")]
+    if not json_lines:
+        raise RuntimeError(
+            f"bench child (cores={cores}) printed no JSON result; "
+            f"stderr tail: {out.stderr[-500:]}"
+        )
+    r = json.loads(json_lines[-1])
+    r["loadavg_at_start"] = load0
+    r["steal_pct"] = round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
+    return r
+
+
 def main_scaling(args) -> None:
     """Same job + same pre-generated input files at N and 4N cores —
     the paired-median protocol.
@@ -488,39 +526,12 @@ def main_scaling(args) -> None:
         gen_input(gen_spark, n_events, gen_dir, 128)
     finally:
         gen_spark.stop()
-    have_taskset = shutil.which("taskset") is not None
-
-    def one_run(cores: int) -> dict:
-        env = dict(os.environ)
-        env["SPARK_GRAFT_CPUS"] = str(cores)
-        # --no-wait-calm: the parent gates calmness right here; the
-        # child gating too would double the settle and skew pairing
-        cmd = [sys.executable, here, "--sf-dir", args.sf_dir,
-               "--events", str(n_events), "--batches",
-               str(args.batches), "--buckets", str(args.buckets),
-               "--input-dir", gen_dir, "--skip-queries",
-               "--skip-write-amp", "--no-wait-calm"]
-        if have_taskset:
-            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        load0 = wait_calm(args)
-        s0, t0 = _cpu_stat()
-        out = subprocess.run(cmd, env=env, capture_output=True,
-                             text=True, check=True)
-        s1, t1 = _cpu_stat()
-        line = [l for l in out.stdout.splitlines()
-                if l.startswith("{")][-1]
-        r = json.loads(line)
-        r["loadavg_at_start"] = load0
-        r["steal_pct"] = round(
-            100.0 * (s1 - s0) / max(1, t1 - t0), 2
-        )
-        return r
 
     pairs: list[dict] = []
     try:
         while len(pairs) < args.max_pairs:
-            r_lo = one_run(lo)
-            r_hi = one_run(hi)
+            r_lo = _pinned_run(args, lo, n_events, gen_dir)
+            r_hi = _pinned_run(args, hi, n_events, gen_dir)
             eff = (
                 r_hi["cdc_events_per_sec"] / r_lo["cdc_events_per_sec"]
             ) / (hi / lo)
@@ -684,7 +695,6 @@ def main_ladder(args) -> None:
     SHAPE: where single-node throughput saturates as cores grow,
     the supplementary evidence behind BENCH/BASELINE.md's second-span
     analysis."""
-    here = os.path.abspath(__file__)
     n_events = args.events or 64_000_000
     rungs = [int(c) for c in args.ladder.split(",")]
     gen_dir = _tmpfs_dir("ladder-input")
@@ -693,34 +703,16 @@ def main_ladder(args) -> None:
         gen_input(gen_spark, n_events, gen_dir, 128)
     finally:
         gen_spark.stop()
-    have_taskset = shutil.which("taskset") is not None
     out_rows = []
     try:
         for cores in rungs:
-            env = dict(os.environ)
-            env["SPARK_GRAFT_CPUS"] = str(cores)
-            cmd = [sys.executable, here, "--sf-dir", args.sf_dir,
-                   "--events", str(n_events), "--batches",
-                   str(args.batches), "--buckets", str(args.buckets),
-                   "--input-dir", gen_dir, "--skip-queries",
-                   "--skip-write-amp", "--no-wait-calm"]
-            if have_taskset:
-                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-            load0 = wait_calm(args)
-            s0, t0 = _cpu_stat()
-            res = subprocess.run(cmd, env=env, capture_output=True,
-                                 text=True, check=True)
-            s1, t1 = _cpu_stat()
-            line = [l for l in res.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            r = json.loads(line)
+            r = _pinned_run(args, cores, n_events, gen_dir)
             out_rows.append({
                 "cores": cores,
                 "events_per_sec": r["cdc_events_per_sec"],
                 "wall_sec": r["queries"]["cdc_apply"],
-                "loadavg_at_start": load0,
-                "steal_pct": round(
-                    100.0 * (s1 - s0) / max(1, t1 - t0), 2),
+                "loadavg_at_start": r["loadavg_at_start"],
+                "steal_pct": r["steal_pct"],
             })
     finally:
         shutil.rmtree(gen_dir, ignore_errors=True)

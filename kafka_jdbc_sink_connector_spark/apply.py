@@ -436,7 +436,20 @@ class CdcApplier:
                 # batch entered, so the pin stops above it
                 schema_snap = parent
                 while "evolved" in (schema_snap.stats or {}):
-                    tag = (schema_snap.stats or {}).get("evolved_by")
+                    st = schema_snap.stats or {}
+                    if "widened" in st:
+                        # a WIDENING commit runs BEFORE the batch's
+                        # stats/quarantine pass (apply_batch widens
+                        # first so coercion goes value→widened
+                        # target), so the schema the batch entered
+                        # against INCLUDES it — stepping below would
+                        # make a crash-replay backfill re-coerce under
+                        # the narrow schema and quarantine rows the
+                        # original commit applied. Column-add
+                        # evolution commits run AFTER the stats pass
+                        # and are stepped past as before.
+                        break
+                    tag = st.get("evolved_by")
                     if tag is not None and list(tag) != [source_id,
                                                          batch_id]:
                         break

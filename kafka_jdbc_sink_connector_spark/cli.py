@@ -103,7 +103,18 @@ def cmd_stream(args) -> None:
             # (the schema-id harvest is a batch aggregation), so it
             # rides the runner's record_parser hook inside the managed
             # retry/exactly-once loop; the registry client comes from
-            # the connector's schema.registry.url (cfg)
+            # the connector's schema.registry.url (cfg). Fail the
+            # misconfiguration HERE: without a registry url the parser
+            # would raise the same deterministic error on every
+            # micro-batch after burning the runner's retry budget
+            if not getattr(cfg, "schema_registry_url", None):
+                raise SystemExit(
+                    "stream --value-format avro requires "
+                    "schema.registry.url (or value.converter.schema."
+                    "registry.url) in the connector config — the "
+                    "per-batch decode resolves writer schemas from "
+                    "the registry"
+                )
             stream = raw
             record_parser = lambda df: parse_kafka_records(  # noqa: E731
                 df, None, cfg, value_format="avro",

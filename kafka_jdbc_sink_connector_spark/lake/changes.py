@@ -345,21 +345,36 @@ def _adjacent_delta_changes(
     # diff's old side) reuse ONE materialization of this batch-sized
     # frame instead of scanning the old buckets twice
     old_all = _old_state(table, old_snap, new_snap, affected)
-    in_d = dkeys.select(
-        *[F.col(k).alias(f"o_{k}") for k in keys],
-        F.lit(True).alias("__in_d"),
-    )
-    old = old_all.join(in_d, [f"o_{k}" for k in keys], "left")
-    if sdels is not None:
+    if sdels is None:
+        # delta-only commit (the common steady-state case): plain
+        # LEFT SEMI — cheaper than the marker join below, which
+        # Catalyst does not reduce back to a semi join
+        old = old_all.join(
+            dkeys.select(*[F.col(k).alias(f"o_{k}") for k in keys]),
+            [f"o_{k}" for k in keys],
+            "left_semi",
+        )
+    else:
+        # rows hit by EITHER the delta pk keys OR the sdel subset
+        # keys: two marker left-joins against distinct key frames (no
+        # row duplication) + one filter — a single old-state scan
+        in_d = dkeys.select(
+            *[F.col(k).alias(f"o_{k}") for k in keys],
+            F.lit(True).alias("__in_d"),
+        )
         in_s = skeys.select(
             *[F.col(k).alias(f"o_{k}") for k in skey],
             F.lit(True).alias("__in_s"),
         )
-        old = old.join(in_s, [f"o_{k}" for k in skey], "left")
-        hit = F.col("__in_d").isNotNull() | F.col("__in_s").isNotNull()
-        old = old.filter(hit).drop("__in_d", "__in_s")
-    else:
-        old = old.filter(F.col("__in_d").isNotNull()).drop("__in_d")
+        old = (
+            old_all.join(in_d, [f"o_{k}" for k in keys], "left")
+            .join(in_s, [f"o_{k}" for k in skey], "left")
+            .filter(
+                F.col("__in_d").isNotNull()
+                | F.col("__in_s").isNotNull()
+            )
+            .drop("__in_d", "__in_s")
+        )
     old = old.localCheckpoint(eager=False)
     # resolve the new deltas (and sdel overlays) over the old state →
     # new state per key

@@ -89,6 +89,29 @@ def quality_columns(text: str | Column) -> dict[str, Column]:
     }
 
 
+def _split_hash(id_col: str | Column, salt: str) -> Column:
+    """``md5(salt || id)[:8]`` — the shared salted hash behind
+    :func:`hash_split` and :func:`stratified_keep`. Hex strings of
+    equal length order exactly like the integers they encode, so
+    membership tests are plain string comparisons on both Spark and
+    an ANSI oracle."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")),
+        1, 8,
+    )
+
+
+def _keep_below(h: Column, frac: float) -> Column:
+    """``h < hex_threshold(frac)`` with the frac==1.0 saturation guard
+    (a 9-hex-digit threshold would break the fixed-width string
+    comparison and drop everything)."""
+    cut = int(frac * 16 ** 8)
+    if cut >= 16 ** 8:
+        return F.lit(True)
+    return h < F.lit(format(cut, "08x"))
+
+
 def hash_split(
     id_col: str | Column,
     weights: dict[str, float],
@@ -99,38 +122,27 @@ def hash_split(
     under re-runs, re-shards, and incremental additions (no RNG, no
     state).
 
-    ``u = md5(salt || id)[:8]`` is compared LEXICOGRAPHICALLY against
-    precomputed hex thresholds — hex strings of equal length order
-    exactly like the integers they encode, so both Spark and an ANSI
-    oracle decide membership with plain string comparison, no
-    engine-specific hex→int conversion. Codegen'd, zero shuffle.
-    ``weights`` need not be normalized.
+    ``u = md5(salt || id)[:8]`` (:func:`_split_hash`) is compared
+    LEXICOGRAPHICALLY against precomputed hex thresholds
+    (:func:`_keep_below`) — no engine-specific hex→int conversion.
+    Codegen'd, zero shuffle. ``weights`` need not be normalized.
     """
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-empty and non-negative")
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to > 0")
     names = list(weights)
-    h = F.substring(
-        F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")),
-        1, 8,
-    )
+    h = _split_hash(id_col, salt)
     out = None
     acc = 0.0
     for name in names[:-1]:
         acc += weights[name] / total
-        cut = int(acc * 16**8)
-        if cut >= 16**8:
-            # cumulative weight reached 1.0 before the last name (the
-            # remaining names have zero weight): everything left goes
-            # here — a 9-digit hex threshold would break the
-            # fixed-width string comparison and leak rows into the
-            # zero-weight splits
-            cond = F.lit(True)
-        else:
-            cond = h < F.lit(format(cut, "08x"))
+        # cumulative weight may reach 1.0 before the last name (the
+        # remaining names have zero weight): _keep_below saturates to
+        # TRUE so everything left goes here rather than leaking into
+        # the zero-weight splits
+        cond = _keep_below(h, acc)
         out = F.when(cond, F.lit(name)) if out is None else out.when(
             cond, F.lit(name)
         )
@@ -147,13 +159,13 @@ def stratified_keep(
     """Deterministic per-stratum subsampling predicate — the standard
     corpus-mixing move (keep 50% of web text, 100% of books, …):
     ``keep iff md5(salt || id)[:8] < hex_threshold(fraction of the
-    row's stratum)``. Same salted-hash/hex-threshold machinery as
-    :func:`hash_split`, so membership is stable under re-runs,
-    re-shards, and incremental additions, and an ANSI oracle decides
-    it with plain string comparison. Rows whose stratum is not listed
-    are DROPPED (an unlisted stratum has no sampling rate — silently
-    keeping it would change the mix). Codegen'd, zero shuffle."""
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    row's stratum)`` — the SAME :func:`_split_hash` /
+    :func:`_keep_below` machinery as :func:`hash_split`, so membership
+    is stable under re-runs, re-shards, and incremental additions, and
+    an ANSI oracle decides it with plain string comparison. Rows whose
+    stratum is not listed are DROPPED (an unlisted stratum has no
+    sampling rate — silently keeping it would change the mix).
+    Codegen'd, zero shuffle."""
     s = (F.col(stratum_col) if isinstance(stratum_col, str)
          else stratum_col)
     if not fractions:
@@ -164,19 +176,10 @@ def stratified_keep(
                 f"fraction for stratum {name!r} must be in [0, 1], "
                 f"got {frac}"
             )
-    h = F.substring(
-        F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")),
-        1, 8,
-    )
+    h = _split_hash(id_col, salt)
     out = None
     for name, frac in fractions.items():
-        cut = int(frac * 16 ** 8)
-        keep = (
-            F.lit(True) if cut >= 16 ** 8  # frac == 1.0: keep all —
-            # a 9-hex-digit threshold would break the fixed-width
-            # string comparison (same guard as hash_split)
-            else h < F.lit(format(cut, "08x"))
-        )
+        keep = _keep_below(h, frac)
         out = (F.when(s == name, keep) if out is None
                else out.when(s == name, keep))
     return out.otherwise(F.lit(False))

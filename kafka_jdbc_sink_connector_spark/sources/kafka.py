@@ -155,50 +155,41 @@ def parse_kafka_records(
                 )
             from kafka_jdbc_sink_connector_spark.sources.registry import (
                 SchemaRegistryError,
-                batch_schema_ids_by_topic,
-                schemas_for_batch,
+                harvest_for_batch,
             )
 
             if avro_value_schemas is None and avro_value_schema is None:
-                by_topic = batch_schema_ids_by_topic(
-                    records, F.col("value")
+                # per-topic harvest + value-side scope recording: the
+                # shared client also caches other pipelines' (and
+                # key-side) schemas, which must never leak into a
+                # topic's shape fallback below
+                avro_value_schemas, by_topic = harvest_for_batch(
+                    records, F.col("value"), schema_registry,
+                    scope_prefix="value",
                 )
-                avro_value_schemas = {}
-                for topic, ids in by_topic.items():
-                    for sid in ids:
-                        if sid not in avro_value_schemas:
-                            avro_value_schemas[sid] = (
-                                schema_registry.fetch_schema(sid)
-                            )
-                    if ids:
-                        # per-topic value-side scope: the shared client
-                        # also caches other pipelines' (and key-side)
-                        # schemas, which must never leak into THIS
-                        # topic's shape fallback below
-                        schema_registry.note_scope(f"value:{topic}", ids)
                 # empty harvest = tombstone-only / all-malformed batch
                 # (a delete burst mid-stream is normal). Tombstones
                 # bypass value decode entirely, so all that is needed
                 # is a column SHAPE: an explicit value_schema pins it
-                # exactly (decode skipped below); otherwise fall back
-                # to the value-side schemas cached FOR THIS BATCH'S
-                # TOPICS, then to cold-start subject resolution
-                # (Confluent TopicNameStrategy: '{topic}-value' latest).
+                # exactly (decode skipped below); otherwise EVERY topic
+                # in the batch must resolve its own shape — from the
+                # value-side schemas cached for THAT topic, else
+                # cold-start subject resolution (Confluent
+                # TopicNameStrategy: '{topic}-value' latest). Strict
+                # per topic: silently decoding topic B's rows with
+                # topic A's shape would drop B-specific columns.
                 if not avro_value_schemas and value_schema is None:
                     topics = [
                         t for t in sorted(by_topic, key=str)
                         if t is not None
                     ]
                     cached: dict[int, str] = {}
-                    for t in topics:
-                        cached.update(
-                            schema_registry.known_schemas(
-                                scope=f"value:{t}"
-                            )
-                        )
                     errs: list[str] = []
-                    if not cached:
-                        for t in topics:
+                    for t in topics:
+                        got = schema_registry.known_schemas(
+                            scope=f"value:{t}"
+                        )
+                        if not got:
                             try:
                                 sid, sj = schema_registry.fetch_latest(
                                     f"{t}-value"
@@ -206,18 +197,19 @@ def parse_kafka_records(
                             except SchemaRegistryError as e:
                                 errs.append(str(e))
                                 continue
-                            cached[sid] = sj
+                            got = {sid: sj}
                             schema_registry.note_scope(
                                 f"value:{t}", [sid]
                             )
+                        cached.update(got)
                     avro_value_schemas = cached
-                    if not avro_value_schemas:
+                    if errs or not avro_value_schemas:
                         raise ValueError(
                             "batch carries no well-formed Confluent "
                             "value frames, no value_schema was given, "
-                            "no value-side schemas are cached for this "
-                            "batch's topics, and subject resolution "
-                            "('{topic}-value' latest) found nothing: "
+                            "and these topics resolve no value shape "
+                            "(no scoped cache, subject resolution "
+                            "failed): "
                             + ("; ".join(errs) if errs
                                else "batch names no topics")
                             + "; supply avro_value_schema(s) or "
@@ -228,7 +220,7 @@ def parse_kafka_records(
                 and avro_key_schemas is None
                 and avro_key_schema is None
             ):
-                avro_key_schemas = schemas_for_batch(
+                avro_key_schemas, _ = harvest_for_batch(
                     records, F.col("key"), schema_registry,
                     scope_prefix="key",
                 )

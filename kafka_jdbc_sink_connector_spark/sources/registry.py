@@ -268,32 +268,46 @@ def batch_schema_ids_by_topic(
     }
 
 
+def harvest_for_batch(
+    records: DataFrame,
+    col: Column,
+    registry: SchemaRegistryClient,
+    scope_prefix: str | None = None,
+) -> tuple[dict[int, str], dict[str | None, list[int]]]:
+    """(id → writer schema JSON, topic → harvested ids) for every id
+    the batch carries, resolved through ``registry`` (cached client ⇒
+    one HTTP round-trip per never-seen id across the stream's
+    lifetime). Unknown ids raise loudly here — before any decode work
+    is scheduled.
+
+    With ``scope_prefix`` (e.g. ``"value"``), ids are harvested per
+    topic and recorded under ``"{scope_prefix}:{topic}"`` scopes on the
+    client, so later scoped :meth:`~SchemaRegistryClient.known_schemas`
+    fallbacks see only this column's/topic's schemas. A frame WITHOUT
+    a ``topic`` column (a caller-trimmed record frame) degrades to one
+    anonymous ``None``-topic harvest: ids resolve exactly as before,
+    but no scope is recorded and topic-derived fallbacks (scoped
+    cache, subject pinning) are unavailable to it."""
+    if "topic" in records.columns:
+        by_topic = batch_schema_ids_by_topic(records, col)
+    else:
+        by_topic = {None: batch_schema_ids(records, col)}
+    out: dict[int, str] = {}
+    for topic, ids in by_topic.items():
+        for sid in ids:
+            if sid not in out:
+                out[sid] = registry.fetch_schema(sid)
+        if ids and scope_prefix is not None and topic is not None:
+            registry.note_scope(f"{scope_prefix}:{topic}", ids)
+    return out, by_topic
+
+
 def schemas_for_batch(
     records: DataFrame,
     col: Column,
     registry: SchemaRegistryClient,
     scope_prefix: str | None = None,
 ) -> dict[int, str]:
-    """id → writer schema JSON for every id the batch carries, resolved
-    through ``registry`` (cached client ⇒ one HTTP round-trip per
-    never-seen id across the stream's lifetime). Unknown ids raise
-    loudly here — before any decode work is scheduled.
-
-    With ``scope_prefix`` (e.g. ``"value"``), ids are harvested per
-    topic and recorded under ``"{scope_prefix}:{topic}"`` scopes on the
-    client, so later scoped :meth:`~SchemaRegistryClient.known_schemas`
-    fallbacks see only this column's/topic's schemas."""
-    if scope_prefix is None:
-        return {
-            sid: registry.fetch_schema(sid)
-            for sid in batch_schema_ids(records, col)
-        }
-    by_topic = batch_schema_ids_by_topic(records, col)
-    out: dict[int, str] = {}
-    for topic, ids in by_topic.items():
-        for sid in ids:
-            if sid not in out:
-                out[sid] = registry.fetch_schema(sid)
-        if ids:
-            registry.note_scope(f"{scope_prefix}:{topic}", ids)
-    return out
+    """The schema map of :func:`harvest_for_batch` (kept for callers
+    that don't need the per-topic id breakdown)."""
+    return harvest_for_batch(records, col, registry, scope_prefix)[0]

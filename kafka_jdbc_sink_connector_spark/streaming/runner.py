@@ -197,6 +197,8 @@ class MultiTableRunner:
         topic_column: str = "topic",
         source_id: str = "stream",
         record_parser=None,
+        parse_max_retries: int = 3,
+        parse_backoff_ms: int = 500,
     ):
         #: topic -> CdcApplier, created lazily like the per-table
         #: BufferedRecords map (JdbcAuditDbWriter.java:63-83)
@@ -207,12 +209,29 @@ class MultiTableRunner:
         self.source_id = source_id
         #: same converter-layer hook as CdcStreamRunner; the parser
         #: must PRESERVE the topic column (parse_kafka_records:
-        #: keep_topic=True) or routing has nothing to split on
+        #: keep_topic=True) or routing has nothing to split on. The
+        #: parse runs before any applier exists, so its bounded retry
+        #: (same contract as CdcStreamRunner's in-loop parse — a
+        #: transiently unreachable registry gets backoff on top of the
+        #: HTTP client's own retries) takes its own knobs instead of a
+        #: per-table cfg
         self.record_parser = record_parser
+        self.parse_max_retries = parse_max_retries
+        self.parse_backoff_ms = parse_backoff_ms
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.record_parser is not None:
-            batch_df = self.record_parser(batch_df)
+            attempts = self.parse_max_retries + 1
+            for attempt in range(attempts):
+                try:
+                    batch_df = self.record_parser(batch_df)
+                    break
+                except NON_RETRIABLE:
+                    raise
+                except Exception:  # noqa: BLE001 — transient registry/IO
+                    if attempt == attempts - 1:
+                        raise
+                    time.sleep(self.parse_backoff_ms / 1000.0)
         topics = [
             r[0]
             for r in batch_df.select(self.topic_column).distinct().collect()

@@ -107,7 +107,7 @@ def test_all_tombstone_batch_uses_cached_or_pinned_shape(spark):
     assert parsed2[0]["op"] == "d"
     # cold client, nothing pinned, subject resolution unsupported by
     # the dict fake: genuinely undeterminable
-    with pytest.raises(ValueError, match="no value-side schemas"):
+    with pytest.raises(ValueError, match="resolve no value shape"):
         parse_kafka_records(
             raw, None, SinkConfig(), value_format="avro",
             schema_registry=DictSchemaRegistry({}),
@@ -508,3 +508,65 @@ def test_stream_runner_record_parser_live_registry_e2e(
     got2 = {(r["conv_id"], r["turn_idx"]): r["text"]
             for r in applier2.read_target().collect()}
     assert got2 == {("a", 0): "one-v2", ("b", 0): "two-v2"}
+
+
+def test_multi_topic_tombstone_batch_resolves_each_topic(
+    spark, http_registry
+):
+    """Strict per-topic shape fallback: in a tombstone-only batch with
+    topics A (warm scoped cache) and B (cold), topic B must resolve
+    its OWN subject — silently inheriting A's shape would drop
+    B-specific columns."""
+    # warm topic A's value scope with a real frame
+    v1 = {"op": "c", "conv_id": "a", "turn_idx": 0,
+          "role": "user", "text": "x", "ts": TS}
+    warm = spark.createDataFrame(
+        [(None, _confluent(encode_record(VALUE_SCHEMA, v1), 7),
+          "transcripts", 0, 1, None, 0)], KAFKA_WIRE_SCHEMA)
+    parse_kafka_records(warm, None, SinkConfig(), value_format="avro",
+                        schema_registry=http_registry).collect()
+    # register a subject for topic B with a DIFFERENT (v2) shape
+    _Handler.subjects["audit-value"] = (9, V2_SCHEMA)
+    both = spark.createDataFrame(
+        [(None, None, "transcripts", 0, 2, None, 0),
+         (None, None, "audit", 0, 3, None, 0)], KAFKA_WIRE_SCHEMA)
+    parsed = parse_kafka_records(
+        both, None, SinkConfig(), value_format="avro",
+        schema_registry=http_registry,
+    ).collect()
+    # the decode superset includes B's v2-only column because B's
+    # subject was resolved, not inherited from A
+    assert "tool" in parsed[0].asDict()
+    assert any("/subjects/audit-value/versions/latest" == h
+               for h in _Handler.hits)
+    # and with B's subject UNregistered, the batch fails loudly
+    del _Handler.subjects["audit-value"]
+    reg2 = HttpSchemaRegistry(http_registry.base_url, timeout=2.0,
+                              max_retries=1, backoff_sec=0.01)
+    with pytest.raises(ValueError, match="audit-value"):
+        parse_kafka_records(
+            both, None, SinkConfig(), value_format="avro",
+            schema_registry=reg2,
+        )
+
+
+def test_topicless_frames_still_harvest(spark):
+    """A caller-trimmed frame (no topic column) keeps working through
+    the registry path: ids harvest via the anonymous single-scope
+    fallback (no scoped cache / subject pinning available to it)."""
+    v1 = {"op": "c", "conv_id": "a", "turn_idx": 0,
+          "role": "user", "text": "x", "ts": TS}
+    raw = spark.createDataFrame(
+        [(_confluent(encode_record(VALUE_SCHEMA, v1), 7),)],
+        "value binary",
+    ).selectExpr(
+        "CAST(NULL AS BINARY) AS key", "value",
+        "0 AS partition", "CAST(1 AS LONG) AS offset",
+    )
+    reg = _CountingRegistry({7: VALUE_SCHEMA})
+    parsed = parse_kafka_records(
+        raw, None, SinkConfig(), value_format="avro",
+        schema_registry=reg,
+    ).collect()
+    assert parsed[0]["text"] == "x"
+    assert reg.calls == [7]

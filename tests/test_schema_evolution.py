@@ -275,3 +275,48 @@ def test_widening_never_touches_key_columns(spark, tmp_table):
         applier.apply_batch(bad_key, batch_id=1)
     assert applier.table().schema["turn_idx"].dataType.simpleString() \
         == "int"
+
+
+def test_widening_replay_backfill_pins_widened_schema(spark, tmp_table):
+    """Crash-window replay of a WIDENING batch: the widen commit runs
+    BEFORE the batch's stats/quarantine pass, so the backfill must
+    re-coerce under the widened schema — pinning below it would
+    quarantine the out-of-int-range row the original commit applied
+    (a row simultaneously live in the target and dead-lettered)."""
+    import os
+    import shutil
+
+    from kafka_jdbc_sink_connector_spark.config import SinkConfig
+
+    cfg = SinkConfig(n_buckets=2, auto_evolve_widen=True)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    base = spark.createDataFrame(
+        [(0, 1, "c", "conv-a", 0, "x", None, 5)],
+        "kafka_partition int, kafka_offset long, op string, "
+        "conv_id string, turn_idx int, text string, ts timestamp, "
+        "n int",
+    )
+    applier.apply_batch(base, batch_id=0)
+    wide = spark.createDataFrame(
+        [(0, 2, "u", "conv-a", 0, "y", None, 2**40)],
+        "kafka_partition int, kafka_offset long, op string, "
+        "conv_id string, turn_idx int, text string, ts timestamp, "
+        "n long",
+    )
+    r1 = applier.apply_batch(wide, batch_id=1)
+    assert r1.n_quarantined == 0
+    # simulate the crash window: merge committed, lineage lost
+    shutil.rmtree(os.path.join(applier.lineage_path, "batch_id=1"))
+    res = applier.apply_batch(wide, batch_id=1)
+    assert res.skipped
+    # the backfill coerced under the WIDENED schema: no quarantine
+    # rows appeared, lineage re-derived with the original version
+    qdir = os.path.join(applier.quarantine_path, "batch_id=1")
+    assert not os.path.isdir(qdir) or not any(
+        f.endswith(".parquet") for f in os.listdir(qdir)
+    )
+    lin = {r["batch_id"]: r["snapshot_version"]
+           for r in applier.read_lineage().collect()}
+    assert lin[1] == r1.snapshot_version
+    got = {x["conv_id"]: x["n"] for x in applier.read_target().collect()}
+    assert got == {"conv-a": 2**40}

@@ -1030,6 +1030,55 @@ WHERE (lang = 'en' AND u < '99999999')
 """
 
 
+def q_doc_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation verdict per doc: keep/drop + first failing
+    rule (too_short → words_too_long → repetitive →
+    low_stopword_density), composing the quality + repetition signals
+    in one codegen'd scan — the decision step a filter pipeline
+    actually executes."""
+    d = _t(spark, sf_dir, "documents")
+    keep, reason = text.filter_verdict("text")
+    return d.select(
+        "doc_id", keep.alias("keep"), reason.alias("reason")
+    )
+
+
+def _sql_filter_verdict() -> str:
+    return rf"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(CAST(list_sum([length(x) FOR x IN toks]) AS DOUBLE)
+               / len(toks), 4) AS awl,
+         round(CAST(len(list_filter(toks,
+                 x -> lower(x) IN {STOPWORD_SQL})) AS DOUBLE)
+               / len(toks), 4) AS swr,
+         round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+                     / len(sh), 4) AS rep
+  FROM (
+    SELECT doc_id, toks,
+           [array_to_string(toks[i:i+4], ' ')
+            FOR i IN range(1, greatest(len(toks) - 4, 1) + 1)] AS sh
+    FROM w)
+),
+v AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens < 20 THEN 'too_short'
+              WHEN awl > 12.0 THEN 'words_too_long'
+              WHEN rep > 0.2 THEN 'repetitive'
+              WHEN swr < 0.02 THEN 'low_stopword_density'
+         END AS reason
+  FROM m
+)
+SELECT doc_id, reason IS NULL AS keep, reason FROM v
+"""
+
+
 def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     cols = text.quality_columns("text")
@@ -2202,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination_check": q_doc_contamination_check,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_quality_score": q_doc_quality_score,
+        "doc_filter_verdict": q_doc_filter_verdict,
         "doc_repetition_ratio": q_doc_repetition_ratio,
         "doc_length_percentiles": q_doc_length_percentiles,
         "doc_pii_redact": q_doc_pii_redact,
@@ -2263,6 +2313,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_percentiles": _sql_length_percentiles(),
         "doc_pii_redact": _sql_pii_redact(),
         "doc_quality_score": _sql_quality(),
+        "doc_filter_verdict": _sql_filter_verdict(),
         "doc_lang_id": _sql_lang_id(),
         "doc_fingerprint": _sql_fingerprint(),
         "doc_simhash": _sql_simhash(),

@@ -89,6 +89,42 @@ def quality_columns(text: str | Column) -> dict[str, Column]:
     }
 
 
+def filter_verdict(
+    text: str | Column,
+    min_tokens: int = 20,
+    max_avg_word_len: float = 12.0,
+    max_repetition: float = 0.2,
+    min_stopword_ratio: float = 0.02,
+    shingle_k: int = 5,
+) -> tuple[Column, Column]:
+    """The curation DECISION step: ``(keep, reason)`` columns
+    composing the quality/repetition signals into one keep/drop
+    verdict with the FIRST failing rule as the reason (NULL when
+    kept) — the same first-failure-wins shape as the CDC path's
+    ``validate.error_expr``, so downstream audits can group drops by
+    cause. Rules in fixed order: ``too_short`` (< ``min_tokens``
+    whitespace tokens), ``words_too_long`` (avg word length >
+    ``max_avg_word_len`` — code/garbage signal), ``repetitive``
+    (repeated ``shingle_k``-word windows > ``max_repetition`` —
+    boilerplate), ``low_stopword_density`` (< ``min_stopword_ratio``
+    — non-prose). All thresholds compare the same ROUNDED values the
+    feature columns emit, so an ANSI oracle lands on identical
+    boundary decisions. Single codegen'd scan, no shuffle, no
+    Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c)
+    awl = avg_word_len(c)
+    swr = F.round(stopword_count(c) / n_tok, 4)
+    rep = repetition_ratio(c, shingle_k)
+    reason = (
+        F.when(n_tok < min_tokens, F.lit("too_short"))
+        .when(awl > max_avg_word_len, F.lit("words_too_long"))
+        .when(rep > max_repetition, F.lit("repetitive"))
+        .when(swr < min_stopword_ratio, F.lit("low_stopword_density"))
+    )
+    return reason.isNull(), reason
+
+
 def _split_hash(id_col: str | Column, salt: str) -> Column:
     """``md5(salt || id)[:8]`` — the shared salted hash behind
     :func:`hash_split` and :func:`stratified_keep`. Hex strings of

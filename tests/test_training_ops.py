@@ -488,3 +488,32 @@ def test_stratified_keep_deterministic_and_scoped(spark, docs):
         text.stratified_keep("doc_id", "lang", {})
     with _pytest.raises(ValueError, match="in \\[0, 1\\]"):
         text.stratified_keep("doc_id", "lang", {"en": 1.5})
+
+
+def test_filter_verdict_reasons_and_order(spark):
+    """Each drop rule fires on a crafted doc; the reason is the FIRST
+    failing rule in the fixed order (a doc failing several rules
+    reports the earliest one); keeps carry a NULL reason."""
+    good = ("the cat sat on the mat and the dog slept near the door "
+            "while it rained in the town all day long")
+    rows = [
+        (1, good),                                          # keep
+        (2, "just three words"),                            # too_short
+        (3, " ".join(["supercalifragilisticexpialidocious"] * 25)),
+        # ^ words_too_long (avg len ≫ 12); ALSO repetitive + low
+        #   stopword density — first rule in order wins
+        (4, " ".join(["the cat sat on the mat and it is fine"] * 6)),
+        # ^ repetitive (same 10 words × 6 → shingle dup ratio high)
+        (5, " ".join(f"w{i}" for i in range(30))),
+        # ^ low_stopword_density (30 distinct short non-stopwords)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    keep, reason = text.filter_verdict("text")
+    got = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in df.select("doc_id", keep.alias("keep"),
+                              reason.alias("reason")).collect()}
+    assert got[1] == (True, None)
+    assert got[2] == (False, "too_short")
+    assert got[3] == (False, "words_too_long")   # first failing rule
+    assert got[4] == (False, "repetitive")
+    assert got[5] == (False, "low_stopword_density")

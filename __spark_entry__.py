@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 from kafka_jdbc_sink_connector_spark.apply import CdcApplier
 from kafka_jdbc_sink_connector_spark.config import SinkConfig
-from kafka_jdbc_sink_connector_spark.operators import docdedup, multimodal, similarity, text
+from kafka_jdbc_sink_connector_spark.operators import (
+    docdedup,
+    incremental,
+    multimodal,
+    similarity,
+    text,
+)
 from kafka_jdbc_sink_connector_spark.operators.dedup import (
     UPSERT_STRUCT,
     collapse_last_writer,
@@ -1259,6 +1265,87 @@ GROUP BY 1, 2
 """
 
 
+def q_doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection against a PERSISTED signature
+    index (operators/incremental.py): the corpus arrives as two ingest
+    batches (doc_id parity split); each batch is probed against the
+    index built so far (batch side broadcast — the index is never
+    shuffled) and its signatures appended as an atomic watermarked
+    commit on the engine's own lake table. The unioned two-batch
+    result must equal the corpus-wide LSH self-join pair set — the
+    oracle is exactly ``doc_minhash_lsh_pairs``'s."""
+    d = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="mh_idx_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    idx = incremental.MinHashDedupIndex.create(
+        spark, os.path.join(tmp, "idx"), n_buckets=8, n_perm=8, bands=4,
+        k=5,
+    )
+    p0 = idx.add_and_find_dups(
+        d.filter(F.col("doc_id") % 2 == 0), batch_id=0
+    )
+    p1 = idx.add_and_find_dups(
+        d.filter(F.col("doc_id") % 2 == 1), batch_id=1
+    )
+    # disjoint by construction: each pair is emitted by the batch that
+    # completes it
+    return p0.union(p1)
+
+
+# the corpus has no literal newlines, so the line-dedup driver query
+# deterministically re-lines it first: a newline after every 8th word
+# (same regex on both engines; Java and RE2 both scan left-to-right
+# non-overlapping, so the groupings agree)
+_RELINE_PAT = r"((?:\S+ ){7}\S+) "
+
+
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    relined = d.withColumn(
+        "text", F.regexp_replace("text", _RELINE_PAT, "$1\n")
+    )
+    return docdedup.line_dedup(relined, min_df=2)
+
+
+def _sql_line_dedup() -> str:
+    return rf"""
+WITH docs2 AS (
+  SELECT doc_id,
+         regexp_replace(text, '{_RELINE_PAT}', '\1' || chr(10), 'g')
+           AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM docs2
+),
+boiler AS (
+  SELECT h FROM (
+    SELECT DISTINCT doc_id, md5(trim(line)) AS h
+    FROM lines WHERE trim(line) <> '')
+  GROUP BY h HAVING count(*) >= 2
+),
+kept AS (
+  SELECT doc_id, line, pos FROM lines
+  WHERE md5(trim(line)) NOT IN (SELECT h FROM boiler)
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(string_split(d.text, chr(10))) - coalesce(a.n_kept, 0)
+            AS BIGINT) AS n_removed
+FROM docs2 d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_doc_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docdedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.5, k=5, max_df=20
@@ -2261,6 +2348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_dups": q_doc_simhash_dups,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh_pairs,
+        "doc_dedup_incremental": q_doc_dedup_incremental,
+        "doc_line_dedup": q_doc_line_dedup,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_dedup_keep_best": q_doc_dedup_keep_best,
         "doc_ngram_jaccard_dups": q_doc_ngram_jaccard_dups,
@@ -2320,6 +2409,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_dups": _sql_simhash_dups(),
         "doc_exact_dedup": _sql_exact_dedup(),
         "doc_minhash_lsh_pairs": _sql_minhash_lsh(),
+        "doc_dedup_incremental": _sql_minhash_lsh(),
+        "doc_line_dedup": _sql_line_dedup(),
         "doc_dup_clusters": _sql_dup_clusters(),
         "doc_dedup_keep_best": _sql_dedup_keep_best(),
         "doc_ngram_jaccard_dups": _sql_ngram_jaccard(),

@@ -133,7 +133,7 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_lsh_candidates(
+def minhash_band_table(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -141,21 +141,22 @@ def minhash_lsh_candidates(
     bands: int = 4,
     k: int = 5,
 ) -> DataFrame:
-    """Candidate near-dup pairs from banded MinHash signatures.
+    """Banded MinHash signature rows ``(id_col, band_idx, band_key)``
+    — one row per document per band, the persistable unit of LSH
+    state (both the in-memory self-join in
+    :func:`minhash_lsh_candidates` and the on-lake signature index in
+    :class:`~.incremental.MinHashDedupIndex` consume this shape).
 
-    ``n_perm`` permutations split into ``bands`` bands of
-    ``n_perm // bands`` rows; docs sharing any band key are candidates.
-    Returns (doc_a, doc_b, n_bands_shared), doc_a < doc_b.
+    Signature via explode + codegen'd hash aggregate, NOT the
+    array/higher-order-function form (``text.minhash_signature``):
+    HOF lambdas evaluate interpreted (outside whole-stage codegen,
+    no common-subexpression elimination) and measured ~10x slower;
+    min() over exploded shingles gets partial aggregation and
+    codegen. Identical values: min over a multiset ignores dups.
     """
     rows = n_perm // bands
     if rows * bands != n_perm:
         raise ValueError("bands must divide n_perm")
-    # signature via explode + codegen'd hash aggregate, NOT the
-    # array/higher-order-function form (`text.minhash_signature`):
-    # HOF lambdas evaluate interpreted (outside whole-stage codegen,
-    # no common-subexpression elimination) and measured ~10x slower;
-    # min() over exploded shingles gets partial aggregation and
-    # codegen. Identical values: min over a multiset ignores dups.
     idx = shingle_index(docs, id_col, text_col, k)
     sig = idx.groupBy(id_col).agg(
         *[
@@ -174,7 +175,7 @@ def minhash_lsh_candidates(
         for b in range(bands)
     ]
     banded = sig.select(id_col, *band_cols)
-    stacked = banded.select(
+    return banded.select(
         id_col,
         F.explode(
             F.array(
@@ -188,6 +189,23 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band_idx", "bk.band_key")
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 8,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded MinHash signatures.
+
+    ``n_perm`` permutations split into ``bands`` bands of
+    ``n_perm // bands`` rows; docs sharing any band key are candidates.
+    Returns (doc_a, doc_b, n_bands_shared), doc_a < doc_b.
+    """
+    stacked = minhash_band_table(docs, id_col, text_col, n_perm, bands, k)
     # materialize once: both self-join sides would otherwise recompute
     # the signature aggregation
     stacked = stacked.localCheckpoint(eager=False)
@@ -432,6 +450,84 @@ def simhash_groups(
     sh = simhash32_table(docs, id_col, text_col)
     canon = sh.groupBy("simhash").agg(F.min(id_col).alias("canonical_id"))
     return sh.join(canon, "simhash").select(id_col, "simhash", "canonical_id")
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Corpus-level line/paragraph deduplication — the boilerplate
+    pass document-level near-dup cannot do (C4/RefinedWeb-style):
+    drop every line whose trimmed form occurs in at least ``min_df``
+    DISTINCT documents corpus-wide (navigation chrome, cookie
+    banners, license footers repeat across pages; dropping all
+    occurrences is the standard curation rule). Blank lines are
+    never counted or removed — they are document structure, not
+    boilerplate.
+
+    Output: ``(id_col, clean_text, n_lines, n_removed)`` — one row
+    per input document (``clean_text = ''`` when every line was
+    boilerplate), lines rejoined in original order.
+
+    Scale shape (never all-pairs): explode lines → md5 line key →
+    ONE distinct+count aggregation shuffle (map-side partial on both
+    steps) builds the boilerplate key set → ONE anti-join back on the
+    fixed-width key (AQE broadcasts the boilerplate set when small,
+    else a hash join on md5 keys — both sides pruned to two columns)
+    → one per-document regroup to reassemble text. Cost is linear in
+    total lines; the boilerplate set is the natural artifact to
+    persist when screening incremental batches at 100 TB.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re_escape(delimiter))).alias(
+            "pos", "line"
+        ),
+    ).withColumn("h", F.md5(F.trim("line")))
+    boiler = (
+        lines.filter(F.trim("line") != "")
+        .select(id_col, "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_df)
+        .select("h")
+    )
+    kept = lines.join(boiler, "h", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            delimiter,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), _re_escape(delimiter)))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return totals.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
+def _re_escape(delim: str) -> str:
+    """Literal delimiter → Java-regex pattern for ``F.split``."""
+    import re
+
+    return re.escape(delim)
 
 
 def ngram_contamination(

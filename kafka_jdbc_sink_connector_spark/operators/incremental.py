@@ -1,0 +1,210 @@
+"""Incremental near-duplicate detection against a PERSISTED MinHash
+signature index.
+
+Every corpus-wide dedup operator in :mod:`.docdedup` recomputes
+signatures for the whole corpus per invocation — correct, but the real
+100-TB operation is incremental: documents arrive in ingest batches,
+and each batch must be checked against everything already indexed
+without touching (let alone re-shuffling) the accumulated corpus. The
+engine already has both halves — the snapshot-versioned lake table
+(``lake/table.py``: atomic commits, per-source batch-id watermarks for
+exactly-once replay, band-key bucketing) and the banded MinHash
+signatures (``docdedup.minhash_band_table``) — this module is the
+composition:
+
+* the index IS a lake table of ``(doc_id, band_idx, band_key)`` rows,
+  bucketed by ``band_key`` so probe-side bucket pruning is available
+  and same-key signatures co-locate;
+* per batch: compute the batch's band table once, probe the index by
+  **broadcasting the batch side** (an ingest micro-batch is orders of
+  magnitude smaller than the corpus index — the index is streamed
+  through the join with no Exchange, never shuffled or collected),
+  self-join within the batch, and union both into dup pairs with the
+  exact corpus-wide ``n_bands_shared`` counts;
+* append the batch's signatures as one atomic commit carrying the
+  ``(source_id, batch_id)`` watermark — a crash-replayed batch
+  recomputes identical pairs (deterministic signatures) and skips the
+  re-append, so the index never double-counts. The probe additionally
+  anti-joins the batch's own doc ids out of the index side (broadcast,
+  batch-sized), which makes the pair math correct even when replaying
+  a batch whose append already committed.
+
+Invariant (driver-checked as ``doc_dedup_incremental``): processing a
+corpus in ANY batch partition order yields exactly the corpus-wide
+``minhash_lsh_candidates`` pair set — each pair is emitted by the
+batch that completes it, with the same band-collision count.
+
+Reference anchor: the reference connector keeps no cross-batch state
+(every batch talks to a stateless JDBC target,
+``JdbcAuditDbWriter.java:63-94``); the persisted signature index is
+the lake-native analog of "the target database remembers what was
+already written" for the dedup domain.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+from kafka_jdbc_sink_connector_spark.operators.docdedup import (
+    minhash_band_table,
+)
+
+_META_NAME = "minhash_index_meta.json"
+
+
+def _index_schema(id_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("doc_id", id_type, True),
+            T.StructField("band_idx", T.IntegerType(), True),
+            T.StructField("band_key", T.StringType(), True),
+        ]
+    )
+
+
+@dataclass
+class MinHashDedupIndex:
+    """Persisted banded-MinHash signature index over a lake table."""
+
+    spark: SparkSession
+    path: str
+    table: LakeTable
+    n_perm: int
+    bands: int
+    k: int
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 32,
+        n_perm: int = 8,
+        bands: int = 4,
+        k: int = 5,
+        id_type: T.DataType = T.LongType(),
+    ) -> "MinHashDedupIndex":
+        table = LakeTable.create(
+            spark,
+            path,
+            _index_schema(id_type),
+            n_buckets=n_buckets,
+            key_fields=["band_key"],
+            bucket_key="band_key",
+        )
+        # signature parameters are a property of the WHOLE index (a
+        # probe under different n_perm/bands/k silently finds nothing),
+        # so they are pinned at creation in a sidecar owned by this
+        # wrapper — the lake manifest stays generic
+        with open(os.path.join(path, _META_NAME), "w") as fh:
+            json.dump(
+                {"n_perm": n_perm, "bands": bands, "k": k}, fh
+            )
+        return cls(spark, path, table, n_perm, bands, k)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "MinHashDedupIndex":
+        table = LakeTable.load(spark, path)
+        with open(os.path.join(path, _META_NAME)) as fh:
+            meta = json.load(fh)
+        return cls(
+            spark, path, table, meta["n_perm"], meta["bands"], meta["k"]
+        )
+
+    # -- incremental dedup --------------------------------------------
+
+    def add_and_find_dups(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        source_id: str = "minhash-index",
+        batch_id: int | None = None,
+    ) -> DataFrame:
+        """Dedup one ingest batch against the index, then append the
+        batch's signatures as an atomic watermarked commit.
+
+        Returns ``(doc_a, doc_b, n_bands_shared)`` for every pair with
+        at least one batch document — within-batch pairs plus
+        batch-vs-indexed pairs — with counts identical to the
+        corpus-wide LSH self-join. The returned plan is bound to the
+        PRE-append snapshot (and the batch's own ids are anti-joined
+        out of the index side), so evaluating it after the append —
+        or on a crash replay whose append already committed — yields
+        the same rows.
+        """
+        t = self.table.refresh()
+        bsig = minhash_band_table(
+            docs, id_col, text_col, self.n_perm, self.bands, self.k
+        )
+        if id_col != "doc_id":
+            bsig = bsig.withColumnRenamed(id_col, "doc_id")
+        # materialize once, reuse three times (within-join both sides,
+        # probe build side, append)
+        bsig = bsig.localCheckpoint(eager=False)
+        batch_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+        # replay safety: drop the batch's own ids from the index side
+        # (broadcast anti-join — batch-sized build, index streamed)
+        isig = t.read().join(F.broadcast(batch_ids), "doc_id", "left_anti")
+        pairs = _within_pairs(bsig).union(_probe_pairs(isig, bsig))
+        out = pairs.groupBy("doc_a", "doc_b").agg(
+            F.count("*").alias("n_bands_shared")
+        )
+        if batch_id is not None and batch_id <= t.applied_batch(source_id):
+            # exactly-once: this batch's signatures are already
+            # committed (crash between append and downstream ack);
+            # the recomputed pairs above are identical — skip the
+            # append instead of double-indexing
+            return out
+        t.commit_append(
+            t.with_bucket(bsig),
+            source_id=source_id,
+            batch_id=batch_id,
+        )
+        return out
+
+    def read_signatures(self) -> DataFrame:
+        return self.table.refresh().read()
+
+
+def _within_pairs(bsig: DataFrame) -> DataFrame:
+    """Band collisions inside one batch: (doc_a, doc_b, band_idx)."""
+    a = bsig.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
+    )
+    b = bsig.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "band_idx")
+    )
+
+
+def _probe_pairs(isig: DataFrame, bsig: DataFrame) -> DataFrame:
+    """Band collisions between the index and one batch: the batch side
+    is explicitly broadcast, so the (unboundedly growing) index is
+    streamed through a BroadcastHashJoin — no Exchange over the index
+    scan, the shuffle-free probe that makes per-batch dedup viable
+    against a 100-TB corpus. Each doc carries exactly one band_key per
+    band_idx, so a pair collides at most once per band."""
+    probe = bsig.select(
+        F.col("doc_id").alias("bdoc"), "band_idx", "band_key"
+    )
+    return (
+        isig.join(F.broadcast(probe), ["band_idx", "band_key"])
+        .filter(F.col("doc_id") != F.col("bdoc"))
+        .select(
+            F.least("doc_id", "bdoc").alias("doc_a"),
+            F.greatest("doc_id", "bdoc").alias("doc_b"),
+            "band_idx",
+        )
+    )

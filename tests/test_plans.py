@@ -279,3 +279,32 @@ def test_ivf_ann_plan_broadcasts_probes(spark):
     plan = plan_of(ivf_ann(emb, emb.filter(F.col("vec_id") < 3), k=3))
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_probe_broadcasts_batch_not_index(spark, tmp_path):
+    """The per-batch index probe must broadcast the (small) batch
+    signatures and stream the (unboundedly growing) index through the
+    join — no shuffle Exchange and no sort-merge over the index scan,
+    the property that makes per-batch dedup viable at 100 TB."""
+    from kafka_jdbc_sink_connector_spark.operators import incremental
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    idx = incremental.MinHashDedupIndex.create(
+        spark, str(tmp_path / "idx"), n_buckets=4
+    )
+    idx.add_and_find_dups(
+        docs.filter(F.col("doc_id") % 2 == 0), batch_id=0
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    # materialized batch signatures, as add_and_find_dups holds them
+    # (the signature aggregation is a separate, batch-sized job)
+    bsig = incremental.minhash_band_table(batch).localCheckpoint()
+    isig = idx.table.read()
+    probe = incremental._probe_pairs(isig, bsig)
+    plan = plan_of(probe)
+    assert "BroadcastExchange" in plan          # batch side shipped
+    assert "SortMergeJoin" not in plan          # index never sorted
+    # the only Exchange is the broadcast itself — the index scan feeds
+    # the join directly (no hash-partition shuffle on either side of
+    # the probe)
+    assert "Exchange hashpartitioning" not in plan

@@ -517,3 +517,128 @@ def test_filter_verdict_reasons_and_order(spark):
     assert got[3] == (False, "words_too_long")   # first failing rule
     assert got[4] == (False, "repetitive")
     assert got[5] == (False, "low_stopword_density")
+
+
+# --- incremental dedup against a persisted index ----------------------
+
+
+def test_incremental_dedup_equals_corpus_wide(spark, docs, tmp_path):
+    """Processing the corpus in batches against the persisted MinHash
+    index yields EXACTLY the corpus-wide LSH pair set, including the
+    n_bands_shared counts — regardless of batch partition."""
+    from kafka_jdbc_sink_connector_spark.operators.incremental import (
+        MinHashDedupIndex,
+    )
+
+    corpus = {
+        (r["doc_a"], r["doc_b"], r["n_bands_shared"])
+        for r in docdedup.minhash_lsh_candidates(
+            docs, n_perm=8, bands=4, k=5
+        ).collect()
+    }
+    idx = MinHashDedupIndex.create(
+        spark, str(tmp_path / "idx"), n_buckets=4, n_perm=8, bands=4, k=5
+    )
+    # three uneven batches (parity ∪ mod-3 split would overlap; use
+    # mod 3 on doc_id for disjoint coverage)
+    got = set()
+    for b in range(3):
+        pairs = idx.add_and_find_dups(
+            docs.filter(F.col("doc_id") % 3 == b), batch_id=b
+        )
+        got |= {
+            (r["doc_a"], r["doc_b"], r["n_bands_shared"])
+            for r in pairs.collect()
+        }
+    assert got == corpus
+
+
+def test_incremental_dedup_exactly_once_replay(spark, docs, tmp_path):
+    """Replaying a batch id already committed returns the same pairs
+    and does NOT double-index its signatures; a mid-stream duplicate
+    doc id cannot pair with its own indexed copy."""
+    from kafka_jdbc_sink_connector_spark.operators.incremental import (
+        MinHashDedupIndex,
+    )
+
+    b0 = docs.filter(F.col("doc_id") < 50)
+    idx = MinHashDedupIndex.create(
+        spark, str(tmp_path / "idx"), n_buckets=4, n_perm=8, bands=4, k=5
+    )
+    first = {
+        tuple(r) for r in idx.add_and_find_dups(b0, batch_id=0).collect()
+    }
+    n_sigs = idx.read_signatures().count()
+    v = idx.table.version
+    replay = {
+        tuple(r) for r in idx.add_and_find_dups(b0, batch_id=0).collect()
+    }
+    assert replay == first
+    assert idx.read_signatures().count() == n_sigs  # no double-append
+    assert idx.table.refresh().version == v  # no new commit at all
+    # next batch id appends normally
+    idx.add_and_find_dups(docs.filter(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 80)), batch_id=1)
+    assert idx.read_signatures().count() > n_sigs
+
+
+def test_incremental_index_load_roundtrip(spark, docs, tmp_path):
+    from kafka_jdbc_sink_connector_spark.operators.incremental import (
+        MinHashDedupIndex,
+    )
+
+    path = str(tmp_path / "idx")
+    idx = MinHashDedupIndex.create(
+        spark, path, n_buckets=4, n_perm=8, bands=2, k=3
+    )
+    idx.add_and_find_dups(docs.limit(20), batch_id=0)
+    re = MinHashDedupIndex.load(spark, path)
+    assert (re.n_perm, re.bands, re.k) == (8, 2, 3)
+    assert re.read_signatures().count() == idx.read_signatures().count()
+
+
+# --- corpus-level line dedup -----------------------------------------
+
+
+def test_line_dedup_semantics(spark):
+    """Boilerplate lines (>= min_df distinct docs) drop everywhere,
+    within-doc repeats alone don't count, blank lines survive, order
+    is preserved, and a fully-boilerplate doc yields empty text."""
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha one\n{boiler}\n\nbody text here"),
+        (2, f"{boiler}\nbeta two"),
+        (3, "gamma three\ngamma three\ngamma three"),  # within-doc only
+        (4, boiler),                                   # all boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in docdedup.line_dedup(df, min_df=2).collect()
+    }
+    assert got[1] == ("alpha one\n\nbody text here", 4, 1)
+    assert got[2] == ("beta two", 2, 1)
+    # min_df counts DISTINCT docs: doc 3's triple repeat is kept
+    assert got[3] == ("gamma three\ngamma three\ngamma three", 3, 0)
+    assert got[4] == ("", 1, 1)
+
+
+def test_line_dedup_trim_matching_and_threshold(spark):
+    """Lines match on trimmed form ('  foo ' == 'foo'); min_df=3
+    keeps a 2-doc line."""
+    rows = [
+        (1, "  shared line \nunique a"),
+        (2, "shared line\nunique b"),
+        (3, "unique c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    by_id = {
+        r["doc_id"]: r["clean_text"]
+        for r in docdedup.line_dedup(df, min_df=2).collect()
+    }
+    assert by_id[1] == "unique a" and by_id[2] == "unique b"
+    kept3 = {
+        r["doc_id"]: r["n_removed"]
+        for r in docdedup.line_dedup(df, min_df=3).collect()
+    }
+    assert kept3 == {1: 0, 2: 0, 3: 0}

@@ -180,6 +180,20 @@ class SinkConfig:
     #: per-record writer schemas by embedded id. None = schemas are
     #: caller-supplied.
     schema_registry_url: str | None = None
+    #: Confluent subject-name strategy for COLD-START value-schema
+    #: resolution (a tombstone-only first batch carries no embedded
+    #: schema id, so the subject must be derived from config):
+    #: ``topic`` = TopicNameStrategy ``{topic}-value`` (Confluent
+    #: default), ``record`` = RecordNameStrategy ``{record_name}``,
+    #: ``topic_record`` = TopicRecordNameStrategy
+    #: ``{topic}-{record_name}``. Warm-path resolution (by embedded
+    #: id) is strategy-independent.
+    subject_name_strategy: str = "topic"
+    #: fully-qualified Avro record name for the record-based
+    #: strategies; required at cold start under ``record`` /
+    #: ``topic_record`` (it normally comes from the value being
+    #: serialized, which a tombstone doesn't have).
+    subject_record_name: str | None = None
 
     # derived, filled by __post_init__
     soft_delete_column: str = field(init=False, default="op_type")
@@ -212,6 +226,13 @@ class SinkConfig:
                  self.op_delete_value)
             )
         )
+        if self.subject_name_strategy not in (
+            "topic", "record", "topic_record"
+        ):
+            raise ConfigError(
+                f"subject_name_strategy {self.subject_name_strategy!r} "
+                f"must be one of topic | record | topic_record"
+            )
         if isinstance(self.soft_delete_conditions, str):
             self.soft_delete_conditions = tuple(
                 parse_conditions(self.soft_delete_conditions)
@@ -396,6 +417,29 @@ class SinkConfig:
                 # schema resolution); value/key converters share one
                 # registry in practice — last one listed wins
                 kw["schema_registry_url"] = str(raw)
+            elif k == "value.converter.value.subject.name.strategy":
+                # Confluent serializer property; accepts the strategy
+                # class name or the short form
+                s = str(raw).rsplit(".", 1)[-1]
+                short = {
+                    "TopicNameStrategy": "topic",
+                    "RecordNameStrategy": "record",
+                    "TopicRecordNameStrategy": "topic_record",
+                    "topic": "topic",
+                    "record": "record",
+                    "topic_record": "topic_record",
+                }.get(s)
+                if short is None:
+                    raise ConfigError(
+                        f"unknown subject name strategy {raw!r}"
+                    )
+                kw["subject_name_strategy"] = short
+            elif k == "value.converter.value.subject.record.name":
+                # engine extension: the record name the record-based
+                # strategies need for COLD-START subject resolution
+                # (normally read off the serialized value, which a
+                # tombstone-only batch doesn't have)
+                kw["subject_record_name"] = str(raw)
             elif k in engine_keys:
                 field_name, conv = engine_keys[k]
                 kw[field_name] = conv(raw)

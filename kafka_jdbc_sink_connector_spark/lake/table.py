@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -595,10 +596,28 @@ class LakeTable:
         )
 
     def _commit_ts_of(self, version: int) -> float | None:
+        """Extract one manifest's ``commit_ts`` without a full JSON
+        parse: the manifest is written with ``indent=1, sort_keys``,
+        so ``"commit_ts"`` is a top-level key on its own line —
+        chunk-scan the raw text and stop at the first match (the
+        parse of a large snapshot's bucket lists is the cost this
+        avoids; the read itself short-circuits once found)."""
+        pat = re.compile(rb'^ "commit_ts": ([0-9.eE+-]+|null),?$',
+                         re.MULTILINE)
+        carry = b""
         with open(
-            os.path.join(self.path, _LOG_DIR, f"v{version:020d}.json")
+            os.path.join(self.path, _LOG_DIR, f"v{version:020d}.json"),
+            "rb",
         ) as fh:
-            return json.load(fh).get("commit_ts")
+            while chunk := fh.read(1 << 16):
+                m = pat.search(carry + chunk)
+                if m:
+                    val = m.group(1)
+                    return None if val == b"null" else float(val)
+                # keep an un-split tail in case the line straddles the
+                # chunk boundary
+                carry = (carry + chunk)[-64:]
+        return None
 
     def read_as_of(self, ts: float, **kwargs) -> DataFrame:
         """Time travel by wall clock: read the table as it was at

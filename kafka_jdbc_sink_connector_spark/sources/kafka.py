@@ -33,6 +33,37 @@ from pyspark.sql import types as T
 from kafka_jdbc_sink_connector_spark.config import SinkConfig
 
 
+def value_subject_for(topic: str, cfg: SinkConfig) -> str:
+    """Registry subject for a topic's VALUE schema under the
+    configured Confluent subject-name strategy — used only for
+    cold-start resolution (a tombstone-only first batch embeds no
+    schema id, so the subject must come from config). Warm-path
+    resolution is by embedded id and strategy-independent.
+
+    * ``topic`` (TopicNameStrategy, Confluent default): ``{topic}-value``
+    * ``record`` (RecordNameStrategy): the fully-qualified record name
+      — one subject for all topics
+    * ``topic_record`` (TopicRecordNameStrategy):
+      ``{topic}-{record_name}``
+
+    The record-based strategies read the record name off the value
+    being serialized; tombstones have none, so they require
+    ``cfg.subject_record_name``.
+    """
+    s = cfg.subject_name_strategy
+    if s == "topic":
+        return f"{topic}-value"
+    if not cfg.subject_record_name:
+        raise ValueError(
+            f"subject_name_strategy={s!r} needs subject_record_name "
+            f"(value.converter.value.subject.record.name) for cold-start "
+            f"subject resolution — a tombstone-only batch names no record"
+        )
+    if s == "record":
+        return cfg.subject_record_name
+    return f"{topic}-{cfg.subject_record_name}"
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -174,8 +205,9 @@ def parse_kafka_records(
                 # exactly (decode skipped below); otherwise EVERY topic
                 # in the batch must resolve its own shape — from the
                 # value-side schemas cached for THAT topic, else
-                # cold-start subject resolution (Confluent
-                # TopicNameStrategy: '{topic}-value' latest). Strict
+                # cold-start subject resolution under the configured
+                # Confluent subject-name strategy (value_subject_for:
+                # topic | record | topic_record). Strict
                 # per topic: silently decoding topic B's rows with
                 # topic A's shape would drop B-specific columns.
                 if not avro_value_schemas and value_schema is None:
@@ -192,7 +224,7 @@ def parse_kafka_records(
                         if not got:
                             try:
                                 sid, sj = schema_registry.fetch_latest(
-                                    f"{t}-value"
+                                    value_subject_for(t, cfg)
                                 )
                             except SchemaRegistryError as e:
                                 errs.append(str(e))

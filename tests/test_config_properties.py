@@ -95,3 +95,31 @@ def test_auto_evolve_widen_property():
     )
     assert cfg.auto_evolve_widen is True
     assert SinkConfig().auto_evolve_widen is False
+
+
+def test_subject_name_strategy_properties():
+    from kafka_jdbc_sink_connector_spark.config import SinkConfig
+
+    cfg = SinkConfig.from_connect_properties({
+        "pk.fields": "conv_id,turn_idx",
+        "value.converter.value.subject.name.strategy":
+            "io.confluent.kafka.serializers.subject."
+            "TopicRecordNameStrategy",
+        "value.converter.value.subject.record.name":
+            "com.example.Transcript",
+    })
+    assert cfg.subject_name_strategy == "topic_record"
+    assert cfg.subject_record_name == "com.example.Transcript"
+    # short form accepted too
+    assert SinkConfig.from_connect_properties({
+        "pk.fields": "conv_id",
+        "value.converter.value.subject.name.strategy": "record",
+    }).subject_name_strategy == "record"
+    assert SinkConfig().subject_name_strategy == "topic"
+    with pytest.raises(ConfigError, match="subject name strategy"):
+        SinkConfig.from_connect_properties({
+            "pk.fields": "conv_id",
+            "value.converter.value.subject.name.strategy": "Bogus",
+        })
+    with pytest.raises(ConfigError, match="subject_name_strategy"):
+        SinkConfig(subject_name_strategy="bogus")

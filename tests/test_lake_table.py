@@ -107,6 +107,10 @@ def test_time_travel_by_timestamp(spark, tmp_path):
     s1 = t._read_version(1)
     s2 = t._read_version(2)
     assert s1.commit_ts is not None and s2.commit_ts >= s1.commit_ts
+    # the streaming commit_ts extractor must agree with the full JSON
+    # parse (pins the indent=1/sort_keys manifest layout it relies on)
+    assert t._commit_ts_of(1) == s1.commit_ts
+    assert t._commit_ts_of(2) == s2.commit_ts
     assert t.version_as_of(s1.commit_ts) in (1, 2)  # ties: same second
     assert t.version_as_of(s2.commit_ts + 1) == 2
     assert t.read_as_of(s2.commit_ts + 1).count() == 2

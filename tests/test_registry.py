@@ -570,3 +570,56 @@ def test_topicless_frames_still_harvest(spark):
     ).collect()
     assert parsed[0]["text"] == "x"
     assert reg.calls == [7]
+
+
+# --- subject-name strategies (cold-start resolution) -----------------
+
+
+def test_value_subject_for_strategies():
+    from kafka_jdbc_sink_connector_spark.sources.kafka import (
+        value_subject_for,
+    )
+
+    assert value_subject_for("t", SinkConfig()) == "t-value"
+    rec = SinkConfig(subject_name_strategy="record",
+                     subject_record_name="com.example.Transcript")
+    assert value_subject_for("t", rec) == "com.example.Transcript"
+    tr = SinkConfig(subject_name_strategy="topic_record",
+                    subject_record_name="com.example.Transcript")
+    assert value_subject_for("t", tr) == "t-com.example.Transcript"
+    # record-based strategies without a configured record name cannot
+    # cold-start (a tombstone names no record) — fail with guidance
+    with pytest.raises(ValueError, match="subject_record_name"):
+        value_subject_for(
+            "t", SinkConfig(subject_name_strategy="record"))
+
+
+@pytest.mark.parametrize(
+    "strategy,record_name,subject",
+    [
+        ("topic", None, "transcripts-value"),
+        ("record", "com.example.Transcript", "com.example.Transcript"),
+        ("topic_record", "com.example.Transcript",
+         "transcripts-com.example.Transcript"),
+    ],
+)
+def test_cold_start_resolves_under_each_strategy(
+    spark, http_registry, strategy, record_name, subject
+):
+    """A cold tombstone-only batch resolves its value shape from the
+    subject named by the CONFIGURED strategy — TopicName, RecordName,
+    and TopicRecordName all land on their registry subject."""
+    _Handler.subjects = {subject: (9, V2_SCHEMA)}
+    cfg = SinkConfig(subject_name_strategy=strategy,
+                     subject_record_name=record_name)
+    raw = spark.createDataFrame(
+        [(None, None, "transcripts", 0, 1, None, 0)], KAFKA_WIRE_SCHEMA
+    )
+    parsed = parse_kafka_records(
+        raw, None, cfg, value_format="avro",
+        schema_registry=http_registry,
+    ).collect()
+    assert parsed[0]["op"] == "d"
+    assert "tool" in parsed[0].asDict()  # V2 shape from that subject
+    assert any(h == f"/subjects/{subject}/versions/latest"
+               for h in _Handler.hits)

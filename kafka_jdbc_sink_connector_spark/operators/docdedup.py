@@ -21,6 +21,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -223,6 +225,21 @@ def minhash_lsh_candidates(
     )
 
 
+def _cc_ckpt(df: DataFrame) -> DataFrame:
+    """Per-round lineage truncation for the CC iteration state.
+
+    Default: ``localCheckpoint(eager=False)`` — the checkpoint
+    materializes with the round's own convergence-probe action, so no
+    extra job is paid. ``SPARK_GRAFT_CC_EAGER=1`` switches to eager
+    checkpointing (an immediate materialization job per round) for
+    interleaved A/B measurement; see the adjudication note in
+    BENCH/BASELINE.md before changing the default.
+    """
+    return df.localCheckpoint(
+        eager=os.environ.get("SPARK_GRAFT_CC_EAGER") == "1"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -267,12 +284,12 @@ def connected_components(
     ).union(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
-    edges = edges.localCheckpoint(eager=False)
+    edges = _cc_ckpt(edges)
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("lbl"))
         .select("src", F.least("src", "lbl").alias("lbl"))
-        .localCheckpoint(eager=False)
+        .transform(_cc_ckpt)
     )
     for _ in range(max_iters):
         neigh = (
@@ -288,7 +305,7 @@ def connected_components(
                     F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=False)
+            .transform(_cc_ckpt)
         )
         changed = (
             new.join(labels.withColumnRenamed("lbl", "old"), "src")
@@ -370,7 +387,7 @@ def connected_components_star(
         raw.select(F.col("u").alias("node"))
         .union(raw.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_cc_ckpt)
     )
     E = (
         raw.filter(F.col("u") != F.col("v"))
@@ -378,7 +395,7 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_cc_ckpt)
     )
     n_edges = None  # carried across rounds: |E| = previous |E'|
     for _ in range(max_iters):
@@ -407,7 +424,7 @@ def connected_components_star(
                 mins2.select(F.col("nu").alias("u"), F.col("mn").alias("v"))
             )
             .distinct()
-            .localCheckpoint(eager=False)
+            .transform(_cc_ckpt)
         )
         # fixpoint test: |E'| == |E| and E' \ E == ∅ ⇒ E' == E.
         # |E| is carried from the previous round's |E'| (one count job

@@ -44,6 +44,8 @@ QUERY_NAMES = [
     "doc_stratified_sample",
     "doc_contamination_check",
     "doc_minhash_lsh_pairs",
+    "doc_dedup_incremental",
+    "doc_line_dedup",
     "doc_simhash_dups",
     "doc_dup_clusters",
     "emb_dup_clusters",

@@ -1036,6 +1036,46 @@ WHERE (lang = 'en' AND u < '99999999')
 """
 
 
+def q_doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 corpus rebalancing over the skewed ``lang``
+    column (en is ~3x every other language in the testdata): sample
+    each language at ``sqrt(n_min / n_d)`` so effective sizes flatten
+    to ``sqrt(n_d)`` (scaled) with the smallest language kept whole.
+    Counts come from one map-side-combined aggregation (collect
+    bounded by #languages); the keep predicate is exact integer
+    arithmetic — ``h16^2 * n_d < n_min * 2^32`` — so the oracle
+    reproduces it bit-for-bit. Zero-shuffle keep scan."""
+    d = _t(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()
+    }
+    keep = text.temperature_mix_keep(
+        "doc_id", "lang", counts, temperature=0.5, salt="temp-v1"
+    )
+    return d.filter(keep).select("doc_id", "lang")
+
+
+def _sql_temperature_mix() -> str:
+    # exact integer mirror of text.temperature_mix_keep at T=0.5:
+    # h16 = int(md5('temp-v1' || id)[:4], 16); keep iff
+    # h16^2 * n_d < n_min * 2^32. Keep in sync.
+    return """
+WITH n AS (
+  SELECT lang, count(*) AS n_d FROM documents GROUP BY 1
+),
+nm AS (SELECT min(n_d) AS n_min FROM n),
+h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('temp-v1' || CAST(doc_id AS VARCHAR)),
+                              1, 4)) AS BIGINT) AS h16
+  FROM documents
+)
+SELECT h.doc_id, h.lang
+FROM h JOIN n USING (lang) CROSS JOIN nm
+WHERE h16 * h16 * n_d < n_min * 4294967296
+"""
+
+
 def q_doc_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite curation verdict per doc: keep/drop + first failing
     rule (too_short → words_too_long → repetitive →
@@ -2337,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_train_val_split": q_doc_train_val_split,
         "doc_contamination_check": q_doc_contamination_check,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_temperature_mix": q_doc_temperature_mix,
         "doc_quality_score": q_doc_quality_score,
         "doc_filter_verdict": q_doc_filter_verdict,
         "doc_repetition_ratio": q_doc_repetition_ratio,
@@ -2398,6 +2439,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_train_val_split": _sql_train_val_split(),
         "doc_contamination_check": _sql_contamination(),
         "doc_stratified_sample": _sql_stratified_sample(),
+        "doc_temperature_mix": _sql_temperature_mix(),
         "doc_repetition_ratio": _sql_repetition_ratio(),
         "doc_length_percentiles": _sql_length_percentiles(),
         "doc_pii_redact": _sql_pii_redact(),

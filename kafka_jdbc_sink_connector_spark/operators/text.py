@@ -221,6 +221,95 @@ def stratified_keep(
     return out.otherwise(F.lit(False))
 
 
+def temperature_mix_keep(
+    id_col: str | Column,
+    domain_col: str | Column,
+    counts: dict[str, int],
+    temperature: float = 0.5,
+    salt: str = "",
+) -> Column:
+    """Deterministic temperature-T corpus rebalancing predicate — the
+    standard multilingual/multi-domain mixing move (flatten the head,
+    keep the tail): sample domain ``d`` at rate
+    ``r_d = min(1, (n_min / n_d) ** (1 - T))`` so effective sizes go
+    ``n_d ** T`` (scaled) with the SMALLEST listed domain kept whole —
+    pure downsampling, no upsampling, no RNG (stable under re-runs,
+    re-shards, incremental additions, like :func:`hash_split`).
+
+    Membership: ``h = int(md5(salt || id)[:4], 16)`` (uniform in
+    ``[0, 2^16)``); keep iff ``h < r_d * 2^16``. At the default
+    ``T = 0.5`` the comparison is EXACT INTEGER arithmetic —
+    ``h^2 * n_d < n_min * 2^32`` (squaring ``h/2^16 < sqrt(n_min/n_d)``
+    clears the square root) — so an ANSI oracle reproduces it
+    bit-for-bit with no float rounding anywhere. Other temperatures
+    compute the per-domain cut ``int(r_d * 2^16)`` driver-side in
+    float (fine for the engine; an exactness-critical oracle should
+    pin T=0.5 or supply precomputed integer cuts). Rows whose domain
+    is not in ``counts`` are DROPPED, like :func:`stratified_keep`.
+
+    ``counts`` is per-domain row counts — bounded by the number of
+    domains, so obtaining it is one map-side-combined aggregation and
+    a tiny collect (see :func:`temperature_mix`). The predicate itself
+    is a codegen'd CASE over domains: single scan, zero shuffle.
+    """
+    if not counts:
+        raise ValueError("counts must be non-empty")
+    for name, n in counts.items():
+        if n <= 0:
+            raise ValueError(
+                f"count for domain {name!r} must be > 0, got {n}"
+            )
+    if not (0.0 < temperature <= 1.0):
+        raise ValueError(
+            f"temperature must be in (0, 1], got {temperature}"
+        )
+    d = (F.col(domain_col) if isinstance(domain_col, str)
+         else domain_col)
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), c.cast("string")).cast("binary")),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("long")
+    n_min = min(counts.values())
+    out = None
+    for name, n in counts.items():
+        if temperature == 0.5:
+            # exact: h/2^16 < sqrt(n_min/n_d)  <=>  h^2 * n_d < n_min * 2^32
+            # (h < 2^16 and n_d row counts keep h^2 * n_d well inside
+            # int64 for any table under ~2^31 rows per domain; at
+            # larger scale pre-divide counts by their gcd)
+            keep = (h16 * h16 * F.lit(int(n))) < F.lit(n_min * (1 << 32))
+        else:
+            r = (n_min / n) ** (1.0 - temperature)
+            cut = int(r * (1 << 16))
+            keep = F.lit(True) if cut >= (1 << 16) else h16 < F.lit(cut)
+        out = (F.when(d == name, keep) if out is None
+               else out.when(d == name, keep))
+    return out.otherwise(F.lit(False))
+
+
+def temperature_mix(
+    df,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    temperature: float = 0.5,
+    salt: str = "",
+):
+    """Apply :func:`temperature_mix_keep` with counts computed from
+    ``df`` itself: one aggregation (map-side partial combine, shuffle
+    bounded by the number of domains), a domain-count collect (bounded
+    by the number of domains — never data-sized), then the zero-shuffle
+    keep scan."""
+    rows = df.groupBy(domain_col).count().collect()
+    counts = {r[domain_col]: r["count"] for r in rows if r[domain_col] is not None}
+    return df.filter(
+        temperature_mix_keep(id_col, domain_col, counts, temperature, salt)
+    )
+
+
 def lang_id(text: str | Column) -> Column:
     """N-gram/stopword language heuristic: English stopword density →
     'en', else 'unknown'. (A real model would score per-language

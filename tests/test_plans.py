@@ -130,6 +130,27 @@ def test_stratified_sample_single_scan_no_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_temperature_mix_single_scan_no_shuffle(spark):
+    """Given precomputed domain counts, the temperature-mix keep
+    predicate is a filter on one codegen'd scan: no Exchange, no
+    Python eval — the counts aggregation is the only shuffle in the
+    whole operator and it is bounded by #domains."""
+    from kafka_jdbc_sink_connector_spark.operators.text import (
+        temperature_mix_keep,
+    )
+
+    d = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    df = d.filter(
+        temperature_mix_keep(
+            "doc_id", "lang", {"en": 193, "de": 71}, 0.5, salt="s"
+        )
+    ).select("doc_id", "lang")
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_tpch_dim_joins_broadcast(spark):
     """The nation/region dim chain must broadcast (no shuffle of the
     customer fact side for a 25-row dim)."""

@@ -490,6 +490,112 @@ def test_stratified_keep_deterministic_and_scoped(spark, docs):
         text.stratified_keep("doc_id", "lang", {"en": 1.5})
 
 
+def test_temperature_mix_exact_integer_semantics(spark, docs):
+    """T=0.5 keep decision is pure integer arithmetic — replay it
+    row-by-row with hashlib and assert bit-for-bit agreement, plus the
+    structural invariants: smallest domain kept whole, unlisted
+    domains dropped, deterministic across evaluations."""
+    import hashlib
+
+    counts = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    n_min = min(counts.values())
+    keep = text.temperature_mix_keep(
+        "doc_id", "lang", counts, temperature=0.5, salt="s1"
+    )
+    got = sorted(
+        (r["doc_id"], r["lang"])
+        for r in docs.filter(keep).select("doc_id", "lang").collect()
+    )
+    want = []
+    for r in docs.select("doc_id", "lang").collect():
+        h = int(
+            hashlib.md5(("s1" + str(r["doc_id"])).encode()).hexdigest()[:4],
+            16,
+        )
+        if h * h * counts[r["lang"]] < n_min * (1 << 32):
+            want.append((r["doc_id"], r["lang"]))
+    assert got == sorted(want)
+    # smallest domain: h^2 * n_min < n_min * 2^32 <=> h^2 < 2^32,
+    # always true for h < 2^16 -> kept whole
+    smallest = min(counts, key=counts.get)
+    assert (
+        docs.filter(keep).filter(F.col("lang") == smallest).count()
+        == counts[smallest]
+    )
+    # head domain actually downsampled (en is ~3x the others in
+    # the testdata, so sqrt(n_min/n_en) < 1)
+    head = max(counts, key=counts.get)
+    assert (
+        docs.filter(keep).filter(F.col("lang") == head).count()
+        < counts[head]
+    )
+    # unlisted domain dropped
+    part = {k: v for k, v in counts.items() if k != head}
+    keep_part = text.temperature_mix_keep(
+        "doc_id", "lang", part, temperature=0.5, salt="s1"
+    )
+    assert (
+        docs.filter(keep_part).filter(F.col("lang") == head).count() == 0
+    )
+    # deterministic across evaluations
+    again = sorted(
+        (r["doc_id"], r["lang"])
+        for r in docs.filter(keep).select("doc_id", "lang").collect()
+    )
+    assert again == got
+
+
+def test_temperature_mix_wrapper_and_temperature_knob(spark, docs):
+    """temperature_mix(df) == manual counts + keep filter; raising T
+    toward 1 keeps MORE of the head domain (rate (n_min/n_d)^(1-T)
+    rises to 1); validation errors fire."""
+    counts = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    manual = docs.filter(
+        text.temperature_mix_keep(
+            "doc_id", "lang", counts, temperature=0.5, salt="s"
+        )
+    )
+    wrapped = text.temperature_mix(
+        docs, "doc_id", "lang", temperature=0.5, salt="s"
+    )
+    assert sorted(r["doc_id"] for r in wrapped.collect()) == sorted(
+        r["doc_id"] for r in manual.collect()
+    )
+    head = max(counts, key=counts.get)
+    kept_05 = manual.filter(F.col("lang") == head).count()
+    kept_09 = (
+        docs.filter(
+            text.temperature_mix_keep(
+                "doc_id", "lang", counts, temperature=0.9, salt="s"
+            )
+        )
+        .filter(F.col("lang") == head)
+        .count()
+    )
+    kept_10 = (
+        docs.filter(
+            text.temperature_mix_keep(
+                "doc_id", "lang", counts, temperature=1.0, salt="s"
+            )
+        )
+        .filter(F.col("lang") == head)
+        .count()
+    )
+    assert kept_05 <= kept_09 <= kept_10 == counts[head]  # T=1: no-op
+    with pytest.raises(ValueError, match="non-empty"):
+        text.temperature_mix_keep("doc_id", "lang", {})
+    with pytest.raises(ValueError, match="must be > 0"):
+        text.temperature_mix_keep("doc_id", "lang", {"en": 0})
+    with pytest.raises(ValueError, match="temperature"):
+        text.temperature_mix_keep("doc_id", "lang", {"en": 5}, 1.5)
+
+
 def test_filter_verdict_reasons_and_order(spark):
     """Each drop rule fires on a crafted doc; the reason is the FIRST
     failing rule in the fixed order (a doc failing several rules

@@ -605,6 +605,108 @@ FROM merged GROUP BY event_type
 """
 
 
+def q_cdc_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping (``lake/stats.py``): ingest events as
+    4 append commits sliced on ``event_id`` — the commit-time
+    clustering every CDC ingest produces naturally — then scan with
+    ``read(where=...)``. The footer min/max stats prove 2 of the 4
+    commits can't match ``event_id > max/2``, so their files never
+    enter the scan (``tests/test_data_skipping.py`` asserts the file
+    counts); the residual predicate re-applies to surviving rows, so
+    the result is EXACTLY ``read().filter(...)`` — which is what the
+    DuckDB oracle computes straight off the raw table. At 100 TB this
+    is the "rows since T" pattern: I/O ~ matching commits, not table
+    size, composing with bucket pruning on the key axis."""
+    import datetime as dt
+
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    sel = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    max_id = sel.agg(F.max("event_id")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="cdc_skip_scan_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    t = LakeTable.create(
+        spark, os.path.join(tmp, "t"), sel.schema,
+        n_buckets=8, key_fields=["event_id"], bucket_key="user_id",
+    )
+    step = (max_id + 4) // 4
+    for i in range(4):
+        sl = sel.filter(
+            (F.col("event_id") >= i * step)
+            & (F.col("event_id") < (i + 1) * step)
+        )
+        t.commit_append(t.with_bucket(sl))
+    df = t.read(
+        where=[
+            ("event_id", ">", max_id // 2),
+            ("ts", ">=", dt.datetime(2024, 1, 15)),
+        ]
+    )
+    return df.select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
+def _sql_time_range_scan() -> str:
+    # mirrors LakeTable.read(where=...) == full-scan + filter: the
+    # oracle needs no lake layout at all — that IS the contract
+    return """
+SELECT user_id, event_id, event_type, value,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM events
+WHERE event_id > (SELECT CAST(floor(max(event_id) / 2) AS BIGINT)
+                  FROM events)
+  AND ts >= TIMESTAMP '2024-01-15'
+"""
+
+
+def q_cdc_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering maintenance (``lake/maintenance.cluster_by``): one
+    append commit whose files span the full ``user_id`` range (ingest
+    order ignores the column — nothing skippable), then a sort-rewrite
+    clustered on ``user_id`` (range-partitioned layout preserved via
+    ``commit_rewrite(preserve_layout=True)``), then a range scan with
+    ``read(where=...)``. The scan result must equal the plain filtered
+    table — the DuckDB oracle — while the footer stats now let the
+    scan drop most files per bucket (``tests/test_data_skipping.py``
+    asserts the file counts; here the driver checks values)."""
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import cluster_by
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    sel = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    max_uid = sel.agg(F.max("user_id")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="cdc_clustered_scan_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    t = LakeTable.create(
+        spark, os.path.join(tmp, "t"), sel.schema,
+        n_buckets=4, key_fields=["event_id"], bucket_key="event_id",
+    )
+    t.commit_append(t.with_bucket(sel))
+    cluster_by(t, ["user_id"], files_per_bucket=4)
+    df = t.read(where=[("user_id", "<=", max_uid // 10)])
+    return df.select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
+def _sql_clustered_scan() -> str:
+    # cluster_by + read(where=P) == full-scan + filter — layout
+    # changes I/O, never results
+    return """
+SELECT user_id, event_id, event_type, value,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM events
+WHERE user_id <= (SELECT CAST(floor(max(user_id) / 10) AS BIGINT)
+                  FROM events)
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 1800s starts a new session per user.
 
@@ -1330,6 +1432,52 @@ def q_doc_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # disjoint by construction: each pair is emitted by the batch that
     # completes it
     return p0.union(p1)
+
+
+def q_doc_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup (streaming/dedup.py): the corpus
+    arrives as three micro-batches (doc_id mod 3) driven through
+    ``DedupStreamRunner`` — per batch: broadcast-probe the persisted
+    index, append signatures + dup evidence as two watermarked
+    commits. Returned state is the EVIDENCE TABLE, so the oracle
+    checks the full streaming contract: the pair set equals the
+    corpus-wide LSH self-join, ``batch_id`` is the completing batch,
+    and ``drop_doc`` is the later arrival (batch doc for
+    batch-vs-index pairs, larger id within a batch) — all derivable
+    in SQL because the batch partition is the deterministic
+    ``doc_id % 3``."""
+    from kafka_jdbc_sink_connector_spark.streaming.dedup import (
+        DedupStreamRunner,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="dedup_stream_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    idx = incremental.MinHashDedupIndex.create(
+        spark, os.path.join(tmp, "idx"), n_buckets=8, n_perm=8, bands=4,
+        k=5,
+    )
+    pairs = DedupStreamRunner.create_pairs_table(
+        spark, os.path.join(tmp, "pairs"), n_buckets=8
+    )
+    runner = DedupStreamRunner(idx, pairs, os.path.join(tmp, "ckpt"))
+    for b in range(3):
+        runner.process_batch(d.filter(F.col("doc_id") % 3 == b), b)
+    return runner.pairs_table.refresh().read()
+
+
+def _sql_dedup_stream() -> str:
+    # corpus-wide pairs + arrival-order rules under the doc_id%3
+    # batch partition (batch of doc x = x mod 3)
+    return f"""
+WITH p AS ({_sql_minhash_lsh()})
+SELECT doc_a, doc_b, n_bands_shared,
+       CASE WHEN doc_a % 3 = doc_b % 3 THEN greatest(doc_a, doc_b)
+            WHEN doc_a % 3 > doc_b % 3 THEN doc_a
+            ELSE doc_b END AS drop_doc,
+       greatest(doc_a % 3, doc_b % 3) AS batch_id
+FROM p
+"""
 
 
 # the corpus has no literal newlines, so the line-dedup driver query
@@ -2359,6 +2507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_quarantine_split": q_cdc_quarantine_split,
         "cdc_schema_evolution_backfill": q_cdc_schema_evolution_backfill,
         "cdc_schema_widening_state": q_cdc_schema_widening_state,
+        "cdc_time_range_scan": q_cdc_time_range_scan,
+        "cdc_clustered_scan": q_cdc_clustered_scan,
         "events_sessionize": q_events_sessionize,
         "events_topk_per_type": q_events_topk_per_type,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
@@ -2390,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh_pairs,
         "doc_dedup_incremental": q_doc_dedup_incremental,
+        "doc_dedup_stream": q_doc_dedup_stream,
         "doc_line_dedup": q_doc_line_dedup,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_dedup_keep_best": q_doc_dedup_keep_best,
@@ -2421,6 +2572,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_quarantine_split": _sql_cdc_quarantine(),
         "cdc_schema_evolution_backfill": _sql_cdc_evolution(),
         "cdc_schema_widening_state": _sql_cdc_widening(),
+        "cdc_time_range_scan": _sql_time_range_scan(),
+        "cdc_clustered_scan": _sql_clustered_scan(),
         "events_sessionize": _sql_sessionize(),
         "events_topk_per_type": _sql_topk(),
         "tpch_q1_pricing_summary": _sql_tpch_q1(),
@@ -2452,6 +2605,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": _sql_exact_dedup(),
         "doc_minhash_lsh_pairs": _sql_minhash_lsh(),
         "doc_dedup_incremental": _sql_minhash_lsh(),
+        "doc_dedup_stream": _sql_dedup_stream(),
         "doc_line_dedup": _sql_line_dedup(),
         "doc_dup_clusters": _sql_dup_clusters(),
         "doc_dedup_keep_best": _sql_dedup_keep_best(),

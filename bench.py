@@ -38,6 +38,7 @@ EVENTS_PER_SF = 40_000_000  # sf0.1 -> 4M events
 QUERY_NAMES = [
     "cdc_last_event_per_key",
     "cdc_lineage_agg",
+    "cdc_time_range_scan",
     "events_sessionize",
     "doc_quality_score",
     "doc_train_val_split",

@@ -160,6 +160,18 @@ def cmd_compact(args) -> None:
     print(json.dumps({"compacted_buckets": done, "version": t.version}))
 
 
+def cmd_cluster(args) -> None:
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import cluster_by
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    spark = _session(args)
+    t = LakeTable.load(spark, args.table)
+    done = cluster_by(
+        t, args.by.split(","), files_per_bucket=args.files_per_bucket
+    )
+    print(json.dumps({"clustered_buckets": done, "version": t.version}))
+
+
 def cmd_vacuum(args) -> None:
     from kafka_jdbc_sink_connector_spark.lake.maintenance import vacuum
     from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
@@ -272,6 +284,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--table", required=True)
     p.add_argument("--min-files", type=int, default=2)
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser(
+        "cluster", help="sort-rewrite buckets so file min/max stats "
+                        "skip on the given columns"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--by", required=True,
+                   help="comma-separated clustering columns")
+    p.add_argument("--files-per-bucket", type=int, default=4)
+    p.set_defaults(fn=cmd_cluster)
 
     p = sub.add_parser("vacuum")
     p.add_argument("--table", required=True)

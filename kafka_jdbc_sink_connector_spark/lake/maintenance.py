@@ -9,6 +9,10 @@ continuously-merged 100 TB table healthy:
   batch cadence. Compaction rewrites chosen buckets into one file set
   and commits a snapshot that references only those (bin-packing
   rewrite, same idea as Iceberg's rewrite_data_files).
+* **cluster_by** — sort-rewrite so each bucket's files hold disjoint
+  clustering-column ranges, restoring file-level data skipping
+  (``lake/stats.py``) after out-of-order ingest — the Delta
+  OPTIMIZE/sort-order-rewrite analog.
 * **vacuum** — snapshots are immutable and old ones stay readable
   (time travel); vacuum deletes data files not referenced by the
   last ``keep_versions`` snapshots plus the older manifests, bounding
@@ -22,6 +26,8 @@ readers never observe a partial state.
 from __future__ import annotations
 
 import os
+
+from pyspark.sql import functions as F
 
 from kafka_jdbc_sink_connector_spark.functions.keys import BUCKET_COL
 from kafka_jdbc_sink_connector_spark.lake.table import LakeTable, _DATA_DIR, _LOG_DIR
@@ -60,6 +66,63 @@ def compact(
         stats={"compacted_buckets": candidates},
     )
     return candidates
+
+
+def cluster_by(
+    table: LakeTable,
+    cols: list[str],
+    files_per_bucket: int = 4,
+    buckets: list[int] | None = None,
+) -> list[int]:
+    """Sort-rewrite buckets so their files carry DISJOINT ranges of
+    the clustering columns — the Delta ``OPTIMIZE ... ZORDER BY`` /
+    Iceberg sort-order rewrite idea, specialized to lexicographic
+    order: after clustering, a ``read(where=...)`` range predicate on
+    ``cols[0]`` touches ~1/``files_per_bucket`` of each bucket's
+    files via the footer min/max stats (:mod:`.stats`), instead of
+    all of them when ingest order ignores the column.
+
+    Mechanics: resolved rows are range-partitioned on ``(bucket,
+    *cols)`` into ``len(buckets) * files_per_bucket`` partitions and
+    written with the caller's layout preserved
+    (``commit_rewrite(preserve_layout=True)``) — each partition is a
+    contiguous slice of one bucket's value range (range boundaries
+    are sampled, so file counts are approximate), and rows are
+    additionally sorted within files so parquet row-group stats
+    tighten too. Like :func:`compact`, the rewrite folds any
+    merge-on-read deltas in (it rewrites the RESOLVED state), so a
+    clustered bucket is also a compacted one.
+
+    At 100 TB this is the scheduled background job that restores
+    time-axis skippability after out-of-order backfills, and the
+    range partitioning is one shuffle of the chosen buckets — cost
+    proportional to what's rewritten, never the table.
+    """
+    if not cols:
+        raise ValueError("cluster_by needs at least one column")
+    snap = table.snapshot
+    all_ids = set(snap.buckets) | set(snap.delta_buckets) | set(
+        snap.sdel_buckets
+    )
+    target = sorted(
+        int(b)
+        for b in all_ids
+        if buckets is None or int(b) in set(buckets)
+    )
+    if not target:
+        return []
+    data = table.read(buckets=target, include_bucket=True)
+    n_parts = max(1, len(target) * files_per_bucket)
+    arranged = data.repartitionByRange(
+        n_parts, F.col(BUCKET_COL), *[F.col(c) for c in cols]
+    ).sortWithinPartitions(BUCKET_COL, *cols)
+    table.commit_rewrite(
+        arranged,
+        target,
+        stats={"clustered_by": list(cols)},
+        preserve_layout=True,
+    )
+    return target
 
 
 def vacuum(table: LakeTable, keep_versions: int = 1) -> dict:

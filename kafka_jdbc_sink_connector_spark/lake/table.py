@@ -90,6 +90,11 @@ class Snapshot:
     #: powers AS-OF-TIMESTAMP time travel; None in pre-upgrade
     #: snapshots (they remain readable, just not addressable by time)
     commit_ts: float | None = None
+    #: per-file column min/max/null-count footer stats for BASE files
+    #: (``lake/stats.py``) — powers file-level data skipping in
+    #: :meth:`LakeTable.read`'s ``where=``; files absent here (e.g.
+    #: pre-upgrade commits) are never skipped
+    file_stats: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         d = dict(self.__dict__)
@@ -203,6 +208,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_bucket: bool = False,
         version: int | None = None,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
         """Read the table (optionally pruned to ``buckets``).
 
@@ -215,10 +221,22 @@ class LakeTable:
         requested buckets, base rows and deltas are merged per key at
         read time (see :mod:`.mor`); otherwise this is a plain
         bucket-pruned parquet scan.
+
+        ``where`` — a conjunction of ``(col, op, literal)`` predicates
+        (see :mod:`.stats`) — enables FILE-LEVEL DATA SKIPPING: base
+        files whose footer min/max prove no matching rows are dropped
+        from the scan, and the predicate is re-applied to surviving
+        rows, so ``read(where=P)`` returns exactly
+        ``read().filter(P)``. Buckets carrying unresolved MOR deltas
+        are never file-pruned (a soft-delete overlay resolves against
+        base-row columns, so every base row must be present); run
+        compaction to restore skippability there.
         """
+        from kafka_jdbc_sink_connector_spark.lake import stats as stats_mod
+
         snap = self.snapshot if version is None else self._read_version(version)
         if not snap.delta_files(buckets) and not snap.sdel_files(buckets):
-            df = self._read_base(snap, buckets)
+            df = self._read_base(snap, buckets, where=where)
         else:
             from kafka_jdbc_sink_connector_spark.lake import mor
 
@@ -245,11 +263,23 @@ class LakeTable:
                     df, self._read_sdels(snap, hot), snap
                 )
             if cold:
-                df = df.unionByName(self._read_base(snap, cold))
+                df = df.unionByName(self._read_base(snap, cold, where=where))
+        if where is not None:
+            df = df.filter(stats_mod.predicate_column(where))
         return df if include_bucket else df.drop(BUCKET_COL)
 
-    def _read_base(self, snap: Snapshot, buckets: list[int] | None) -> DataFrame:
-        files = [os.path.join(self.path, f) for f in snap.files(buckets)]
+    def _read_base(
+        self,
+        snap: Snapshot,
+        buckets: list[int] | None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
+        rel = snap.files(buckets)
+        if where is not None and snap.file_stats:
+            from kafka_jdbc_sink_connector_spark.lake import stats as stats_mod
+
+            rel = stats_mod.prune_files(snap.file_stats, rel, where)
+        files = [os.path.join(self.path, f) for f in rel]
         schema = T.StructType(
             list(snap.schema.fields)
             + [T.StructField(BUCKET_COL, T.IntegerType(), True)]
@@ -308,12 +338,25 @@ class LakeTable:
         source_id: str | None = None,
         batch_id: int | None = None,
         stats: dict | None = None,
+        collect_stats: bool = True,
+        preserve_layout: bool = False,
     ) -> Snapshot:
         """Copy-on-write commit: replace ``rewrite_buckets`` with the
         contents of ``new_data`` (which must carry ``__bucket`` and only
         rows belonging to those buckets); all other buckets carry over
         untouched. Optionally evolves the schema and records a batch id
         for exactly-once.
+
+        ``collect_stats`` harvests footer min/max stats for the
+        written files into the snapshot (data skipping,
+        :mod:`.stats`) — a metadata-only read of this commit's own
+        files, like the Delta/Iceberg writer's stats collection.
+
+        ``preserve_layout`` skips the default one-partition-per-bucket
+        repartition and writes the caller's partitioning as-is — the
+        hook :func:`.maintenance.cluster_by` uses to lay each bucket
+        out as several files with disjoint clustering-column ranges
+        (file count follows the caller's partitions).
         """
         snap = self.snapshot
         schema = new_schema or snap.schema
@@ -329,13 +372,12 @@ class LakeTable:
         # showed no reproducible speed effect on this host — keep the
         # write unsorted and let the merge join's ordering fall where
         # it may
-        (
-            new_data.withColumn(_PART_DIR_COL, F.col(BUCKET_COL))
-            .select(*out_cols, _PART_DIR_COL)
-            .repartition(F.col(BUCKET_COL))
-            .write.partitionBy(_PART_DIR_COL)
-            .parquet(out_dir)
-        )
+        arranged = new_data.withColumn(
+            _PART_DIR_COL, F.col(BUCKET_COL)
+        ).select(*out_cols, _PART_DIR_COL)
+        if not preserve_layout:
+            arranged = arranged.repartition(F.col(BUCKET_COL))
+        arranged.write.partitionBy(_PART_DIR_COL).parquet(out_dir)
         if _DEBUG_TIMING:
             print(f"    [timing] rewrite data write: "
                   f"{time.monotonic() - _t0:.2f}s", flush=True)
@@ -388,6 +430,11 @@ class LakeTable:
             delta_buckets=delta_buckets,
             sdel_buckets=sdel_buckets,
             mor_meta=dict(snap.mor_meta),
+            file_stats=self._carry_file_stats(
+                snap, buckets,
+                [f for fs in written.values() for f in fs]
+                if collect_stats else None,
+            ),
         )
         try:
             self._publish(new_snap)
@@ -404,6 +451,7 @@ class LakeTable:
         source_id: str | None = None,
         batch_id: int | None = None,
         stats: dict | None = None,
+        collect_stats: bool = True,
     ) -> Snapshot:
         """Append-only commit: new files are *added* to their buckets,
         existing files are untouched (no copy-on-write)."""
@@ -421,6 +469,7 @@ class LakeTable:
             .parquet(out_dir)
         )
         buckets = {b: list(fs) for b, fs in snap.buckets.items()}
+        new_files: list[str] = []
         for name in os.listdir(out_dir):
             if not name.startswith(f"{_PART_DIR_COL}="):
                 continue
@@ -431,6 +480,7 @@ class LakeTable:
                 if f.endswith(".parquet")
             )
             buckets.setdefault(b, []).extend(files)
+            new_files.extend(files)
         applied = dict(snap.applied_batches)
         if source_id is not None and batch_id is not None:
             applied[source_id] = max(batch_id, applied.get(source_id, -1))
@@ -447,6 +497,9 @@ class LakeTable:
             delta_buckets=dict(snap.delta_buckets),
             sdel_buckets=dict(snap.sdel_buckets),
             mor_meta=dict(snap.mor_meta),
+            file_stats=self._carry_file_stats(
+                snap, buckets, new_files if collect_stats else None
+            ),
         )
         try:
             self._publish(new_snap)
@@ -531,6 +584,10 @@ class LakeTable:
             delta_buckets=delta_buckets,
             sdel_buckets=sdel_buckets,
             mor_meta=mor_meta,
+            # base files untouched: carry their stats verbatim (delta
+            # files are never file-pruned — see read()'s MOR note —
+            # so no stats are harvested for them)
+            file_stats=dict(snap.file_stats),
         )
         try:
             self._publish(new_snap)
@@ -560,6 +617,7 @@ class LakeTable:
             delta_buckets=dict(snap.delta_buckets),
             sdel_buckets=dict(snap.sdel_buckets),
             mor_meta=dict(snap.mor_meta),
+            file_stats=dict(snap.file_stats),
         )
         self._publish(new_snap)
         self.snapshot = new_snap
@@ -575,6 +633,29 @@ class LakeTable:
         )
 
     # -- internals ----------------------------------------------------
+
+    def _carry_file_stats(
+        self,
+        snap: Snapshot,
+        new_buckets: dict[str, list[str]],
+        new_files: list[str] | None,
+    ) -> dict:
+        """Next snapshot's ``file_stats``: prior entries for files
+        still referenced (dropped entries would only bloat the
+        manifest) plus freshly harvested footer stats for this
+        commit's ``new_files`` (None = stats collection disabled for
+        this commit; those files are simply never skipped)."""
+        referenced = {f for fs in new_buckets.values() for f in fs}
+        carried = {
+            f: s for f, s in snap.file_stats.items() if f in referenced
+        }
+        if new_files:
+            from kafka_jdbc_sink_connector_spark.lake import stats as stats_mod
+
+            carried.update(
+                stats_mod.harvest_file_stats(self.path, new_files)
+            )
+        return carried
 
     def version_as_of(self, ts: float) -> int:
         """Latest version whose commit time is <= ``ts`` (epoch

@@ -36,6 +36,12 @@ def build_session(
         # AND smaller files — at 100 TB the byte savings also cut every
         # later scan; override via extra_conf if a cluster prefers lz4
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT96 timestamps (Spark's legacy default) carry NO parquet
+        # footer statistics, which would blind the lake's file-level
+        # min/max data skipping (lake/stats.py) on exactly the column
+        # CDC time-range scans prune by; TIMESTAMP_MICROS is the
+        # modern parquet logical type and stats-bearing everywhere
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -663,6 +663,69 @@ WHERE event_id > (SELECT CAST(floor(max(event_id) / 2) AS BIGINT)
 """
 
 
+def q_cdc_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only counting (``LakeTable.count`` +
+    ``stats.file_fully_matches``): ingest events as 4 time-sliced
+    append commits, then answer three counts — a "rows since T" tail,
+    a mid-range window, and the table total — from manifest row counts
+    wherever the footer stats PROVE a file fully matches or can't
+    match, scanning only boundary files (the Delta
+    ``SELECT COUNT(*)``-from-stats idea generalized to range
+    predicates; ``tests/test_data_skipping.py`` proves decidable files
+    are never opened by deleting them). Contract:
+    ``count(where=P) == read().filter(P).count()`` — exactly what the
+    DuckDB oracle computes off the raw table. At 100 TB, counting the
+    last day of a time-clustered table costs ~one boundary file per
+    bucket, not a table scan."""
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    sel = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    max_id = sel.agg(F.max("event_id")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="cdc_meta_count_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    t = LakeTable.create(
+        spark, os.path.join(tmp, "t"), sel.schema,
+        n_buckets=8, key_fields=["event_id"], bucket_key="user_id",
+    )
+    step = (max_id + 4) // 4
+    for i in range(4):
+        sl = sel.filter(
+            (F.col("event_id") >= i * step)
+            & (F.col("event_id") < (i + 1) * step)
+        )
+        t.commit_append(t.with_bucket(sl))
+    recent = t.count(where=[("event_id", ">", max_id // 2)])
+    window = t.count(
+        where=[
+            ("event_id", ">=", max_id // 4),
+            ("event_id", "<", max_id // 2),
+        ]
+    )
+    total = t.count()
+    return spark.createDataFrame(
+        [(recent, window, total)],
+        "recent_rows bigint, window_rows bigint, total_rows bigint",
+    )
+
+
+def _sql_metadata_count() -> str:
+    # count(where=P) == plain filtered count — the oracle never sees
+    # the lake layout, which is the whole contract
+    return """
+WITH m AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS half,
+                  CAST(floor(max(event_id) / 4) AS BIGINT) AS quart
+           FROM events)
+SELECT (SELECT count(*) FROM events, m WHERE event_id > m.half)
+           AS recent_rows,
+       (SELECT count(*) FROM events, m
+         WHERE event_id >= m.quart AND event_id < m.half)
+           AS window_rows,
+       (SELECT count(*) FROM events) AS total_rows
+"""
+
+
 def q_cdc_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering maintenance (``lake/maintenance.cluster_by``): one
     append commit whose files span the full ``user_id`` range (ingest
@@ -2508,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution_backfill": q_cdc_schema_evolution_backfill,
         "cdc_schema_widening_state": q_cdc_schema_widening_state,
         "cdc_time_range_scan": q_cdc_time_range_scan,
+        "cdc_metadata_count": q_cdc_metadata_count,
         "cdc_clustered_scan": q_cdc_clustered_scan,
         "events_sessionize": q_events_sessionize,
         "events_topk_per_type": q_events_topk_per_type,
@@ -2573,6 +2637,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_evolution_backfill": _sql_cdc_evolution(),
         "cdc_schema_widening_state": _sql_cdc_widening(),
         "cdc_time_range_scan": _sql_time_range_scan(),
+        "cdc_metadata_count": _sql_metadata_count(),
         "cdc_clustered_scan": _sql_clustered_scan(),
         "events_sessionize": _sql_sessionize(),
         "events_topk_per_type": _sql_topk(),

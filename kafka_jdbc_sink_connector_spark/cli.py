@@ -172,6 +172,40 @@ def cmd_cluster(args) -> None:
     print(json.dumps({"clustered_buckets": done, "version": t.version}))
 
 
+def _parse_where(items: list[str] | None):
+    """``col:op:value`` triples (``col:is_null`` / ``col:not_null``
+    need no value); numeric-looking values are cast so footer-stat
+    pruning can compare them."""
+    out = []
+    for s in items or []:
+        parts = s.split(":", 2)
+        if len(parts) == 2:
+            out.append((parts[0], parts[1]))
+            continue
+        col, op, val = parts
+        for cast in (int, float):
+            try:
+                val = cast(val)
+                break
+            except ValueError:
+                pass
+        out.append((col, op, val))
+    return out or None
+
+
+def cmd_count(args) -> None:
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    spark = _session(args)
+    t = LakeTable.load(spark, args.table)
+    where = _parse_where(args.where)
+    print(json.dumps({
+        "rows": t.count(where=where),
+        "version": t.version,
+        "where": [list(p) for p in (where or [])],
+    }))
+
+
 def cmd_vacuum(args) -> None:
     from kafka_jdbc_sink_connector_spark.lake.maintenance import vacuum
     from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
@@ -294,6 +328,16 @@ def main(argv: list[str] | None = None) -> None:
                    help="comma-separated clustering columns")
     p.add_argument("--files-per-bucket", type=int, default=4)
     p.set_defaults(fn=cmd_cluster)
+
+    p = sub.add_parser(
+        "count", help="row count answered from manifest stats where "
+                      "possible; only boundary files are scanned"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--where", action="append",
+                   help="col:op:value predicate (repeatable, ANDed); "
+                        "col:is_null / col:not_null take no value")
+    p.set_defaults(fn=cmd_count)
 
     p = sub.add_parser("vacuum")
     p.add_argument("--table", required=True)

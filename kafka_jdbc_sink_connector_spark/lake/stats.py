@@ -289,6 +289,75 @@ def file_may_match(entry: dict | None, where: list[tuple]) -> bool:
     return True
 
 
+def file_fully_matches(entry: dict | None, where: list[tuple]) -> bool:
+    """Dual of :func:`file_may_match`: True only when the file's stats
+    PROVE every row satisfies the conjunction ``where`` — the file's
+    manifest row count can then stand in for scanning it (metadata-only
+    aggregation, the Delta ``SELECT COUNT(*)`` trick generalized to
+    range predicates). Conservative the other way around: any unknown
+    (missing bounds, unknown null count, type mismatch) returns False
+    and the file is scanned instead.
+
+    Float columns: hidden NaN rows are invisible to parquet min/max but
+    compare GREATER than everything in Spark — so ``>``/``>=`` proofs
+    survive them while ``=``/``in``/``<``/``<=`` can never be proven.
+    """
+    if not entry:
+        return False
+    rows = entry.get("rows")
+    cols = entry.get("cols", {})
+    if rows is None:
+        return False
+    if rows == 0:
+        return True  # vacuous: contributes zero rows either way
+    for col, op, val in _validate_predicates(where):
+        ent = cols.get(col)
+        if ent is None:
+            return False
+        nulls = ent.get("nulls")
+        if op == "is_null":
+            if nulls is None or nulls != rows:
+                return False
+            continue
+        if op == "not_null":
+            if nulls != 0:  # unknown (None) or >0: can't prove
+                return False
+            continue
+        # comparisons never match NULL rows: all-rows proof needs 0
+        if nulls != 0:
+            return False
+        lo, hi = ent.get("lo"), ent.get("hi")
+        if lo is None or hi is None:
+            return False
+        tag = ent.get("t")
+        if bool(ent.get("f")) and op in ("=", "in", "<", "<="):
+            # hidden NaN rows would FAIL these ops yet be invisible
+            # to the bounds; ">"/">=" are safe (Spark: NaN > x always)
+            return False
+        vals = val if op == "in" else [val]
+        if op == "in" and not isinstance(vals, (list, tuple, set)):
+            raise ValueError("'in' predicate needs a list/tuple/set")
+        encoded = [_encode_literal(v, tag) for v in vals]
+        if any(e is None for e in encoded):
+            return False
+        if op in ("=", "in"):
+            if not (lo == hi and any(lo == e for e in encoded)):
+                return False
+        elif op == "<":
+            if not hi < encoded[0]:
+                return False
+        elif op == "<=":
+            if not hi <= encoded[0]:
+                return False
+        elif op == ">":
+            if not lo > encoded[0]:
+                return False
+        elif op == ">=":
+            if not lo >= encoded[0]:
+                return False
+    return True
+
+
 def prune_files(
     file_stats: dict[str, dict],
     rel_files: list[str],

@@ -268,6 +268,54 @@ class LakeTable:
             df = df.filter(stats_mod.predicate_column(where))
         return df if include_bucket else df.drop(BUCKET_COL)
 
+    def count(self, where: list[tuple] | None = None) -> int:
+        """Row count, equal to ``read(where=...).count()`` but answered
+        from manifest metadata wherever stats allow (the Delta
+        ``SELECT COUNT(*)``-from-stats idea, generalized to range
+        predicates via :func:`.stats.file_fully_matches`):
+
+        * files whose stats PROVE every row matches contribute their
+          manifest row count — zero I/O;
+        * files whose stats prove no row matches are skipped — zero I/O;
+        * only BOUNDARY files (stats can't decide) are scanned, with
+          the residual predicate applied.
+
+        Buckets carrying unresolved MOR deltas fall back to the resolve
+        path (delta rows change counts positionlessly). At 100 TB a
+        "rows since T" count over a time-clustered table touches ~one
+        boundary file per bucket instead of the table.
+        """
+        from kafka_jdbc_sink_connector_spark.lake import stats as stats_mod
+
+        snap = self.snapshot
+        delta_ids = {
+            int(b) for b, fs in snap.delta_buckets.items() if fs
+        } | {int(b) for b, fs in snap.sdel_buckets.items() if fs}
+        total = 0
+        if delta_ids:
+            hot = sorted(delta_ids)
+            total += self.read(buckets=hot, where=where).count()
+        cold = [b for b in range(snap.n_buckets) if b not in delta_ids]
+        partial: list[str] = []
+        for f in snap.files(cold):
+            ent = snap.file_stats.get(f)
+            rows = ent.get("rows") if ent else None
+            if rows is None:
+                partial.append(f)
+            elif where is None or stats_mod.file_fully_matches(ent, where):
+                total += rows
+            elif stats_mod.file_may_match(ent, where):
+                partial.append(f)
+            # else: proven empty under the predicate — skip
+        if partial:
+            df = self.spark.read.schema(snap.schema).parquet(
+                *[os.path.join(self.path, f) for f in partial]
+            )
+            if where is not None:
+                df = df.filter(stats_mod.predicate_column(where))
+            total += df.count()
+        return total
+
     def _read_base(
         self,
         snap: Snapshot,

@@ -401,3 +401,141 @@ def test_decimal_column_does_not_break_harvest(spark, tmp_path):
         assert "lo" in ent["cols"]["k"]  # sibling columns still indexed
     got = sorted(r["k"] for r in t.read(where=[("k", ">=", 90)]).collect())
     assert got == list(range(90, 100))
+
+
+# -- metadata-only counts (LakeTable.count + file_fully_matches) ------
+
+
+def test_count_equals_read_count_cow(spark, appended_table):
+    t = appended_table
+    preds = [
+        None,
+        [("v", ">", 2000)],
+        [("v", ">=", 1000), ("v", "<", 3000)],
+        [("name", "<=", "name-00150")],
+        [("ts", ">=", dt.datetime(2024, 1, 3))],
+        [("v", ">", 10**9)],  # provably empty everywhere
+        [("k", "in", [5, 150, 399])],
+    ]
+    for where in preds:
+        base = t.read(where=where) if where else t.read()
+        assert t.count(where=where) == base.count(), where
+
+
+def test_count_is_metadata_only_when_stats_decide(spark, appended_table):
+    """Every file is decidable (fully matching or provably empty), so
+    the count must come purely from the manifest: deleting the data
+    files afterwards cannot change or break it."""
+    import os as _os
+
+    t = appended_table
+    where = [("v", ">=", 1000)]  # commits 0 fully out, 1-3 fully in
+    expect = t.read(where=where).count()
+    for f in t.snapshot.files(None):
+        _os.remove(_os.path.join(t.path, f))
+    assert t.count(where=where) == expect
+    assert t.count() == 400  # no-predicate total is metadata too
+
+
+def test_count_scans_only_boundary_files(spark, appended_table):
+    """A predicate cutting through one commit's range: that commit's
+    files are boundary (scanned), the rest decided by stats — delete
+    every decidable file, keep the boundary ones, count still right."""
+    import os as _os
+
+    t = appended_table
+    where = [("v", ">=", 1500)]  # cuts commit 1 (1000..1990)
+    expect = t.read(where=where).count()
+    snap = t.snapshot
+    from kafka_jdbc_sink_connector_spark.lake import stats as sm
+
+    for f in snap.files(None):
+        ent = snap.file_stats.get(f)
+        decided = sm.file_fully_matches(ent, where) or not sm.file_may_match(
+            ent, where
+        )
+        if decided:
+            _os.remove(_os.path.join(t.path, f))
+    assert t.count(where=where) == expect
+
+
+def test_count_mor_hot_falls_back(spark, tmp_table):
+    from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+    from kafka_jdbc_sink_connector_spark.config import SinkConfig
+    from tests.test_apply_batch import _events_df, audit_col, ev
+
+    cfg = SinkConfig(merge_mode="mor", n_buckets=4)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    applier.apply_batch(
+        _events_df(
+            spark, [ev(i, "c", f"conv-{i}", 0) for i in range(1, 20)]
+        ),
+        batch_id=0,
+    )
+    applier.apply_batch(
+        _events_df(spark, [ev(30, "u", "conv-5", 0, text="zz-updated")]),
+        batch_id=1,
+    )
+    t = applier.table()
+    assert t.snapshot.delta_buckets
+    for where in (None, [("text", ">=", "zz")], [("conv_id", ">", "conv-1")]):
+        base = t.read(where=where) if where else t.read()
+        assert t.count(where=where) == base.count(), where
+
+
+def test_fully_matches_logic():
+    fm = stats_mod.file_fully_matches
+
+    def _e(rows=10, **cols):
+        return {"rows": rows, "cols": cols}
+
+    v = {"t": "n", "lo": 5, "hi": 9, "nulls": 0}
+    assert fm(_e(v=v), [("v", ">=", 5)])
+    assert fm(_e(v=v), [("v", ">", 4)])
+    assert fm(_e(v=v), [("v", "<=", 9)])
+    assert fm(_e(v=v), [("v", "<", 10)])
+    assert not fm(_e(v=v), [("v", ">=", 6)])
+    assert not fm(_e(v=v), [("v", "<", 9)])
+    assert not fm(_e(v=v), [("v", "=", 5)])
+    # constant column proves equality / in
+    c = {"t": "n", "lo": 7, "hi": 7, "nulls": 0}
+    assert fm(_e(v=c), [("v", "=", 7)])
+    assert fm(_e(v=c), [("v", "in", [3, 7])])
+    assert not fm(_e(v=c), [("v", "in", [3, 8])])
+    # unknown nulls or any nulls break comparison proofs
+    assert not fm(_e(v={"t": "n", "lo": 5, "hi": 9}), [("v", ">=", 5)])
+    assert not fm(
+        _e(v={"t": "n", "lo": 5, "hi": 9, "nulls": 1}), [("v", ">=", 5)]
+    )
+    # null-count proofs
+    assert fm(_e(rows=10, v={"nulls": 10}), [("v", "is_null")])
+    assert not fm(_e(rows=10, v={"nulls": 9}), [("v", "is_null")])
+    assert fm(_e(v=v), [("v", "not_null")])
+    # float: hidden NaN kills =/in/</<= proofs, survives >/>=
+    f = {"t": "n", "lo": 0.0, "hi": 1.0, "nulls": 0, "f": True}
+    assert fm(_e(s=f), [("s", ">=", 0.0)])
+    assert fm(_e(s=f), [("s", ">", -1.0)])
+    assert not fm(_e(s=f), [("s", "<=", 2.0)])
+    assert not fm(_e(s=f), [("s", "<", 2.0)])
+    # missing column / entry / rows
+    assert not fm(_e(v=v), [("other", ">=", 0)])
+    assert not fm(None, [("v", ">=", 0)])
+    assert not fm({"cols": {"v": v}}, [("v", ">=", 0)])
+    # type-mismatched literal can't prove
+    assert not fm(_e(v=v), [("v", ">=", "abc")])
+    # zero-row file vacuously matches anything
+    assert fm(_e(rows=0), [("v", "=", 123)])
+
+
+def test_cli_where_parsing():
+    from kafka_jdbc_sink_connector_spark.cli import _parse_where
+
+    assert _parse_where(None) is None
+    assert _parse_where(["v:>=:10", "name:<=:abc", "s:>:1.5"]) == [
+        ("v", ">=", 10),
+        ("name", "<=", "abc"),
+        ("s", ">", 1.5),
+    ]
+    assert _parse_where(["v:is_null"]) == [("v", "is_null")]
+    # a value containing ':' stays intact after the op split
+    assert _parse_where(["u:=:a:b"]) == [("u", "=", "a:b")]

@@ -770,6 +770,65 @@ WHERE user_id <= (SELECT CAST(floor(max(user_id) / 10) AS BIGINT)
 """
 
 
+def q_cdc_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (``cluster_by(method="zorder")``): one
+    unordered commit of events, then a Morton-key sort-rewrite on
+    ``(user_id, event_id)`` — bits interleaved, codegen'd, key dropped
+    at write — after which range scans on EACH clustered column skip
+    files (lexicographic order would leave ``event_id`` unskippable;
+    ``tests/test_data_skipping.py`` asserts the file counts on a 2-D
+    grid). The driver checks values: both probes on the same clustered
+    table, each equal to the plain filtered table, which is the
+    layout-blind DuckDB oracle."""
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import cluster_by
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    sel = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mx = sel.agg(
+        F.max("user_id").alias("u"), F.max("event_id").alias("e")
+    ).collect()[0]
+    tmp = tempfile.mkdtemp(prefix="cdc_zorder_scan_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    t = LakeTable.create(
+        spark, os.path.join(tmp, "t"), sel.schema,
+        n_buckets=4, key_fields=["event_id"], bucket_key="event_id",
+    )
+    t.commit_append(t.with_bucket(sel))
+    cluster_by(t, ["user_id", "event_id"], files_per_bucket=8,
+               method="zorder")
+    cols = [
+        "user_id", "event_id", "event_type", "value",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    ]
+    ax_u = (
+        t.read(where=[("user_id", "<=", mx["u"] // 20)])
+        .select(F.lit("u").alias("probe"), *cols)
+    )
+    ax_e = (
+        t.read(where=[("event_id", ">", (mx["e"] // 20) * 19)])
+        .select(F.lit("e").alias("probe"), *cols)
+    )
+    return ax_u.unionByName(ax_e)
+
+
+def _sql_zorder_scan() -> str:
+    # layout never changes results: both probes are plain filters
+    return """
+WITH m AS (SELECT CAST(floor(max(user_id) / 20) AS BIGINT) AS u_lo,
+                  CAST(floor(max(event_id) / 20) AS BIGINT) * 19 AS e_hi
+           FROM events)
+SELECT 'u' AS probe, user_id, event_id, event_type, value,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM events, m WHERE user_id <= m.u_lo
+UNION ALL
+SELECT 'e' AS probe, user_id, event_id, event_type, value,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM events, m WHERE event_id > m.e_hi
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 1800s starts a new session per user.
 
@@ -2573,6 +2632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_range_scan": q_cdc_time_range_scan,
         "cdc_metadata_count": q_cdc_metadata_count,
         "cdc_clustered_scan": q_cdc_clustered_scan,
+        "cdc_zorder_scan": q_cdc_zorder_scan,
         "events_sessionize": q_events_sessionize,
         "events_topk_per_type": q_events_topk_per_type,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
@@ -2639,6 +2699,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_time_range_scan": _sql_time_range_scan(),
         "cdc_metadata_count": _sql_metadata_count(),
         "cdc_clustered_scan": _sql_clustered_scan(),
+        "cdc_zorder_scan": _sql_zorder_scan(),
         "events_sessionize": _sql_sessionize(),
         "events_topk_per_type": _sql_topk(),
         "tpch_q1_pricing_summary": _sql_tpch_q1(),

@@ -167,7 +167,8 @@ def cmd_cluster(args) -> None:
     spark = _session(args)
     t = LakeTable.load(spark, args.table)
     done = cluster_by(
-        t, args.by.split(","), files_per_bucket=args.files_per_bucket
+        t, args.by.split(","), files_per_bucket=args.files_per_bucket,
+        method=args.method,
     )
     print(json.dumps({"clustered_buckets": done, "version": t.version}))
 
@@ -327,6 +328,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--by", required=True,
                    help="comma-separated clustering columns")
     p.add_argument("--files-per-bucket", type=int, default=4)
+    p.add_argument("--method", choices=["linear", "zorder"],
+                   default="linear",
+                   help="zorder interleaves column bits so every "
+                        "clustered column's range predicates skip")
     p.set_defaults(fn=cmd_cluster)
 
     p = sub.add_parser(

@@ -68,11 +68,61 @@ def compact(
     return candidates
 
 
+def _zorder_column(data, cols, bits: int = 16):
+    """Interleaved-bits Morton key over ``cols`` — entirely codegen'd
+    (cast/floor/shiftright/shiftleft/sum), no Python per row.
+
+    Each column is min-max scaled to ``bits``-bit integers (one
+    aggregate job over the rows being rewritten — never the table),
+    then bit ``i`` of column ``j`` lands at position ``i*ncols + j``.
+    NULLs scale to 0 (sort first, like NULLS FIRST). Only
+    numeric/timestamp/date columns interleave meaningfully; strings
+    raise (use the lexicographic method for string prefixes).
+    """
+    from pyspark.sql import types as T
+
+    schema = {f.name: f.dataType for f in data.schema.fields}
+    bits = min(bits, 60 // len(cols))  # keep z inside a signed 64-bit
+
+    def as_double(c):
+        dt = schema[c]
+        if isinstance(dt, T.DateType):
+            return F.unix_date(F.col(c)).cast("double")
+        if isinstance(dt, (T.TimestampType, T.NumericType)):
+            return F.col(c).cast("double")
+        raise ValueError(
+            f"zorder needs numeric/timestamp/date columns, {c} is {dt}"
+        )
+
+    row = data.agg(
+        *[f for c in cols for f in (F.min(as_double(c)), F.max(as_double(c)))]
+    ).collect()[0]
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn, mx = row[2 * j], row[2 * j + 1]
+        if mn is None or mx is None or mx == mn:
+            continue  # constant/all-null column adds no order
+        scaled = F.least(
+            F.lit(top),
+            F.greatest(
+                F.lit(0),
+                F.floor((as_double(c) - mn) / (mx - mn) * top),
+            ),
+        )
+        scaled = F.coalesce(scaled, F.lit(0)).cast("long")
+        for i in range(bits):
+            bit = F.shiftright(scaled, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * len(cols) + j)
+    return z
+
+
 def cluster_by(
     table: LakeTable,
     cols: list[str],
     files_per_bucket: int = 4,
     buckets: list[int] | None = None,
+    method: str = "linear",
 ) -> list[int]:
     """Sort-rewrite buckets so their files carry DISJOINT ranges of
     the clustering columns — the Delta ``OPTIMIZE ... ZORDER BY`` /
@@ -97,9 +147,21 @@ def cluster_by(
     time-axis skippability after out-of-order backfills, and the
     range partitioning is one shuffle of the chosen buckets — cost
     proportional to what's rewritten, never the table.
+
+    ``method="zorder"`` interleaves the columns' bits into a Morton
+    key (:func:`_zorder_column`) and range-partitions on that instead:
+    lexicographic order makes only ``cols[0]`` skippable, the z-curve
+    makes range predicates on EACH clustered column skip (each file
+    covers a compact multi-dimensional tile, so every column's per-file
+    min/max range is ~``files^(-1/ncols)`` of its domain) — Delta's
+    ``OPTIMIZE ZORDER BY``. The key costs one extra aggregate job
+    (per-column min/max over the rewritten rows) and stays fully
+    codegen'd; it is dropped at write, only the layout changes.
     """
     if not cols:
         raise ValueError("cluster_by needs at least one column")
+    if method not in ("linear", "zorder"):
+        raise ValueError(f"method must be linear|zorder, got {method!r}")
     snap = table.snapshot
     all_ids = set(snap.buckets) | set(snap.delta_buckets) | set(
         snap.sdel_buckets
@@ -113,13 +175,20 @@ def cluster_by(
         return []
     data = table.read(buckets=target, include_bucket=True)
     n_parts = max(1, len(target) * files_per_bucket)
+    if method == "zorder":
+        data = data.withColumn("__z", _zorder_column(data, cols))
+        order_exprs = [F.col("__z")]
+    else:
+        order_exprs = [F.col(c) for c in cols]
     arranged = data.repartitionByRange(
-        n_parts, F.col(BUCKET_COL), *[F.col(c) for c in cols]
-    ).sortWithinPartitions(BUCKET_COL, *cols)
+        n_parts, F.col(BUCKET_COL), *order_exprs
+    ).sortWithinPartitions(BUCKET_COL, *order_exprs)
+    # commit_rewrite projects to the table schema, so a __z helper
+    # column affects only the layout, never the stored data
     table.commit_rewrite(
         arranged,
         target,
-        stats={"clustered_by": list(cols)},
+        stats={"clustered_by": list(cols), "cluster_method": method},
         preserve_layout=True,
     )
     return target

@@ -539,3 +539,107 @@ def test_cli_where_parsing():
     assert _parse_where(["v:is_null"]) == [("v", "is_null")]
     # a value containing ':' stays intact after the op split
     assert _parse_where(["u:=:a:b"]) == [("u", "=", "a:b")]
+
+
+# -- z-order clustering (cluster_by method="zorder") ------------------
+
+
+def _grid_table(spark, tmp_path, name):
+    """64x64 grid of (x, y) in one bucket, ingested in hash order so
+    neither axis is skippable before clustering."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+        ]
+    )
+    rows = [(x * 64 + y, x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, schema)
+    t = LakeTable.create(
+        spark, str(tmp_path / name), schema, n_buckets=1, key_fields=["k"]
+    )
+    t.commit_append(t.with_bucket(df))
+    return t
+
+
+def _files_scanned(t, where):
+    snap = t.snapshot
+    return len(
+        stats_mod.prune_files(snap.file_stats, snap.files(None), where)
+    )
+
+
+def test_zorder_prunes_every_clustered_column(spark, tmp_path):
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import cluster_by
+
+    t = _grid_table(spark, tmp_path, "z")
+    cluster_by(t, ["x", "y"], files_per_bucket=16, method="zorder")
+    n = len(t.snapshot.files(None))
+    assert n >= 8
+    px = [("x", "<", 8)]
+    py = [("y", ">=", 56)]
+    # both axes skip most files (each z-tile is compact in x AND y)
+    assert _files_scanned(t, px) <= n // 2
+    assert _files_scanned(t, py) <= n // 2
+    # and results stay exact
+    assert t.read(where=px).count() == 8 * 64
+    assert t.read(where=py).count() == 64 * 8
+    assert t.count(where=px + py) == 8 * 8
+
+
+def test_linear_clustering_only_first_column_skips(spark, tmp_path):
+    """The contrast that motivates zorder: lexicographic (x, y) makes
+    y-ranges unskippable (every file spans all of y's domain within
+    its x slice — except x-constant files)."""
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import cluster_by
+
+    t = _grid_table(spark, tmp_path, "lex")
+    cluster_by(t, ["x", "y"], files_per_bucket=16, method="linear")
+    n = len(t.snapshot.files(None))
+    zx = _files_scanned(t, [("x", "<", 8)])
+    zy = _files_scanned(t, [("y", ">=", 56)])
+    assert zx <= n // 2  # first column skips
+    assert zy >= n - 2   # second column effectively cannot
+
+
+def test_zorder_handles_nulls_constants_and_timestamps(spark, tmp_path):
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import cluster_by
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (
+            i,
+            None if i % 17 == 0 else i % 50,
+            7,
+            base + dt.timedelta(minutes=i % 50),
+        )
+        for i in range(1000)
+    ]
+    t = LakeTable.create(
+        spark, str(tmp_path / "m"), schema, n_buckets=1, key_fields=["k"]
+    )
+    t.commit_append(t.with_bucket(spark.createDataFrame(rows, schema)))
+    cluster_by(t, ["x", "c", "ts"], files_per_bucket=8, method="zorder")
+    where = [("x", "<", 10)]
+    assert t.read(where=where).count() == sum(
+        1 for r in rows if r[1] is not None and r[1] < 10
+    )
+    assert t.count(where=where) == t.read(where=where).count()
+
+
+def test_zorder_rejects_string_columns(spark, appended_table):
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import cluster_by
+
+    with pytest.raises(ValueError, match="zorder"):
+        cluster_by(appended_table, ["name"], method="zorder")
+    with pytest.raises(ValueError, match="method"):
+        cluster_by(appended_table, ["v"], method="hilbert")

@@ -329,3 +329,24 @@ def test_incremental_probe_broadcasts_batch_not_index(spark, tmp_path):
     # the join directly (no hash-partition shuffle on either side of
     # the probe)
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_zorder_key_stays_codegen(spark):
+    """The Morton key is built from cast/floor/shift primitives only —
+    no Python eval node, no shuffle of its own (the single Exchange in
+    cluster_by is the range partition that was always there)."""
+    from pyspark.sql import functions as F
+
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import (
+        _zorder_column,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("x"), (F.col("id") % 7).alias("y")
+    )
+    z = df.withColumn("__z", _zorder_column(df, ["x", "y"]))
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # key computation itself: no shuffle
+    assert "WholeStageCodegen" in z._jdf.queryExecution().executedPlan().toString() or "*(1)" in plan

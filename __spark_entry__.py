@@ -17,6 +17,7 @@ Debezium-style op column.
 from __future__ import annotations
 
 import atexit
+import datetime as _dt
 import os
 import shutil
 import tempfile
@@ -723,6 +724,62 @@ SELECT (SELECT count(*) FROM events, m WHERE event_id > m.half)
          WHERE event_id >= m.quart AND event_id < m.half)
            AS window_rows,
        (SELECT count(*) FROM events) AS total_rows
+"""
+
+
+def q_cdc_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only MIN/MAX (``LakeTable.min_max`` +
+    ``stats.bounds_from_stats``): same sliced ingest as the count
+    query; integer/timestamp bounds come straight from the manifest
+    (tests prove it by deleting the data files first), the float
+    column (``value``) forces a scan — a hidden NaN IS Spark's max but
+    is invisible to parquet stats, so floats never resolve from
+    metadata. Contract: equals ``read().agg(min, max)`` — the DuckDB
+    oracle off the raw table. At 100 TB, "newest event time" is a
+    driver-side manifest read."""
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    sel = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    max_id = sel.agg(F.max("event_id")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="cdc_meta_minmax_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    t = LakeTable.create(
+        spark, os.path.join(tmp, "t"), sel.schema,
+        n_buckets=8, key_fields=["event_id"], bucket_key="user_id",
+    )
+    step = (max_id + 4) // 4
+    for i in range(4):
+        sl = sel.filter(
+            (F.col("event_id") >= i * step)
+            & (F.col("event_id") < (i + 1) * step)
+        )
+        t.commit_append(t.with_bucket(sl))
+    mm = t.min_max(["event_id", "user_id", "ts", "value"])
+    epoch = _dt.datetime(1970, 1, 1)
+    return spark.createDataFrame(
+        [(
+            mm["event_id"][0], mm["event_id"][1],
+            mm["user_id"][0], mm["user_id"][1],
+            int((mm["ts"][0] - epoch).total_seconds()),
+            int((mm["ts"][1] - epoch).total_seconds()),
+            float(mm["value"][0]), float(mm["value"][1]),
+        )],
+        "min_event bigint, max_event bigint, min_user bigint, "
+        "max_user bigint, min_ts_epoch bigint, max_ts_epoch bigint, "
+        "min_value double, max_value double",
+    )
+
+
+def _sql_metadata_minmax() -> str:
+    return """
+SELECT min(event_id) AS min_event, max(event_id) AS max_event,
+       min(user_id) AS min_user, max(user_id) AS max_user,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS min_ts_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts_epoch,
+       min(value) AS min_value, max(value) AS max_value
+FROM events
 """
 
 
@@ -2631,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_widening_state": q_cdc_schema_widening_state,
         "cdc_time_range_scan": q_cdc_time_range_scan,
         "cdc_metadata_count": q_cdc_metadata_count,
+        "cdc_metadata_minmax": q_cdc_metadata_minmax,
         "cdc_clustered_scan": q_cdc_clustered_scan,
         "cdc_zorder_scan": q_cdc_zorder_scan,
         "events_sessionize": q_events_sessionize,
@@ -2698,6 +2756,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_widening_state": _sql_cdc_widening(),
         "cdc_time_range_scan": _sql_time_range_scan(),
         "cdc_metadata_count": _sql_metadata_count(),
+        "cdc_metadata_minmax": _sql_metadata_minmax(),
         "cdc_clustered_scan": _sql_clustered_scan(),
         "cdc_zorder_scan": _sql_zorder_scan(),
         "events_sessionize": _sql_sessionize(),

@@ -358,6 +358,62 @@ def file_fully_matches(entry: dict | None, where: list[tuple]) -> bool:
     return True
 
 
+def decode_bound(v, tag: str):
+    """Stored bound -> the Python value Spark would return for the
+    column (timestamps come back as tz-naive UTC datetimes, matching
+    the session's pinned-UTC collect behavior)."""
+    if tag == _TAG_TS:
+        return (_EPOCH + _dt.timedelta(microseconds=v)).replace(tzinfo=None)
+    if tag == _TAG_DATE:
+        return _dt.date.fromisoformat(v)
+    return v
+
+
+def bounds_from_stats(
+    file_stats: dict[str, dict],
+    rel_files: list[str],
+    col: str,
+) -> tuple:
+    """Column min/max over ``rel_files`` from manifest stats alone:
+    returns ``(lo, hi, undecided)`` where ``lo``/``hi`` aggregate every
+    file whose bounds are usable and ``undecided`` lists files that
+    must be scanned (no stats, missing bounds, or FLOAT physical type —
+    a hidden NaN is invisible to parquet min/max yet IS the Spark
+    ``max``, so float columns never resolve from stats). All-null
+    files (``nulls == rows``) contribute nothing, like Spark's
+    null-ignoring aggregates; ``lo``/``hi`` are None when no decided
+    file had values."""
+    lo = hi = None
+    tag = None
+    undecided: list[str] = []
+    for f in rel_files:
+        entry = file_stats.get(f)
+        ent = (entry or {}).get("cols", {}).get(col)
+        rows = (entry or {}).get("rows")
+        if ent is None:
+            undecided.append(f)
+            continue
+        if rows is not None and ent.get("nulls") == rows:
+            continue  # all-null: contributes nothing to min/max
+        if rows == 0:
+            continue
+        flo, fhi = ent.get("lo"), ent.get("hi")
+        if flo is None or fhi is None or ent.get("f"):
+            undecided.append(f)
+            continue
+        if tag is None:
+            tag = ent.get("t")
+        elif tag != ent.get("t"):
+            undecided.append(f)  # mixed representations: scan it
+            continue
+        lo = flo if lo is None else min(lo, flo)
+        hi = fhi if hi is None else max(hi, fhi)
+    if tag is not None:
+        lo = decode_bound(lo, tag) if lo is not None else None
+        hi = decode_bound(hi, tag) if hi is not None else None
+    return lo, hi, undecided
+
+
 def prune_files(
     file_stats: dict[str, dict],
     rel_files: list[str],

@@ -316,6 +316,72 @@ class LakeTable:
             total += df.count()
         return total
 
+    def min_max(self, cols: list[str]) -> dict[str, tuple]:
+        """Per-column ``(min, max)`` equal to
+        ``read().agg(min(c), max(c))``, answered from manifest stats
+        wherever possible (:func:`.stats.bounds_from_stats`): only
+        files whose footer bounds are unusable — plus every file of a
+        FLOAT column (hidden NaN is Spark's max but invisible to
+        parquet stats) and every MOR-hot bucket (deltas change values)
+        — are scanned, in ONE job for all requested columns. On a
+        time-clustered 100 TB table, "newest event ts" is pure
+        metadata."""
+        from kafka_jdbc_sink_connector_spark.lake import stats as stats_mod
+
+        snap = self.snapshot
+        delta_ids = {
+            int(b) for b, fs in snap.delta_buckets.items() if fs
+        } | {int(b) for b, fs in snap.sdel_buckets.items() if fs}
+        cold = [b for b in range(snap.n_buckets) if b not in delta_ids]
+        out: dict[str, tuple] = {}
+        scan_files: set[str] = set()
+        for c in cols:
+            lo, hi, undecided = stats_mod.bounds_from_stats(
+                snap.file_stats, snap.files(cold), c
+            )
+            out[c] = (lo, hi)
+            scan_files.update(undecided)
+        # min/max merging is idempotent, so scanning a file for a
+        # column whose stats already covered it cannot change the
+        # result — one aggregate over the union handles all columns
+        frames = []
+        if scan_files:
+            frames.append(
+                self.spark.read.schema(snap.schema).parquet(
+                    *[os.path.join(self.path, f) for f in sorted(scan_files)]
+                )
+            )
+        if delta_ids:
+            frames.append(
+                self.read(buckets=sorted(delta_ids)).select(
+                    *[F.col(f.name) for f in snap.schema.fields]
+                )
+            )
+        if frames:
+            df = frames[0]
+            for f in frames[1:]:
+                df = df.unionByName(f)
+            row = df.agg(
+                *[g for c in cols
+                  for g in (F.min(c).alias(f"lo_{c}"),
+                            F.max(c).alias(f"hi_{c}"))]
+            ).collect()[0]
+
+            def _merge(a, b, fn):
+                if a is None:
+                    return b
+                if b is None:
+                    return a
+                return fn(a, b)
+
+            for c in cols:
+                lo, hi = out[c]
+                out[c] = (
+                    _merge(lo, row[f"lo_{c}"], min),
+                    _merge(hi, row[f"hi_{c}"], max),
+                )
+        return out
+
     def _read_base(
         self,
         snap: Snapshot,

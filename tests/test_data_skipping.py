@@ -643,3 +643,79 @@ def test_zorder_rejects_string_columns(spark, appended_table):
         cluster_by(appended_table, ["name"], method="zorder")
     with pytest.raises(ValueError, match="method"):
         cluster_by(appended_table, ["v"], method="hilbert")
+
+
+# -- metadata-only min/max (LakeTable.min_max) ------------------------
+
+
+def test_min_max_equals_scan_agg(spark, appended_table):
+    t = appended_table
+    got = t.min_max(["v", "name", "ts", "score"])
+    row = t.read().agg(
+        F.min("v"), F.max("v"), F.min("name"), F.max("name"),
+        F.min("ts"), F.max("ts"), F.min("score"), F.max("score"),
+    ).collect()[0]
+    assert got["v"] == (row[0], row[1])
+    assert got["name"] == (row[2], row[3])
+    assert got["ts"] == (row[4], row[5])
+    assert got["score"] == (row[6], row[7])
+
+
+def test_min_max_metadata_only_for_stats_types(spark, appended_table):
+    """Non-float columns resolve purely from the manifest: delete the
+    data files and min_max still answers (floats would need a scan and
+    are excluded here)."""
+    import os as _os
+
+    t = appended_table
+    expect = t.min_max(["v", "name", "ts"])
+    for f in t.snapshot.files(None):
+        _os.remove(_os.path.join(t.path, f))
+    assert t.min_max(["v", "name", "ts"]) == expect
+
+
+def test_min_max_float_scans_and_handles_nan(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+    rows = [(1, 1.5), (2, float("nan")), (3, -2.0), (4, None)]
+    t = LakeTable.create(
+        spark, str(tmp_path / "f"), schema, n_buckets=2, key_fields=["k"]
+    )
+    t.commit_append(t.with_bucket(spark.createDataFrame(rows, schema)))
+    lo, hi = t.min_max(["s"])["s"]
+    assert lo == -2.0
+    import math
+
+    assert math.isnan(hi)  # Spark's max: NaN beats every value
+
+
+def test_min_max_mor_hot_and_all_null(spark, tmp_table):
+    from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+    from kafka_jdbc_sink_connector_spark.config import SinkConfig
+    from tests.test_apply_batch import _events_df, audit_col, ev
+
+    cfg = SinkConfig(merge_mode="mor", n_buckets=4)
+    applier = CdcApplier(spark, cfg, tmp_table, audit_ts=audit_col())
+    applier.apply_batch(
+        _events_df(
+            spark, [ev(i, "c", f"conv-{i}", 0) for i in range(1, 20)]
+        ),
+        batch_id=0,
+    )
+    applier.apply_batch(
+        _events_df(spark, [ev(30, "u", "conv-5", 0, text="zz-updated")]),
+        batch_id=1,
+    )
+    t = applier.table()
+    assert t.snapshot.delta_buckets
+    got = t.min_max(["conv_id", "text"])
+    row = t.read().agg(
+        F.min("conv_id"), F.max("conv_id"), F.min("text"), F.max("text")
+    ).collect()[0]
+    assert got["conv_id"] == (row[0], row[1])
+    assert got["text"] == (row[2], row[3])  # the MOR update's zz- value
+    assert got["text"][1].startswith("zz")

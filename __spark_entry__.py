@@ -274,6 +274,59 @@ FROM f FULL OUTER JOIN m ON f.user_id = m.user_id
 """
 
 
+def q_cdc_restore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE (rollback-to-snapshot) + checkpoint replay
+    (``lake/table.py:restore``): apply the stream as two batches,
+    roll the table back to the batch-0 commit with a metadata-only
+    restore commit (state AND exactly-once watermarks rewind
+    together), then replay batch 1 from the checkpoint. Emits both
+    phases: the rolled-back state must equal the mid-stream oracle,
+    and the replayed state must reconverge to the full-stream oracle
+    — the table-side half of the reference's recovery story (Kafka
+    offset rewind + idempotent upsert replay, SinkTask offset
+    management)."""
+    cfg = SinkConfig(**_CDC_CFG)
+    cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
+    mid = cdc.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    tmp = tempfile.mkdtemp(prefix="cdc_restore_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
+    r0 = applier.apply_batch(
+        cdc.filter(F.col("kafka_offset") <= mid), batch_id=0
+    )
+    b1 = cdc.filter(F.col("kafka_offset") > mid)
+    applier.apply_batch(b1, batch_id=1)
+    t = applier.table()
+    t.restore(r0.snapshot_version)
+    cols = ["user_id", "event_id", "op_type"]
+    # lazy over the restored snapshot's explicit file list — immutable,
+    # so the later replay commit cannot disturb this plan
+    rolled = applier.read_target().select(*cols).withColumn(
+        "phase", F.lit("rolled_back")
+    )
+    # replay from the checkpoint: the restore rewound the batch
+    # watermark below 1, so the batch re-applies (not skips) and the
+    # state reconverges to the pre-restore head
+    applier.apply_batch(b1, batch_id=1)
+    replayed = applier.read_target().select(*cols).withColumn(
+        "phase", F.lit("replayed")
+    )
+    return rolled.unionByName(replayed)
+
+
+def _sql_cdc_restore_replay() -> str:
+    return f"""
+WITH bounds AS (
+  SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS mid FROM events
+),
+m AS ({_final_state_sql("(SELECT mid FROM bounds)")}),
+f AS ({_final_state_sql("(SELECT max(event_id) FROM events)")})
+SELECT user_id, event_id, op_type, 'rolled_back' AS phase FROM m
+UNION ALL
+SELECT user_id, event_id, op_type, 'replayed' AS phase FROM f
+"""
+
+
 def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed (Delta-CDF idea on the engine's snapshot log):
     apply the stream as two batches under HARD deletes, then emit every
@@ -2680,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_subset_delete_state": q_cdc_subset_delete_state,
         "cdc_subset_delete_state_mor": q_cdc_subset_delete_state_mor,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
+        "cdc_restore_replay": q_cdc_restore_replay,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_change_feed_soft": q_cdc_change_feed_soft,
         "cdc_lineage_agg": q_cdc_lineage_agg,
@@ -2748,6 +2802,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_subset_delete_state": _sql_cdc_subset_delete_state(),
         "cdc_subset_delete_state_mor": _sql_cdc_subset_delete_state(),
         "cdc_snapshot_diff": _sql_cdc_snapshot_diff(),
+        "cdc_restore_replay": _sql_cdc_restore_replay(),
         "cdc_change_feed": _sql_cdc_change_feed(),
         "cdc_change_feed_soft": _sql_cdc_change_feed_soft(),
         "cdc_lineage_agg": _sql_cdc_lineage(),

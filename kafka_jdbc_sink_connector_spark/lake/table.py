@@ -746,6 +746,79 @@ class LakeTable:
             source_id=source_id, batch_id=batch_id,
         )
 
+    def restore(self, version: int) -> Snapshot:
+        """Roll the table back to ``version`` as a NEW metadata-only
+        commit (Delta ``RESTORE`` / Iceberg rollback semantics): the
+        new snapshot's contents — schema, bucket/delta/sdel file
+        lists, MOR resolution spec, file stats AND exactly-once batch
+        watermarks — are ``version``'s, while history is preserved
+        (the rolled-past commits stay addressable by time travel until
+        vacuumed, and the restore itself is one more commit with
+        ``stats.restored_from`` recording provenance).
+
+        Restoring the watermarks is deliberate: a stream replaying
+        from its checkpoint after a restore re-applies every batch
+        committed after ``version`` (``applied_batch`` is below them
+        again), which is exactly the rewind-and-reprocess operation a
+        CDC operator wants — state and watermark rewind TOGETHER, so
+        replay converges to the pre-restore head instead of skipping
+        the replayed batches against rolled-back state.
+
+        No data is written or deleted. The target version's manifest
+        and every data file it references must still exist (``vacuum``
+        may have removed either); missing files raise before anything
+        is published. Restoring to the current version is a no-op
+        commit and is rejected. Downstream consumers see the restore
+        through the ordinary change feed: ``table_changes`` across a
+        restore commit falls back to the generic keywise diff (its
+        base-bucket lists differ) and emits the inverse of the
+        rolled-back changes.
+        """
+        snap = self.snapshot
+        if version == snap.version:
+            raise ValueError(
+                f"table is already at version {version}; nothing to restore"
+            )
+        try:
+            target = self._read_version(version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {version} is not retained (vacuumed or never "
+                f"existed); retained: {self.history()}"
+            ) from None
+        missing = [
+            f for f in target.all_files()
+            if not os.path.isfile(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: {len(missing)} data "
+                f"file(s) it references were removed by vacuum "
+                f"(first: {missing[0]})"
+            )
+        new_snap = Snapshot(
+            version=snap.version + 1,
+            schema=target.schema,
+            n_buckets=target.n_buckets,
+            key_fields=list(target.key_fields),
+            bucket_key=target.bucket_key,
+            buckets={b: list(fs) for b, fs in target.buckets.items()},
+            applied_batches=dict(target.applied_batches),
+            stats={"restored_from": version},
+            parent=snap.version,
+            delta_buckets={
+                b: list(fs) for b, fs in target.delta_buckets.items()
+            },
+            sdel_buckets={
+                b: list(fs) for b, fs in target.sdel_buckets.items()
+            },
+            mor_meta=dict(target.mor_meta),
+            file_stats=dict(target.file_stats),
+        )
+        self._publish(new_snap)
+        self.snapshot = new_snap
+        return new_snap
+
     # -- internals ----------------------------------------------------
 
     def _carry_file_stats(

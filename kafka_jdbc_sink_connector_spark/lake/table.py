@@ -133,6 +133,14 @@ class Snapshot:
 class LakeTable:
     """Handle on a snapshot-versioned bucketed parquet table."""
 
+    #: optimistic-concurrency retry budget: on a lost publish race the
+    #: writer re-reads the winner's snapshot, validates no semantic
+    #: conflict (see :meth:`_rebase`), and re-publishes its
+    #: already-written files against the new head — the Delta/Iceberg
+    #: commit-retry protocol. 0 disables rebasing (the first conflict
+    #: raises, pre-round-6 behavior).
+    max_commit_retries = 5
+
     def __init__(self, spark: SparkSession, path: str, snapshot: Snapshot):
         self.spark = spark
         self.path = path
@@ -550,13 +558,12 @@ class LakeTable:
                 if collect_stats else None,
             ),
         )
-        try:
-            self._publish(new_snap)
-        except CommitConflict:
-            shutil.rmtree(out_dir, ignore_errors=True)
-            raise
-        self.snapshot = new_snap
-        return new_snap
+        return self._publish_rebasing(
+            new_snap, base=snap, kind="rewrite", added_base=written,
+            rewrite_buckets=list(rewrite_buckets),
+            cleanup_dirs=(out_dir,),
+            source_id=source_id, batch_id=batch_id,
+        )
 
     def commit_append(
         self,
@@ -583,6 +590,7 @@ class LakeTable:
             .parquet(out_dir)
         )
         buckets = {b: list(fs) for b, fs in snap.buckets.items()}
+        added: dict[str, list[str]] = {}
         new_files: list[str] = []
         for name in os.listdir(out_dir):
             if not name.startswith(f"{_PART_DIR_COL}="):
@@ -593,6 +601,7 @@ class LakeTable:
                 for f in os.listdir(os.path.join(out_dir, name))
                 if f.endswith(".parquet")
             )
+            added[b] = files
             buckets.setdefault(b, []).extend(files)
             new_files.extend(files)
         applied = dict(snap.applied_batches)
@@ -615,13 +624,11 @@ class LakeTable:
                 snap, buckets, new_files if collect_stats else None
             ),
         )
-        try:
-            self._publish(new_snap)
-        except CommitConflict:
-            shutil.rmtree(out_dir, ignore_errors=True)
-            raise
-        self.snapshot = new_snap
-        return new_snap
+        return self._publish_rebasing(
+            new_snap, base=snap, kind="append", added_base=added,
+            cleanup_dirs=(out_dir,),
+            source_id=source_id, batch_id=batch_id,
+        )
 
     def commit_delta(
         self,
@@ -670,17 +677,20 @@ class LakeTable:
         delta_buckets = {
             b: list(fs) for b, fs in snap.delta_buckets.items()
         }
-        for b, files in _write_bucketed(delta_rows, out_dir).items():
+        added_delta = _write_bucketed(delta_rows, out_dir)
+        for b, files in added_delta.items():
             delta_buckets.setdefault(b, []).extend(files)
         sdel_buckets = {
             b: list(fs) for b, fs in snap.sdel_buckets.items()
         }
         sdel_dir = None
+        added_sdel: dict[str, list[str]] = {}
         if sdel_rows is not None:
             sdel_dir = os.path.join(
                 self.path, _DATA_DIR, f"s{commit_name}"
             )
-            for b, files in _write_bucketed(sdel_rows, sdel_dir).items():
+            added_sdel = _write_bucketed(sdel_rows, sdel_dir)
+            for b, files in added_sdel.items():
                 sdel_buckets.setdefault(b, []).extend(files)
         applied = dict(snap.applied_batches)
         if source_id is not None and batch_id is not None:
@@ -703,15 +713,12 @@ class LakeTable:
             # so no stats are harvested for them)
             file_stats=dict(snap.file_stats),
         )
-        try:
-            self._publish(new_snap)
-        except CommitConflict:
-            shutil.rmtree(out_dir, ignore_errors=True)
-            if sdel_dir is not None:
-                shutil.rmtree(sdel_dir, ignore_errors=True)
-            raise
-        self.snapshot = new_snap
-        return new_snap
+        return self._publish_rebasing(
+            new_snap, base=snap, kind="delta", added_delta=added_delta,
+            added_sdel=added_sdel,
+            cleanup_dirs=(out_dir, sdel_dir) if sdel_dir else (out_dir,),
+            source_id=source_id, batch_id=batch_id,
+        )
 
     def commit_metadata(
         self, new_schema: T.StructType, stats: dict | None = None
@@ -891,6 +898,200 @@ class LakeTable:
         """Time travel by wall clock: read the table as it was at
         epoch-seconds ``ts``."""
         return self.read(version=self.version_as_of(ts), **kwargs)
+
+    def _publish_rebasing(
+        self,
+        new_snap: Snapshot,
+        *,
+        base: Snapshot,
+        kind: str,
+        added_base: dict[str, list[str]] | None = None,
+        added_delta: dict[str, list[str]] | None = None,
+        added_sdel: dict[str, list[str]] | None = None,
+        rewrite_buckets: list[int] | None = None,
+        cleanup_dirs: tuple[str, ...] = (),
+        source_id: str | None = None,
+        batch_id: int | None = None,
+    ) -> Snapshot:
+        """Publish ``new_snap``; on a lost race, rebase onto the
+        winner's head and retry (up to ``max_commit_retries``). A
+        semantic conflict (``_rebase`` declines) or an exhausted
+        budget removes this commit's already-written files and
+        re-raises :class:`CommitConflict` — the data dirs are only
+        safe to delete while no published snapshot references them."""
+        snap = new_snap
+        attempt = 0
+        while True:
+            try:
+                self._publish(snap)
+                self.snapshot = snap
+                return snap
+            except CommitConflict:
+                attempt += 1
+                try:
+                    if attempt > self.max_commit_retries:
+                        raise
+                    latest = self._read_latest(self.path)
+                    snap = self._rebase(
+                        latest, base, snap, kind=kind,
+                        added_base=added_base, added_delta=added_delta,
+                        added_sdel=added_sdel,
+                        rewrite_buckets=rewrite_buckets,
+                        source_id=source_id, batch_id=batch_id,
+                    )
+                except CommitConflict:
+                    for d in cleanup_dirs:
+                        if d is not None:
+                            shutil.rmtree(d, ignore_errors=True)
+                    raise
+
+    def _rebase(
+        self,
+        latest: Snapshot,
+        base: Snapshot,
+        ours: Snapshot,
+        *,
+        kind: str,
+        added_base: dict[str, list[str]] | None,
+        added_delta: dict[str, list[str]] | None,
+        added_sdel: dict[str, list[str]] | None,
+        rewrite_buckets: list[int] | None,
+        source_id: str | None,
+        batch_id: int | None,
+    ) -> Snapshot:
+        """Re-target a failed commit at the current head ``latest``
+        (the snapshot it lost the race to), reusing its written files.
+
+        Validation rules (decline = raise CommitConflict, caller
+        refreshes and redoes the batch from current state — the
+        conservative Iceberg ``validate*`` posture):
+
+        * any schema change on either side declines — evolution must
+          re-read the head to re-plan coercion;
+        * table layout (bucket count/key, pk) must be unchanged;
+        * exactly-once: if the head already applied our (source,
+          batch), re-publishing would double-apply it — decline and
+          let the caller's watermark check skip the batch;
+        * ``append``: always rebasable — new files are additive no
+          matter what the concurrent commits did;
+        * ``delta``: rebasable only if the delta/sdel file lists are
+          untouched between base and head — a concurrent delta commit
+          would interleave with our files' stamped ``__seq`` (which
+          must stay unique and correctly ordered in the resolution
+          sequence), and a concurrent compaction folds the lists our
+          snapshot was built from; concurrent pure appends are fine
+          (deltas resolve over base rows regardless of commit order);
+        * ``rewrite``: rebasable only if no concurrent commit touched
+          the rewritten buckets' base/delta/sdel lists — a rewrite
+          folds those buckets' state, so any concurrent change to
+          them would be silently lost.
+        """
+
+        def decline(why: str):
+            raise CommitConflict(
+                f"cannot rebase {kind} commit onto version "
+                f"{latest.version}: {why}"
+            )
+
+        if latest.schema != base.schema:
+            decline("a concurrent commit changed the table schema")
+        if ours.schema != base.schema:
+            decline("this commit changes the schema; refresh and re-plan")
+        if (
+            latest.n_buckets != base.n_buckets
+            or latest.bucket_key != base.bucket_key
+            or list(latest.key_fields) != list(base.key_fields)
+        ):
+            decline("a concurrent commit changed the table layout")
+        if (
+            source_id is not None
+            and batch_id is not None
+            and latest.applied_batches.get(source_id, -1) >= batch_id
+        ):
+            decline(
+                f"batch {batch_id} from source {source_id!r} was already "
+                f"applied by a concurrent writer (exactly-once)"
+            )
+
+        buckets = {b: list(fs) for b, fs in latest.buckets.items()}
+        delta_buckets = {
+            b: list(fs) for b, fs in latest.delta_buckets.items()
+        }
+        sdel_buckets = {b: list(fs) for b, fs in latest.sdel_buckets.items()}
+        mor_meta = dict(latest.mor_meta)
+        our_new_files: list[str] = []
+
+        if kind == "append":
+            for b, fs in (added_base or {}).items():
+                buckets.setdefault(b, []).extend(fs)
+                our_new_files.extend(fs)
+        elif kind == "delta":
+            if (
+                latest.delta_buckets != base.delta_buckets
+                or latest.sdel_buckets != base.sdel_buckets
+            ):
+                decline(
+                    "concurrent delta/sdel commits would interleave the "
+                    "__seq resolution order"
+                )
+            for b, fs in (added_delta or {}).items():
+                delta_buckets.setdefault(b, []).extend(fs)
+            for b, fs in (added_sdel or {}).items():
+                sdel_buckets.setdefault(b, []).extend(fs)
+            mor_meta = dict(ours.mor_meta)
+        elif kind == "rewrite":
+            for bi in rewrite_buckets or []:
+                b = str(bi)
+                if (
+                    latest.buckets.get(b) != base.buckets.get(b)
+                    or latest.delta_buckets.get(b)
+                    != base.delta_buckets.get(b)
+                    or latest.sdel_buckets.get(b) != base.sdel_buckets.get(b)
+                ):
+                    decline(
+                        f"a concurrent commit touched rewritten bucket {b}"
+                    )
+                buckets.pop(b, None)
+                delta_buckets.pop(b, None)
+                sdel_buckets.pop(b, None)
+            for b, fs in (added_base or {}).items():
+                buckets[b] = list(fs)
+                our_new_files.extend(fs)
+        else:  # pragma: no cover - internal misuse
+            decline(f"unknown commit kind {kind!r}")
+
+        applied = dict(latest.applied_batches)
+        if source_id is not None and batch_id is not None:
+            applied[source_id] = max(batch_id, applied.get(source_id, -1))
+
+        referenced = {f for fs in buckets.values() for f in fs}
+        file_stats = {
+            f: s for f, s in latest.file_stats.items() if f in referenced
+        }
+        # our files' footer stats were harvested before the first
+        # publish attempt — reuse them instead of re-reading footers
+        file_stats.update({
+            f: ours.file_stats[f]
+            for f in our_new_files
+            if f in ours.file_stats
+        })
+
+        return Snapshot(
+            version=latest.version + 1,
+            schema=ours.schema,
+            n_buckets=latest.n_buckets,
+            key_fields=list(latest.key_fields),
+            bucket_key=latest.bucket_key,
+            buckets=buckets,
+            applied_batches=applied,
+            stats=dict(ours.stats),
+            parent=latest.version,
+            delta_buckets=delta_buckets,
+            sdel_buckets=sdel_buckets,
+            mor_meta=mor_meta,
+            file_stats=file_stats,
+            commit_ts=None,
+        )
 
     def _publish(self, snap: Snapshot) -> None:
         if snap.commit_ts is None:

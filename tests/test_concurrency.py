@@ -1,0 +1,170 @@
+"""Optimistic-concurrency commit rebase: a writer that loses the
+publish race re-targets its already-written files at the winner's
+head when no semantic conflict exists (Delta/Iceberg commit-retry
+protocol), and declines — cleaning up — when one does.
+
+Reference anchor: the connector serializes writes per task and leans
+on the database's transactions (JdbcDbWriter); a lake has no server
+to serialize for it, so the manifest-log commit race is the engine's
+replacement and needs the retry protocol.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import types as T
+
+from kafka_jdbc_sink_connector_spark.lake.table import (
+    CommitConflict,
+    LakeTable,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.StringType(), False),
+    T.StructField("v", T.LongType(), True),
+])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def _mk(spark, path, n_buckets=4):
+    t = LakeTable.create(
+        spark, path, SCHEMA, n_buckets=n_buckets, key_fields=["k"]
+    )
+    t.overwrite(_df(spark, [(f"k{i}", i) for i in range(20)]))
+    return t
+
+
+def test_concurrent_appends_both_commit(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t1 = _mk(spark, p)
+    t2 = LakeTable.load(spark, p)  # same head, independent handle
+    t1.commit_append(t1.with_bucket(_df(spark, [("x1", 101)])))
+    # t2 is stale: loses the race at v2, rebases, publishes v3
+    snap = t2.commit_append(t2.with_bucket(_df(spark, [("x2", 102)])))
+    assert snap.version == 3 and snap.parent == 2
+    rows = {r["k"]: r["v"] for r in LakeTable.load(spark, p).read().collect()}
+    assert rows["x1"] == 101 and rows["x2"] == 102 and len(rows) == 22
+    # both commits' footer stats survived the rebase
+    live = set(snap.files())
+    assert set(snap.file_stats) >= live
+
+
+def test_append_rebase_respects_exactly_once(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t1 = _mk(spark, p)
+    t2 = LakeTable.load(spark, p)
+    t1.commit_append(
+        t1.with_bucket(_df(spark, [("a1", 1)])), source_id="s", batch_id=7
+    )
+    with pytest.raises(CommitConflict, match="exactly-once"):
+        t2.commit_append(
+            t2.with_bucket(_df(spark, [("a2", 2)])),
+            source_id="s", batch_id=7,
+        )
+    # the loser's data files were cleaned up: every parquet on disk is
+    # referenced by the head snapshot
+    head = LakeTable.load(spark, p)
+    referenced = {os.path.join(p, f) for f in head.snapshot.all_files()}
+    on_disk = {
+        os.path.join(dp, fn)
+        for dp, _dn, fns in os.walk(os.path.join(p, "data"))
+        for fn in fns if fn.endswith(".parquet")
+    }
+    assert on_disk == referenced
+    # a LATER batch id from the same source still rebases fine
+    snap = t2.refresh().commit_append(
+        t2.with_bucket(_df(spark, [("a3", 3)])), source_id="s", batch_id=8
+    )
+    assert snap.applied_batches["s"] == 8
+
+
+def test_concurrent_rewrites_disjoint_buckets(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t1 = _mk(spark, p)
+    t2 = LakeTable.load(spark, p)
+    b0 = t1.read(buckets=[0], include_bucket=True)
+    b1 = t2.read(buckets=[1], include_bucket=True)
+    from pyspark.sql import functions as F
+
+    t1.commit_rewrite(b0.withColumn("v", F.col("v") + 1000), [0])
+    # t2 rewrites a DIFFERENT bucket from a stale snapshot → rebases
+    snap = t2.commit_rewrite(b1.withColumn("v", F.col("v") + 2000), [1])
+    assert snap.version == 3
+    rows = {r["k"]: r["v"] for r in LakeTable.load(spark, p).read().collect()}
+    orig = {f"k{i}": i for i in range(20)}
+    hit0 = {r["k"] for r in b0.collect()}
+    hit1 = {r["k"] for r in b1.collect()}
+    assert hit0 and hit1  # both buckets non-empty, test is meaningful
+    for k, v in orig.items():
+        want = v + 1000 if k in hit0 else v + 2000 if k in hit1 else v
+        assert rows[k] == want, (k, rows[k], want)
+
+
+def test_concurrent_rewrites_same_bucket_decline(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t1 = _mk(spark, p)
+    t2 = LakeTable.load(spark, p)
+    b0 = t1.read(buckets=[0], include_bucket=True)
+    from pyspark.sql import functions as F
+
+    t1.commit_rewrite(b0.withColumn("v", F.col("v") + 1000), [0])
+    with pytest.raises(CommitConflict, match="touched rewritten bucket"):
+        t2.commit_rewrite(
+            t2.read(buckets=[0], include_bucket=True)
+            .withColumn("v", F.col("v") + 2000),
+            [0],
+        )
+    # winner's update intact
+    rows = {r["k"]: r["v"] for r in LakeTable.load(spark, p).read().collect()}
+    hit0 = {r["k"] for r in b0.collect()}
+    assert all(rows[k] == orig + 1000 for k, orig in
+               ((f"k{i}", i) for i in range(20)) if k in hit0)
+
+
+def test_retries_disabled_restores_strict_behavior(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t1 = _mk(spark, p)
+    t2 = LakeTable.load(spark, p)
+    t2.max_commit_retries = 0
+    t1.commit_append(t1.with_bucket(_df(spark, [("x1", 1)])))
+    with pytest.raises(CommitConflict):
+        t2.commit_append(t2.with_bucket(_df(spark, [("x2", 2)])))
+
+
+def test_threaded_append_storm(spark, tmp_path):
+    """N writers race unsynchronized from the same stale head; every
+    one lands (append rebase is unconditional) and no rows are lost."""
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    n = 4
+    errs: list[Exception] = []
+
+    def writer(i: int):
+        try:
+            t = LakeTable.load(spark, p)
+            t.commit_append(
+                t.with_bucket(_df(spark, [(f"w{i}", 1000 + i)])),
+                source_id=f"src{i}", batch_id=0,
+            )
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    t = LakeTable.load(spark, p)
+    assert t.version == 1 + n
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert all(rows[f"w{i}"] == 1000 + i for i in range(n))
+    assert all(
+        t.snapshot.applied_batches[f"src{i}"] == 0 for i in range(n)
+    )

@@ -327,6 +327,78 @@ SELECT user_id, event_id, op_type, 'replayed' AS phase FROM f
 """
 
 
+def q_cdc_cascade_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze → silver cascade (``streaming/cascade.py``): ingest the
+    stream into a hard-delete bronze table in two batches; after each,
+    an incremental cascade maintains a filtered silver VIEW of it
+    (``value >= 50``) from the change feed only — including the
+    incremental-view-maintenance edge the naive approach misses
+    (updates moving a row out of the predicate must DELETE it
+    downstream). Exactly-once per upstream version; cost follows
+    change volume, not table size. Result: the silver table, which
+    must equal the declarative filter over bronze's final state."""
+    from kafka_jdbc_sink_connector_spark.streaming.cascade import (
+        CascadeRunner,
+    )
+
+    cfg = SinkConfig(pk_fields=("user_id",), n_buckets=8,
+                     delete_mode="delete")
+    cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
+    mid = cdc.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    tmp = tempfile.mkdtemp(prefix="cdc_cascade_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    bronze = CdcApplier(spark, cfg, os.path.join(tmp, "bronze"))
+    silver = CdcApplier(
+        spark,
+        SinkConfig(pk_fields=("user_id",), n_buckets=8,
+                   delete_mode="delete"),
+        os.path.join(tmp, "silver"),
+    )
+    run = CascadeRunner(spark, bronze.table_path, silver,
+                        row_filter=F.col("value") >= 50)
+    bronze.apply_batch(cdc.filter(F.col("kafka_offset") <= mid), batch_id=0)
+    run.sync()  # bootstrap
+    bronze.apply_batch(cdc.filter(F.col("kafka_offset") > mid), batch_id=1)
+    run.sync()  # incremental: inserts, updates, deletes, filter exits
+    return silver.read_target().select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def _sql_cdc_cascade_view() -> str:
+    # hard-delete live state (latest upsert with no later delete),
+    # then the view predicate — the target the incremental cascade
+    # must converge to
+    return """
+WITH cdc AS (
+  SELECT *, CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM cdc WHERE op <> 'd'
+),
+ups AS (SELECT * FROM ranked WHERE rn = 1),
+live AS (
+  SELECT u.* FROM ups u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cdc d
+    WHERE d.op = 'd' AND d.user_id = u.user_id
+      AND d.event_id > u.event_id
+  )
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       value AS last_value
+FROM live WHERE value >= 50
+"""
+
+
 def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed (Delta-CDF idea on the engine's snapshot log):
     apply the stream as two batches under HARD deletes, then emit every
@@ -2734,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_subset_delete_state_mor": q_cdc_subset_delete_state_mor,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_restore_replay": q_cdc_restore_replay,
+        "cdc_cascade_view": q_cdc_cascade_view,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_change_feed_soft": q_cdc_change_feed_soft,
         "cdc_lineage_agg": q_cdc_lineage_agg,
@@ -2803,6 +2876,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_subset_delete_state_mor": _sql_cdc_subset_delete_state(),
         "cdc_snapshot_diff": _sql_cdc_snapshot_diff(),
         "cdc_restore_replay": _sql_cdc_restore_replay(),
+        "cdc_cascade_view": _sql_cdc_cascade_view(),
         "cdc_change_feed": _sql_cdc_change_feed(),
         "cdc_change_feed_soft": _sql_cdc_change_feed_soft(),
         "cdc_lineage_agg": _sql_cdc_lineage(),

@@ -1,0 +1,192 @@
+"""Bronze → silver cascade: the change feed as an incremental source
+feeding a downstream CdcApplier, exactly-once per upstream version,
+with incremental-view-maintenance filter semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+from kafka_jdbc_sink_connector_spark.config import SinkConfig
+from kafka_jdbc_sink_connector_spark.lake.maintenance import vacuum
+from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+from kafka_jdbc_sink_connector_spark.streaming.cascade import CascadeRunner
+
+from tests.test_apply_batch import _events_df, audit_col, ev
+
+
+def _mk_bronze(spark, path):
+    """Hard-delete bronze so its read() is exactly the live rows."""
+    cfg = SinkConfig(n_buckets=4, delete_mode="delete")
+    return CdcApplier(spark, cfg, path, audit_ts=audit_col())
+
+
+def _mk_silver(spark, path, **cfg_kw):
+    cfg = SinkConfig(n_buckets=4, delete_mode="delete", **cfg_kw)
+    return CdcApplier(spark, cfg, path, audit_ts=audit_col())
+
+
+def _rows(applier, cols=("conv_id", "turn_idx", "role", "text")):
+    return {tuple(r) for r in applier.read_target().select(*cols).collect()}
+
+
+B0 = [ev(i, "u", f"c{i % 4}", i % 3) for i in range(12)]
+B1 = (
+    [ev(100 + i, "u", f"c{i % 4}", i % 3, text="rev2") for i in range(8)]
+    + [ev(120, "d", "c1", 1), ev(121, "d", "c2", 0)]
+)
+B2 = [ev(200 + i, "u", f"c{(i + 1) % 5}", (i + 2) % 3, text="rev3")
+      for i in range(9)]
+
+
+def test_cascade_mirror_bootstrap_and_incremental(spark, tmp_path):
+    bronze = _mk_bronze(spark, str(tmp_path / "bronze"))
+    silver = _mk_silver(spark, str(tmp_path / "silver"))
+    run = CascadeRunner(spark, bronze.table_path, silver)
+
+    bronze.apply_batch(_events_df(spark, B0), batch_id=0)
+    r = run.sync()
+    assert r.mode == "bootstrap" and not r.batch.skipped
+    assert _rows(silver) == _rows(bronze)
+
+    bronze.apply_batch(_events_df(spark, B1), batch_id=1)
+    bronze.apply_batch(_events_df(spark, B2), batch_id=2)
+    r = run.sync()
+    assert r.mode == "incremental"
+    assert _rows(silver) == _rows(bronze)
+
+    # idempotent: nothing new upstream → noop; replaying the same
+    # window is watermark-skipped
+    assert run.sync().mode == "noop"
+    assert run.watermark() == LakeTable.load(spark, bronze.table_path).version
+
+
+def test_cascade_filter_rows_enter_and_leave_view(spark, tmp_path):
+    """IVM semantics: an update moving a row out of the predicate must
+    DELETE it downstream; one moving in must insert it."""
+    bronze = _mk_bronze(spark, str(tmp_path / "bronze"))
+    silver = _mk_silver(spark, str(tmp_path / "silver"))
+    run = CascadeRunner(
+        spark, bronze.table_path, silver,
+        row_filter=F.col("role") == "user",
+    )
+    b0 = [
+        ev(0, "u", "a", 0, role="user"),
+        ev(1, "u", "b", 0, role="assistant"),   # outside view
+        ev(2, "u", "c", 0, role="user"),
+        ev(3, "u", "n", 0, role=None),          # NULL predicate → outside
+    ]
+    bronze.apply_batch(_events_df(spark, b0), batch_id=0)
+    run.sync()
+    assert {r[0] for r in _rows(silver)} == {"a", "c"}
+
+    b1 = [
+        ev(10, "u", "a", 0, role="assistant"),  # leaves the view
+        ev(11, "u", "b", 0, role="user"),       # enters the view
+        ev(12, "d", "c", 0),                    # upstream hard delete
+        ev(13, "u", "d", 0, role="user"),       # brand new in view
+        ev(14, "u", "n", 0, role=None),         # stays outside (NULL)
+    ]
+    bronze.apply_batch(_events_df(spark, b1), batch_id=1)
+    r = run.sync()
+    assert r.mode == "incremental"
+    assert {r[0] for r in _rows(silver)} == {"b", "d"}
+    # and equals the declarative view over bronze
+    want = {tuple(r) for r in bronze.read_target()
+            .filter(F.col("role") == "user")
+            .select("conv_id", "turn_idx", "role", "text").collect()}
+    assert _rows(silver) == want
+
+
+def test_cascade_transform_projection(spark, tmp_path):
+    bronze = _mk_bronze(spark, str(tmp_path / "bronze"))
+    silver = _mk_silver(spark, str(tmp_path / "silver"))
+
+    def transform(df):
+        return df.withColumn("text_len", F.length("text")).drop("tool")
+
+    run = CascadeRunner(spark, bronze.table_path, silver,
+                        transform=transform)
+    bronze.apply_batch(_events_df(spark, B0), batch_id=0)
+    run.sync()
+    bronze.apply_batch(_events_df(spark, B1), batch_id=1)
+    run.sync()
+    got = {tuple(r) for r in silver.read_target()
+           .select("conv_id", "turn_idx", "text_len").collect()}
+    want = {tuple(r) for r in bronze.read_target()
+            .select("conv_id", "turn_idx", F.length("text")).collect()}
+    assert got == want
+
+    bad = CascadeRunner(
+        spark, bronze.table_path,
+        _mk_silver(spark, str(tmp_path / "s2")),
+        transform=lambda df: df.select("conv_id", "text"),
+    )
+    with pytest.raises(ValueError, match="dropped required column"):
+        bad.sync()
+
+
+def test_cascade_chain_three_hops(spark, tmp_path):
+    """Silver is itself a managed lake table, so gold can tail it."""
+    bronze = _mk_bronze(spark, str(tmp_path / "bronze"))
+    silver = _mk_silver(spark, str(tmp_path / "silver"))
+    gold = _mk_silver(spark, str(tmp_path / "gold"))
+    s_run = CascadeRunner(spark, bronze.table_path, silver)
+    g_run = CascadeRunner(spark, silver.table_path, gold)
+
+    bronze.apply_batch(_events_df(spark, B0), batch_id=0)
+    s_run.sync()
+    g_run.sync()
+    bronze.apply_batch(_events_df(spark, B1), batch_id=1)
+    s_run.sync()
+    g_run.sync()
+    assert _rows(gold) == _rows(silver) == _rows(bronze)
+
+
+def test_cascade_soft_delete_upstream_propagates(spark, tmp_path):
+    """A soft-delete bronze marks rows instead of removing them; with
+    ``upstream_deleted_when`` the cascade turns those markers into
+    downstream deletes instead of resurrecting the rows as payload."""
+    bronze = CdcApplier(
+        spark, SinkConfig(n_buckets=4), str(tmp_path / "bronze"),
+        audit_ts=audit_col(),
+    )  # default soft delete: op_type U/D marker column
+    silver = _mk_silver(spark, str(tmp_path / "silver"))  # hard delete
+    run = CascadeRunner(
+        spark, bronze.table_path, silver,
+        upstream_deleted_when=F.col("op_type") == "D",
+    )
+    bronze.apply_batch(_events_df(spark, B0), batch_id=0)
+    run.sync()
+    bronze.apply_batch(_events_df(spark, B1), batch_id=1)  # 2 deletes
+    r = run.sync()
+    assert r.mode == "incremental"
+    live = {tuple(x) for x in bronze.read_target()
+            .filter(F.col("op_type") != "D")  # C (insert) and U (update)
+            .select("conv_id", "turn_idx", "text").collect()}
+    got = {tuple(x) for x in silver.read_target()
+           .select("conv_id", "turn_idx", "text").collect()}
+    assert got == live
+    assert len(live) < len(  # the deletes actually exercised the path
+        bronze.read_target().select("conv_id", "turn_idx").collect()
+    )
+
+
+def test_cascade_full_refresh_after_vacuumed_window(spark, tmp_path):
+    bronze = _mk_bronze(spark, str(tmp_path / "bronze"))
+    silver = _mk_silver(spark, str(tmp_path / "silver"))
+    run = CascadeRunner(spark, bronze.table_path, silver)
+
+    bronze.apply_batch(_events_df(spark, B0), batch_id=0)
+    run.sync()
+    bronze.apply_batch(_events_df(spark, B1), batch_id=1)
+    bronze.apply_batch(_events_df(spark, B2), batch_id=2)
+    # retention lapsed: the watermarked version's manifest is gone
+    vacuum(LakeTable.load(spark, bronze.table_path), keep_versions=1)
+    with pytest.raises(Exception):
+        run.sync()  # incremental window unavailable
+    r = run.sync(full_refresh=True)
+    assert r.mode == "refresh"
+    assert _rows(silver) == _rows(bronze)

@@ -399,6 +399,53 @@ FROM live WHERE value >= 50
 """
 
 
+def q_cdc_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping (``lake/stats.py`` blooms, opt-in
+    ``bloom.cols`` table property): load the stream into a lake table
+    in four INTERLEAVED commits (every file spans the full event_id
+    range, so min/max bounds prune nothing), then point-look-up one
+    event_id through ``read(where=)`` — the per-file blooms prove the
+    value absent from all but ~one file. The 100-TB case this serves:
+    key lookups on high-cardinality unclustered columns touch one
+    file per bucket instead of every file ever written."""
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    probe = (
+        ev.filter(F.col("event_id") >= mx // 2)
+        .agg(F.min("event_id"))
+        .collect()[0][0]
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_bloom_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    t = LakeTable.create(
+        spark, os.path.join(tmp, "tgt"), ev.schema, n_buckets=8,
+        key_fields=["user_id"], props={"bloom.cols": ["event_id"]},
+    )
+    for c in range(4):
+        t.commit_append(
+            t.with_bucket(ev.filter(F.pmod("event_id", F.lit(4)) == c))
+        )
+    return t.read(where=[("event_id", "=", int(probe))]).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+def _sql_cdc_bloom_point_lookup() -> str:
+    return """
+WITH probe AS (
+  SELECT min(event_id) AS pid FROM events
+  WHERE event_id >= (
+    SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)
+)
+SELECT user_id, event_id, event_type, value
+FROM events WHERE event_id = (SELECT pid FROM probe)
+"""
+
+
 def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed (Delta-CDF idea on the engine's snapshot log):
     apply the stream as two batches under HARD deletes, then emit every
@@ -2807,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_restore_replay": q_cdc_restore_replay,
         "cdc_cascade_view": q_cdc_cascade_view,
+        "cdc_bloom_point_lookup": q_cdc_bloom_point_lookup,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_change_feed_soft": q_cdc_change_feed_soft,
         "cdc_lineage_agg": q_cdc_lineage_agg,
@@ -2877,6 +2925,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_snapshot_diff": _sql_cdc_snapshot_diff(),
         "cdc_restore_replay": _sql_cdc_restore_replay(),
         "cdc_cascade_view": _sql_cdc_cascade_view(),
+        "cdc_bloom_point_lookup": _sql_cdc_bloom_point_lookup(),
         "cdc_change_feed": _sql_cdc_change_feed(),
         "cdc_change_feed_soft": _sql_cdc_change_feed_soft(),
         "cdc_lineage_agg": _sql_cdc_lineage(),

@@ -256,6 +256,15 @@ def file_may_match(entry: dict | None, where: list[tuple]) -> bool:
         # comparison ops never match NULL rows
         if nulls is not None and rows is not None and nulls == rows:
             return False
+        bloom = ent.get("bloom")
+        if bloom is not None and op in ("=", "in"):
+            vals = val if op == "in" else [val]
+            if (
+                isinstance(vals, (list, tuple, set))
+                and vals
+                and not any(bloom_may_contain(bloom, v) for v in vals)
+            ):
+                return False
         lo, hi = ent.get("lo"), ent.get("hi")
         if lo is None or hi is None:
             continue
@@ -453,4 +462,175 @@ def predicate_column(where: list[tuple]) -> Column:
         out = p if out is None else out & p
     if out is None:
         raise ValueError("where must contain at least one predicate")
+    return out
+
+
+# -- per-file bloom filters (equality skipping on high-cardinality
+#    columns) ----------------------------------------------------------
+#
+# Min/max bounds prune range predicates well only when files are
+# clustered on the predicate column; a point lookup on an UNclustered
+# high-cardinality column (the CDC key, a document id) matches every
+# file's [lo, hi] and prunes nothing. A small per-file bloom filter
+# fixes exactly that case: `=` / `in` predicates skip every file whose
+# bloom proves the value absent — the public Delta
+# `bloomFilterIndex` / Iceberg `bloom-filter-enabled` idea re-expressed
+# for this manifest-log lake.
+#
+# Opt-in via table property `bloom.cols` (see LakeTable.set_props):
+# unlike min/max harvesting, building a bloom reads the indexed
+# COLUMN's data for the commit's own files (one column, batch-sized —
+# never a table scan). Blooms are conservative by construction: a
+# possibly-saturated or type-mismatched bloom is simply not consulted,
+# and files without one (pre-enable commits, delta files) are never
+# bloom-skipped.
+#
+# Hashing must be deterministic across processes/sessions (the bloom
+# is built at write time and probed at read time): pandas'
+# hash_pandas_object with pinned hash keys (SipHash-based, stable by
+# contract), double-hashed into k probe positions.
+
+_BLOOM_H1_KEY = "0123456789012345"
+_BLOOM_H2_KEY = "5432109876543210"
+_BLOOM_DEFAULT_BITS_PER_KEY = 10  # ~1% fpp at k=7
+_BLOOM_DEFAULT_MAX_BYTES = 16384
+
+
+def bloom_spec(props: dict | None) -> dict | None:
+    """Parse the table-properties bloom config, None when disabled."""
+    props = props or {}
+    cols = props.get("bloom.cols") or []
+    if not cols:
+        return None
+    return {
+        "cols": list(cols),
+        "bits_per_key": int(
+            props.get("bloom.bits_per_key", _BLOOM_DEFAULT_BITS_PER_KEY)
+        ),
+        "max_bytes": int(
+            props.get("bloom.max_bytes", _BLOOM_DEFAULT_MAX_BYTES)
+        ),
+    }
+
+
+def _bloom_series(values, tag: str):
+    """Canonical pandas Series for hashing, or None when the type has
+    no canonical form (floats: equality is unreliable; bytes, nested,
+    timestamps: not supported — conservative, no bloom)."""
+    import pandas as pd
+
+    if tag == _TAG_NUM:
+        return pd.Series(values, dtype="int64")
+    if tag == _TAG_STR:
+        return pd.Series(values, dtype=object)
+    return None
+
+
+def _bloom_positions(series, m: int, k: int):
+    import numpy as np
+    import pandas as pd
+
+    h1 = pd.util.hash_pandas_object(
+        series, index=False, hash_key=_BLOOM_H1_KEY
+    ).to_numpy(dtype="uint64")
+    h2 = pd.util.hash_pandas_object(
+        series, index=False, hash_key=_BLOOM_H2_KEY
+    ).to_numpy(dtype="uint64") | np.uint64(1)
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+
+
+def build_bloom(series, bits_per_key: int, max_bytes: int) -> dict | None:
+    """Bloom for one file's column values (nulls excluded — NULL never
+    matches `=`). Returns None when the column type is unsupported or
+    the bloom would saturate past ~50% fill (no pruning power, wasted
+    manifest bytes)."""
+    import base64
+
+    import numpy as np
+
+    s = series.dropna()
+    n = len(s)
+    if n == 0:
+        return None
+    kind = s.dtype.kind
+    if kind in "iu":
+        tag = _TAG_NUM
+        s = s.astype("int64")
+    elif kind == "O" and isinstance(s.iloc[0], str):
+        tag = _TAG_STR
+    else:
+        return None
+    m = min(max_bytes * 8, max(64, bits_per_key * n))
+    m = ((m + 7) // 8) * 8
+    if bits_per_key * n > 2 * m:
+        return None  # saturation guard
+    k = max(1, min(8, round(0.693 * m / n)))
+    bits = np.zeros(m, dtype=bool)
+    for idx in _bloom_positions(s, m, k):
+        bits[idx] = True
+    return {
+        "m": int(m),
+        "k": int(k),
+        "t": tag,
+        "b": base64.b64encode(np.packbits(bits).tobytes()).decode("ascii"),
+    }
+
+
+def bloom_may_contain(bloom: dict, value) -> bool:
+    """Conservative membership probe: False only when the bloom PROVES
+    ``value`` absent; unsupported/ mismatched literal types → True."""
+    import base64
+
+    import numpy as np
+
+    tag = bloom.get("t")
+    if tag == _TAG_NUM:
+        if isinstance(value, bool) or not isinstance(value, int):
+            return True
+    elif tag == _TAG_STR:
+        if not isinstance(value, str):
+            return True
+    else:
+        return True
+    s = _bloom_series([value], tag)
+    if s is None:
+        return True
+    m, k = bloom["m"], bloom["k"]
+    bits = np.unpackbits(
+        np.frombuffer(base64.b64decode(bloom["b"]), dtype=np.uint8)
+    )[:m]
+    for idx in _bloom_positions(s, m, k):
+        if not bits[int(idx[0])]:
+            return False
+    return True
+
+
+def harvest_blooms(
+    root: str, rel_files: list[str], spec: dict
+) -> dict[str, dict[str, dict]]:
+    """{rel_path: {col: bloom}} for the spec'd columns present in each
+    file — reads ONLY the indexed columns of the given (commit-sized)
+    file list."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, dict]] = {}
+    for rel in rel_files:
+        full = os.path.join(root, rel)
+        pf = pq.ParquetFile(full)
+        names = set(pf.schema_arrow.names)
+        want = [c for c in spec["cols"] if c in names]
+        if not want:
+            continue
+        tbl = pq.read_table(full, columns=want)
+        per_col: dict[str, dict] = {}
+        for c in want:
+            b = build_bloom(
+                tbl.column(c).to_pandas(),
+                spec["bits_per_key"], spec["max_bytes"],
+            )
+            if b is not None:
+                per_col[c] = b
+        if per_col:
+            out[rel] = per_col
     return out

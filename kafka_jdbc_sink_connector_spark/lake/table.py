@@ -95,6 +95,13 @@ class Snapshot:
     #: :meth:`LakeTable.read`'s ``where=``; files absent here (e.g.
     #: pre-upgrade commits) are never skipped
     file_stats: dict = field(default_factory=dict)
+    #: table-level properties (Delta ``metadata.configuration``
+    #: analog), carried verbatim through every commit. Known keys:
+    #: ``bloom.cols`` (list of column names to build per-file bloom
+    #: filters for at commit time — see ``lake/stats.py``),
+    #: ``bloom.bits_per_key`` (default 10), ``bloom.max_bytes``
+    #: (default 16384 per file per column)
+    props: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         d = dict(self.__dict__)
@@ -164,6 +171,7 @@ class LakeTable:
         n_buckets: int = 16,
         key_fields: tuple[str, ...] | list[str] = (),
         bucket_key: str | None = None,
+        props: dict | None = None,
     ) -> "LakeTable":
         if cls.exists(path):
             raise FileExistsError(f"lake table already exists at {path}")
@@ -177,6 +185,7 @@ class LakeTable:
             key_fields=key_fields,
             bucket_key=bucket_key or (key_fields[0] if key_fields else ""),
             buckets={},
+            props=dict(props or {}),
         )
         t = cls(spark, path, snap)
         t._publish(snap)
@@ -552,6 +561,7 @@ class LakeTable:
             delta_buckets=delta_buckets,
             sdel_buckets=sdel_buckets,
             mor_meta=dict(snap.mor_meta),
+            props=dict(snap.props),
             file_stats=self._carry_file_stats(
                 snap, buckets,
                 [f for fs in written.values() for f in fs]
@@ -620,6 +630,7 @@ class LakeTable:
             delta_buckets=dict(snap.delta_buckets),
             sdel_buckets=dict(snap.sdel_buckets),
             mor_meta=dict(snap.mor_meta),
+            props=dict(snap.props),
             file_stats=self._carry_file_stats(
                 snap, buckets, new_files if collect_stats else None
             ),
@@ -708,6 +719,7 @@ class LakeTable:
             delta_buckets=delta_buckets,
             sdel_buckets=sdel_buckets,
             mor_meta=mor_meta,
+            props=dict(snap.props),
             # base files untouched: carry their stats verbatim (delta
             # files are never file-pruned — see read()'s MOR note —
             # so no stats are harvested for them)
@@ -720,8 +732,28 @@ class LakeTable:
             source_id=source_id, batch_id=batch_id,
         )
 
+    def set_props(self, updates: dict) -> Snapshot:
+        """Update table properties as a metadata-only commit (Delta
+        ``ALTER TABLE SET TBLPROPERTIES`` analog). ``None`` values
+        remove keys. Property changes take effect for SUBSEQUENT
+        commits — e.g. enabling ``bloom.cols`` builds blooms for
+        files written from the next commit on (existing files simply
+        have no bloom and are never bloom-skipped)."""
+        props = dict(self.snapshot.props)
+        for k, v in updates.items():
+            if v is None:
+                props.pop(k, None)
+            else:
+                props[k] = v
+        return self.commit_metadata(
+            self.snapshot.schema,
+            stats={"props_updated": sorted(updates)},
+            new_props=props,
+        )
+
     def commit_metadata(
-        self, new_schema: T.StructType, stats: dict | None = None
+        self, new_schema: T.StructType, stats: dict | None = None,
+        new_props: dict | None = None,
     ) -> Snapshot:
         """Metadata-only commit (e.g. pure schema evolution)."""
         snap = self.snapshot
@@ -738,6 +770,7 @@ class LakeTable:
             delta_buckets=dict(snap.delta_buckets),
             sdel_buckets=dict(snap.sdel_buckets),
             mor_meta=dict(snap.mor_meta),
+            props=dict(snap.props) if new_props is None else dict(new_props),
             file_stats=dict(snap.file_stats),
         )
         self._publish(new_snap)
@@ -820,6 +853,7 @@ class LakeTable:
                 b: list(fs) for b, fs in target.sdel_buckets.items()
             },
             mor_meta=dict(target.mor_meta),
+            props=dict(target.props),
             file_stats=dict(target.file_stats),
         )
         self._publish(new_snap)
@@ -846,9 +880,21 @@ class LakeTable:
         if new_files:
             from kafka_jdbc_sink_connector_spark.lake import stats as stats_mod
 
-            carried.update(
-                stats_mod.harvest_file_stats(self.path, new_files)
-            )
+            harvested = stats_mod.harvest_file_stats(self.path, new_files)
+            spec = stats_mod.bloom_spec(snap.props)
+            if spec:
+                # opt-in (`bloom.cols` table property): reads the
+                # indexed columns of THIS commit's files only
+                blooms = stats_mod.harvest_blooms(
+                    self.path, new_files, spec
+                )
+                for rel, per_col in blooms.items():
+                    ent = harvested.setdefault(rel, {"cols": {}})
+                    for c, b in per_col.items():
+                        ent.setdefault("cols", {}).setdefault(c, {})[
+                            "bloom"
+                        ] = b
+            carried.update(harvested)
         return carried
 
     def version_as_of(self, ts: float) -> int:
@@ -1089,6 +1135,7 @@ class LakeTable:
             delta_buckets=delta_buckets,
             sdel_buckets=sdel_buckets,
             mor_meta=mor_meta,
+            props=dict(latest.props),
             file_stats=file_stats,
             commit_ts=None,
         )

@@ -39,6 +39,8 @@ QUERY_NAMES = [
     "cdc_last_event_per_key",
     "cdc_lineage_agg",
     "cdc_time_range_scan",
+    "cdc_cascade_view",
+    "cdc_bloom_point_lookup",
     "events_sessionize",
     "doc_quality_score",
     "doc_train_val_split",

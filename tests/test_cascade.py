@@ -174,6 +174,48 @@ def test_cascade_soft_delete_upstream_propagates(spark, tmp_path):
     )
 
 
+@pytest.mark.parametrize("crash_point", ["before_commit", "after_commit"])
+def test_cascade_crash_and_retry_converges(
+    spark, tmp_path, monkeypatch, crash_point
+):
+    """Crash inside a sync, either side of the downstream merge
+    commit: a retried sync converges to the no-crash state exactly
+    once (before: the window re-applies; after: the watermark already
+    advanced and the retry no-ops)."""
+    import kafka_jdbc_sink_connector_spark.apply as apply_mod
+
+    class Boom(RuntimeError):
+        pass
+
+    bronze = _mk_bronze(spark, str(tmp_path / "bronze"))
+    silver = _mk_silver(spark, str(tmp_path / "silver"))
+    run = CascadeRunner(spark, bronze.table_path, silver)
+    bronze.apply_batch(_events_df(spark, B0), batch_id=0)
+    run.sync()
+    bronze.apply_batch(_events_df(spark, B1), batch_id=1)
+
+    real = apply_mod.merge_ops.merge_into
+
+    def wrap(*a, **k):
+        if crash_point == "before_commit":
+            raise Boom()
+        out = real(*a, **k)
+        raise Boom()
+
+    monkeypatch.setattr(apply_mod.merge_ops, "merge_into", wrap)
+    with pytest.raises(Boom):
+        run.sync()
+    monkeypatch.setattr(apply_mod.merge_ops, "merge_into", real)
+
+    r = run.sync()
+    if crash_point == "before_commit":
+        assert r.mode == "incremental" and not r.batch.skipped
+    else:
+        assert r.mode == "noop"  # commit landed before the crash
+    assert _rows(silver) == _rows(bronze)
+    assert run.sync().mode == "noop"
+
+
 def test_cascade_full_refresh_after_vacuumed_window(spark, tmp_path):
     bronze = _mk_bronze(spark, str(tmp_path / "bronze"))
     silver = _mk_silver(spark, str(tmp_path / "silver"))

@@ -399,6 +399,32 @@ FROM live WHERE value >= 50
 """
 
 
+def q_cdc_rebucket_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count evolution (``maintenance.rebucket``): apply the
+    full stream, then re-bucket the table 8 → 32 with one resolved
+    rewrite (the Iceberg partition-spec-evolution operation — the
+    initial bucket choice rarely survives 100× growth). The state
+    read back under the new layout must still equal the final-state
+    oracle; watermarks and properties carry so ingest continues."""
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import rebucket
+
+    cfg = SinkConfig(**_CDC_CFG)
+    cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
+    tmp = tempfile.mkdtemp(prefix="cdc_rebucket_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
+    applier.apply_batch(cdc, batch_id=0)
+    rebucket(applier.table(), 32)
+    return applier.read_target().select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        "op_type",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 def q_cdc_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter file skipping (``lake/stats.py`` blooms, opt-in
     ``bloom.cols`` table property): load the stream into a lake table
@@ -2855,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_restore_replay": q_cdc_restore_replay,
         "cdc_cascade_view": q_cdc_cascade_view,
         "cdc_bloom_point_lookup": q_cdc_bloom_point_lookup,
+        "cdc_rebucket_state": q_cdc_rebucket_state,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_change_feed_soft": q_cdc_change_feed_soft,
         "cdc_lineage_agg": q_cdc_lineage_agg,
@@ -2926,6 +2953,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_restore_replay": _sql_cdc_restore_replay(),
         "cdc_cascade_view": _sql_cdc_cascade_view(),
         "cdc_bloom_point_lookup": _sql_cdc_bloom_point_lookup(),
+        "cdc_rebucket_state": _sql_cdc_final_state(),
         "cdc_change_feed": _sql_cdc_change_feed(),
         "cdc_change_feed_soft": _sql_cdc_change_feed_soft(),
         "cdc_lineage_agg": _sql_cdc_lineage(),

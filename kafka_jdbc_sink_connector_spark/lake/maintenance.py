@@ -68,6 +68,43 @@ def compact(
     return candidates
 
 
+def rebucket(table: LakeTable, new_n_buckets: int) -> LakeTable:
+    """Change the table's bucket count with one full resolved rewrite
+    (Iceberg partition-spec evolution realized as rewrite_data_files:
+    the initial bucket choice rarely survives 100× growth — too few
+    buckets caps merge parallelism and makes every bucket rewrite
+    huge, too many drowns a small table in file overhead).
+
+    One shuffle of the full resolved table on the NEW bucket
+    assignment — the only operation in this module that is
+    deliberately table-sized, which is why it's a commit like any
+    other: atomic, time-travelable, and rejected by the
+    optimistic-concurrency rebase on conflict (a concurrent writer's
+    commit under the old layout can't silently survive a bucket-count
+    change, ``table.py:_rebase`` declines both directions). Batch
+    watermarks and table properties carry over, so exactly-once
+    ingest continues seamlessly under the new layout; MOR deltas are
+    folded by the resolved read, like ``compact``.
+    """
+    from kafka_jdbc_sink_connector_spark.functions.keys import bucket_expr
+
+    snap = table.snapshot
+    if new_n_buckets < 1:
+        raise ValueError("new_n_buckets must be >= 1")
+    if new_n_buckets == snap.n_buckets:
+        raise ValueError(f"table already has {new_n_buckets} buckets")
+    data = table.read().withColumn(
+        BUCKET_COL, bucket_expr(snap.bucket_key, new_n_buckets)
+    )
+    table.commit_rewrite(
+        data,
+        list(range(snap.n_buckets)),
+        stats={"rebucketed": [snap.n_buckets, new_n_buckets]},
+        new_n_buckets=new_n_buckets,
+    )
+    return table
+
+
 def _zorder_column(data, cols, bits: int = 16):
     """Interleaved-bits Morton key over ``cols`` — entirely codegen'd
     (cast/floor/shiftright/shiftleft/sum), no Python per row.

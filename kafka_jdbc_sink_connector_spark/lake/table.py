@@ -471,6 +471,7 @@ class LakeTable:
         stats: dict | None = None,
         collect_stats: bool = True,
         preserve_layout: bool = False,
+        new_n_buckets: int | None = None,
     ) -> Snapshot:
         """Copy-on-write commit: replace ``rewrite_buckets`` with the
         contents of ``new_data`` (which must carry ``__bucket`` and only
@@ -488,9 +489,24 @@ class LakeTable:
         hook :func:`.maintenance.cluster_by` uses to lay each bucket
         out as several files with disjoint clustering-column ranges
         (file count follows the caller's partitions).
+
+        ``new_n_buckets`` changes the table's bucket count (the
+        :func:`.maintenance.rebucket` hook): only valid for a
+        FULL-table rewrite (``rewrite_buckets`` = every old bucket),
+        and ``new_data``'s ``__bucket`` must already be assigned under
+        the NEW count.
         """
         snap = self.snapshot
         schema = new_schema or snap.schema
+        n_buckets = snap.n_buckets
+        if new_n_buckets is not None:
+            if set(rewrite_buckets) != set(range(snap.n_buckets)):
+                raise ValueError(
+                    "changing n_buckets requires rewriting every bucket "
+                    f"(got {sorted(rewrite_buckets)} of "
+                    f"{snap.n_buckets})"
+                )
+            n_buckets = new_n_buckets
         version = snap.version + 1
         commit_name = f"commit-{version:010d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.path, _DATA_DIR, commit_name)
@@ -536,8 +552,12 @@ class LakeTable:
             buckets.pop(str(b), None)
             delta_buckets.pop(str(b), None)
             sdel_buckets.pop(str(b), None)
+        valid_ids = (
+            set(range(n_buckets)) if new_n_buckets is not None
+            else set(rewrite_buckets)
+        )
         for b, files in written.items():
-            if int(b) not in set(rewrite_buckets):
+            if int(b) not in valid_ids:
                 raise ValueError(
                     f"new_data contained rows for bucket {b} which is not "
                     f"in rewrite_buckets={rewrite_buckets}"
@@ -551,7 +571,7 @@ class LakeTable:
         new_snap = Snapshot(
             version=version,
             schema=schema,
-            n_buckets=snap.n_buckets,
+            n_buckets=n_buckets,
             key_fields=snap.key_fields,
             bucket_key=snap.bucket_key,
             buckets=buckets,
@@ -1049,6 +1069,13 @@ class LakeTable:
             or list(latest.key_fields) != list(base.key_fields)
         ):
             decline("a concurrent commit changed the table layout")
+        if (
+            ours.n_buckets != base.n_buckets
+            or ours.bucket_key != base.bucket_key
+            or list(ours.key_fields) != list(base.key_fields)
+        ):
+            decline("this commit changes the table layout (rebucket); "
+                    "refresh and re-plan")
         if (
             source_id is not None
             and batch_id is not None

@@ -168,3 +168,27 @@ def test_threaded_append_storm(spark, tmp_path):
     assert all(
         t.snapshot.applied_batches[f"src{i}"] == 0 for i in range(n)
     )
+
+
+def test_rebucket_races_decline_both_directions(spark, tmp_path):
+    """A bucket-count change can't silently merge with concurrent
+    commits: the stale side always declines, whichever wins."""
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import rebucket
+
+    p = str(tmp_path / "t")
+    t1 = _mk(spark, p)
+    t2 = LakeTable.load(spark, p)
+    rebucket(t1, 8)
+    with pytest.raises(CommitConflict, match="layout"):
+        t2.commit_append(t2.with_bucket(_df(spark, [("z", 1)])))
+
+    p2 = str(tmp_path / "t2")
+    t1 = _mk(spark, p2)
+    t2 = LakeTable.load(spark, p2)
+    t1.commit_append(t1.with_bucket(_df(spark, [("y", 2)])))
+    with pytest.raises(CommitConflict, match="layout"):
+        rebucket(t2, 8)
+    # winner's append intact, layout unchanged
+    t = LakeTable.load(spark, p2)
+    assert t.snapshot.n_buckets == 4
+    assert {r["k"] for r in t.read().collect()} >= {"y"}

@@ -73,3 +73,73 @@ def test_vacuum_keeps_time_travel_window(applied):
     # both kept versions remain readable
     for v in hist:
         t.read(version=v).count()
+
+
+def test_rebucket_preserves_state_and_continues_ingest(
+    spark, applied, tmp_table
+):
+    """Bucket-count change: one resolved full rewrite; contents,
+    watermarks and props survive; pruning and further exactly-once
+    ingest work under the new layout."""
+    from kafka_jdbc_sink_connector_spark.functions.keys import BUCKET_COL
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import rebucket
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    before = _rows(applied)
+    t = applied.table()
+    t.set_props({"bloom.cols": ["conv_id"]})
+    rebucket(t, 16)
+    t = LakeTable.load(spark, tmp_table)
+    assert t.snapshot.n_buckets == 16
+    assert t.snapshot.props == {"bloom.cols": ["conv_id"]}
+    assert _rows(applied) == before
+    assert t.applied_batch("default") == 2  # watermark carried
+    # per-bucket reads partition the table under the new assignment
+    per = [t.read(buckets=[b]).count() for b in range(16)]
+    assert sum(per) == len(before) and max(per) < len(before)
+    # bucket column matches the new hash for every row
+    from kafka_jdbc_sink_connector_spark.functions.keys import bucket_expr
+    bad = (
+        t.read(include_bucket=True)
+        .filter(F.col(BUCKET_COL) != bucket_expr("conv_id", 16))
+        .count()
+    )
+    assert bad == 0
+    # ingest continues: next batch applies once, replay skips
+    events = generate_cdc_events(
+        spark, GenSpec(n_events=2400, n_conversations=40,
+                       turns_per_conversation=6)
+    )
+    tail = events.filter(F.col("kafka_offset") >= 2100)
+    r = applied.apply_batch(tail, batch_id=3)
+    assert not r.skipped
+    assert applied.apply_batch(tail, batch_id=3).skipped
+
+
+def test_rebucket_validation_and_mor_fold(spark, tmp_path):
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import rebucket
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    cfg = SinkConfig(n_buckets=4, merge_mode="mor")
+    applier = CdcApplier(
+        spark, cfg, str(tmp_path / "t"), audit_ts=audit_col()
+    )
+    events = generate_cdc_events(
+        spark, GenSpec(n_events=1200, n_conversations=20,
+                       turns_per_conversation=5)
+    )
+    applier.apply_batch(events.filter(F.col("kafka_offset") < 800),
+                        batch_id=0)
+    applier.apply_batch(events.filter(F.col("kafka_offset") >= 800),
+                        batch_id=1)
+    t = applier.table()
+    assert t.snapshot.delta_buckets  # MOR deltas present pre-rebucket
+    before = _rows(applier)
+    with pytest.raises(ValueError, match="already has"):
+        rebucket(t, 4)
+    rebucket(t, 8)
+    t.refresh()
+    assert t.snapshot.n_buckets == 8
+    assert not t.snapshot.delta_buckets  # folded by the resolved read
+    assert not t.snapshot.sdel_buckets
+    assert _rows(applier) == before

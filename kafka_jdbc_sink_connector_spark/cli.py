@@ -235,6 +235,14 @@ def cmd_show(args) -> None:
     }, indent=2))
 
 
+def cmd_history(args) -> None:
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    spark = _session(args)
+    t = LakeTable.load(spark, args.table)
+    print(json.dumps(t.describe_history(limit=args.limit), indent=2))
+
+
 def cmd_changes(args) -> None:
     from kafka_jdbc_sink_connector_spark.lake.changes import table_changes
     from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
@@ -352,6 +360,13 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("show")
     p.add_argument("--table", required=True)
     p.set_defaults(fn=cmd_show)
+
+    p = sub.add_parser(
+        "history", help="commit audit trail (DESCRIBE HISTORY analog)"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--limit", type=int, default=None)
+    p.set_defaults(fn=cmd_history)
 
     p = sub.add_parser(
         "changes", help="change data feed between two table versions"

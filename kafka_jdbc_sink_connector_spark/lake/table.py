@@ -451,6 +451,73 @@ class LakeTable:
             if n.startswith("v") and n.endswith(".json")
         )
 
+    def describe_history(self, limit: int | None = None) -> list[dict]:
+        """Commit audit trail, newest first (Delta ``DESCRIBE
+        HISTORY`` analog): one dict per retained snapshot with the
+        commit time, an OPERATION inferred from the snapshot deltas
+        (create / append / merge-rewrite / delta-commit / compaction /
+        metadata / restore / rebucket / …), the commit's stats, batch
+        watermarks, and file/bucket deltas. Driver-side manifest reads
+        only — bounded by retained versions (``limit`` caps how many
+        are parsed)."""
+        versions = list(reversed(self.history()))
+        if limit is not None:
+            versions = versions[: limit + 1]  # +1: parents for deltas
+        snaps = {v: self._read_version(v) for v in versions}
+
+        def op_of(s: Snapshot, parent: Snapshot | None) -> str:
+            st = s.stats or {}
+            if "restored_from" in st:
+                return "RESTORE"
+            if "rebucketed" in st:
+                return "REBUCKET"
+            if "compacted_buckets" in st:
+                return "COMPACT"
+            if "clustered_by" in st:
+                return "CLUSTER"
+            if "props_updated" in st:
+                return "SET PROPERTIES"
+            if parent is None:
+                return "CREATE" if s.version == 0 else "UNKNOWN"
+            if s.buckets == parent.buckets:
+                if (s.delta_buckets != parent.delta_buckets
+                        or s.sdel_buckets != parent.sdel_buckets):
+                    return "DELTA COMMIT"
+                if s.schema != parent.schema:
+                    return "SCHEMA EVOLUTION"
+                return "METADATA"
+            old = {f for fs in parent.buckets.values() for f in fs}
+            new = {f for fs in s.buckets.values() for f in fs}
+            if not old:
+                return "WRITE"  # initial load: nothing replaced
+            return "APPEND" if old <= new else "REWRITE"
+
+        out = []
+        rows = versions if limit is None else versions[:limit]
+        for v in rows:
+            s = snaps[v]
+            parent = snaps.get(s.parent) if s.parent is not None else None
+            if parent is None and s.parent is not None:
+                try:
+                    parent = self._read_version(s.parent)
+                except (FileNotFoundError, OSError):
+                    parent = None  # vacuumed
+            n_files = len(s.all_files())
+            out.append({
+                "version": v,
+                "commit_ts": s.commit_ts,
+                "operation": op_of(s, parent),
+                "stats": dict(s.stats or {}),
+                "n_buckets": s.n_buckets,
+                "n_files": n_files,
+                "files_delta": (
+                    n_files - len(parent.all_files())
+                    if parent is not None else n_files
+                ),
+                "applied_batches": dict(s.applied_batches),
+            })
+        return out
+
     def applied_batch(self, source_id: str) -> int:
         return self.snapshot.applied_batches.get(source_id, -1)
 

@@ -224,3 +224,38 @@ def test_delta_commit_conflict_cleans_up(spark, tmp_path):
     # retry after refresh succeeds
     t2.commit_delta(delta_rows(t2, [("a", 3)]), mor_meta=meta)
     assert {r["k"]: r["v"] for r in t2.read().collect()} == {"a": 3}
+
+
+def test_describe_history_operations(spark, tmp_path):
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import (
+        compact,
+        rebucket,
+        vacuum,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=2, key_fields=["k"]
+    )
+    t.overwrite(_df(spark, [(f"k{i}", i) for i in range(10)]))   # v1
+    t.commit_append(t.with_bucket(_df(spark, [("x", 99)])))      # v2
+    t.set_props({"bloom.cols": ["k"]})                           # v3
+    compact(t, min_files=1)                                      # v4
+    t.restore(2)                                                 # v5
+    rebucket(t, 4)                                               # v6
+    hist = t.describe_history()
+    ops = {h["version"]: h["operation"] for h in hist}
+    assert ops[0] == "CREATE"
+    assert ops[1] == "WRITE"  # initial load of an empty table
+    assert ops[2] == "APPEND"
+    assert ops[3] == "SET PROPERTIES"
+    assert ops[4] == "COMPACT"
+    assert ops[5] == "RESTORE"
+    assert ops[6] == "REBUCKET"
+    assert hist[0]["version"] == 6  # newest first
+    assert all("commit_ts" in h and "files_delta" in h for h in hist)
+    # limit caps parsing; vacuumed parents degrade gracefully
+    assert [h["version"] for h in t.describe_history(limit=2)] == [6, 5]
+    vacuum(t, keep_versions=2)
+    t2 = LakeTable.load(spark, t.path)
+    hist2 = t2.describe_history()
+    assert [h["version"] for h in hist2] == [6, 5]

@@ -65,6 +65,17 @@ class CdcStreamRunner:
     The parser runs inside the bounded retry loop, so a transiently
     unreachable registry gets the runner's backoff on top of the HTTP
     client's own retries.
+
+    ``followers`` are objects with an idempotent ``sync()`` —
+    typically :class:`..streaming.cascade.CascadeRunner` instances —
+    run after every applied batch INSIDE the managed ``foreachBatch``,
+    so downstream silver/gold tables advance in lock-step with the
+    ingest (the medallion pipeline in one streaming query). Each
+    follower gets its own bounded retry; a follower failure fails the
+    micro-batch, and on the stream's replay the apply skips via its
+    watermark while the follower syncs the missed window — follower
+    exactly-once rides the upstream-version watermark, so the
+    composition is crash-safe end-to-end.
     """
 
     def __init__(
@@ -73,11 +84,13 @@ class CdcStreamRunner:
         checkpoint_dir: str,
         source_id: str = "stream",
         record_parser=None,
+        followers: list | None = None,
     ):
         self.applier = applier
         self.checkpoint_dir = checkpoint_dir
         self.source_id = source_id
         self.record_parser = record_parser
+        self.followers = list(followers or [])
         self.results: list[BatchResult] = []
 
     # foreachBatch body — public so tests can drive it directly
@@ -122,6 +135,20 @@ class CdcStreamRunner:
                 if attempt == attempts - 1:
                     raise
                 time.sleep(cfg.retry_backoff_ms / 1000.0)
+        # followers (cascades) after the batch landed — same bounded
+        # retry; their own upstream-version watermarks make a replayed
+        # or crash-retried sync idempotent
+        for follower in self.followers:
+            for attempt in range(attempts):
+                try:
+                    follower.sync()
+                    break
+                except NON_RETRIABLE:
+                    raise
+                except Exception:  # noqa: BLE001
+                    if attempt == attempts - 1:
+                        raise
+                    time.sleep(cfg.retry_backoff_ms / 1000.0)
         return res
 
     def _maybe_compact(self, batch_id: int, skipped: bool) -> None:

@@ -232,3 +232,57 @@ def test_cascade_full_refresh_after_vacuumed_window(spark, tmp_path):
     r = run.sync(full_refresh=True)
     assert r.mode == "refresh"
     assert _rows(silver) == _rows(bronze)
+
+
+def test_cascade_schema_evolution_propagates(spark, tmp_path):
+    """Upstream evolves (new nullable column mid-stream): the change
+    feed carries it and the downstream applier auto-evolves, so the
+    silver table grows the column without intervention."""
+    bronze = _mk_bronze(spark, str(tmp_path / "bronze"))
+    silver = _mk_silver(spark, str(tmp_path / "silver"))
+    run = CascadeRunner(spark, bronze.table_path, silver)
+    bronze.apply_batch(_events_df(spark, B0), batch_id=0)
+    run.sync()
+    assert "tool" not in silver.read_target().columns
+    b1 = [ev(100 + i, "u", f"c{i % 4}", i % 3, tool=f"t{i}")
+          for i in range(6)]
+    r = bronze.apply_batch(
+        _events_df(spark, b1, with_optional=("tool",)), batch_id=1
+    )
+    assert "tool" in r.evolved_columns
+    run.sync()
+    got = {tuple(x) for x in silver.read_target()
+           .select("conv_id", "turn_idx", "tool").collect()}
+    want = {tuple(x) for x in bronze.read_target()
+            .select("conv_id", "turn_idx", "tool").collect()}
+    assert got == want
+
+
+def test_runner_followers_cascade_in_loop(spark, tmp_path):
+    """CdcStreamRunner(followers=[cascade]): silver advances in
+    lock-step with every ingested micro-batch, and a replayed batch
+    (apply skips) still syncs a follower that missed its window."""
+    from kafka_jdbc_sink_connector_spark.streaming.runner import (
+        CdcStreamRunner,
+    )
+
+    bronze = _mk_bronze(spark, str(tmp_path / "bronze"))
+    silver = _mk_silver(spark, str(tmp_path / "silver"))
+    cascade = CascadeRunner(spark, bronze.table_path, silver)
+    runner = CdcStreamRunner(
+        bronze, str(tmp_path / "ckpt"), followers=[cascade]
+    )
+    runner.process_batch(_events_df(spark, B0), batch_id=0)
+    assert _rows(silver) == _rows(bronze)
+    runner.process_batch(_events_df(spark, B1), batch_id=1)
+    assert _rows(silver) == _rows(bronze)
+
+    # follower crashed before syncing batch 2: the stream replays the
+    # batch; apply skips via its watermark, the follower catches up
+    bronze.apply_batch(_events_df(spark, B2), batch_id=2,
+                       source_id="stream")
+    assert cascade.watermark() < bronze.table().version
+    res = runner.process_batch(_events_df(spark, B2), batch_id=2)
+    assert res.skipped
+    assert cascade.watermark() == bronze.table().version
+    assert _rows(silver) == _rows(bronze)

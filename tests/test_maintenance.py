@@ -143,3 +143,28 @@ def test_rebucket_validation_and_mor_fold(spark, tmp_path):
     assert not t.snapshot.delta_buckets  # folded by the resolved read
     assert not t.snapshot.sdel_buckets
     assert _rows(applier) == before
+
+
+def test_vacuum_removes_crashed_commit_orphans(spark, tmp_path):
+    """A writer that dies between the data write and the manifest
+    publish leaves orphan files no snapshot references; vacuum removes
+    them (they are invisible to readers either way)."""
+    import os
+
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    from tests.test_lake_table import SCHEMA, _df
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=2, key_fields=["k"]
+    )
+    t.overwrite(_df(spark, [("a", 1), ("b", 2)]))
+    orphan_dir = os.path.join(t.path, "data", "commit-crashed-deadbeef")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-orphan.parquet")
+    open(orphan, "wb").write(b"not really parquet")
+    before = {(r["k"], r["v"]) for r in t.read().collect()}
+    stats = vacuum(t, keep_versions=2)
+    assert stats["removed_files"] == 1
+    assert not os.path.exists(orphan)
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == before

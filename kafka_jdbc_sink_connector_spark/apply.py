@@ -30,6 +30,7 @@ Schema evolution and the lineage append are metadata/driver-side
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -473,6 +474,33 @@ class CdcApplier:
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(
             self.lineage_path
         )
+
+    def expire_side_tables(self, keep_batches: int) -> dict:
+        """Retention for the lineage/quarantine side tables: drop
+        batch partitions older than the newest ``keep_batches`` batch
+        ids (they grow one partition per micro-batch forever
+        otherwise). Observability-only data — the exactly-once
+        watermark lives in the table snapshot and is untouched. Safe
+        even inside the checkpoint replay window: the partition dir
+        doubles as the 'side tables committed' flag, so a replay of
+        an expired batch merely recomputes and rewrites its rows
+        (idempotent), it never double-applies."""
+        if keep_batches < 0:
+            raise ValueError("keep_batches must be >= 0")
+        removed = {"lineage": 0, "quarantine": 0}
+        for key, root in (("lineage", self.lineage_path),
+                          ("quarantine", self.quarantine_path)):
+            if not os.path.isdir(root):
+                continue
+            parts = sorted(
+                (int(n.split("=", 1)[1]), n)
+                for n in os.listdir(root)
+                if n.startswith("batch_id=")
+            )
+            for _bid, name in parts[: max(0, len(parts) - keep_batches)]:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                removed[key] += 1
+        return removed
 
     def read_quarantine(self) -> DataFrame:
         schema = (

@@ -286,3 +286,23 @@ def test_runner_followers_cascade_in_loop(spark, tmp_path):
     assert res.skipped
     assert cascade.watermark() == bronze.table().version
     assert _rows(silver) == _rows(bronze)
+
+
+def test_cascade_follows_upstream_restore(spark, tmp_path):
+    """A bronze RESTORE is one more commit; the next sync's feed window
+    spans it, emits the inverse diff, and silver follows the rollback
+    — no special-casing anywhere."""
+    bronze = _mk_bronze(spark, str(tmp_path / "bronze"))
+    silver = _mk_silver(spark, str(tmp_path / "silver"))
+    run = CascadeRunner(spark, bronze.table_path, silver)
+    r0 = bronze.apply_batch(_events_df(spark, B0), batch_id=0)
+    run.sync()
+    state_v0 = _rows(bronze)
+    bronze.apply_batch(_events_df(spark, B1), batch_id=1)
+    run.sync()
+    assert _rows(silver) == _rows(bronze) != state_v0
+
+    bronze.table().restore(r0.snapshot_version)
+    r = run.sync()
+    assert r.mode == "incremental"
+    assert _rows(silver) == _rows(bronze) == state_v0

@@ -168,3 +168,31 @@ def test_vacuum_removes_crashed_commit_orphans(spark, tmp_path):
     assert stats["removed_files"] == 1
     assert not os.path.exists(orphan)
     assert {(r["k"], r["v"]) for r in t.read().collect()} == before
+
+
+def test_expire_side_tables_retention(spark, applied):
+    """Lineage/quarantine partitions older than the retention window
+    are dropped; newer ones and the batch watermark survive, and a
+    replay of an expired batch recomputes its rows idempotently."""
+    import os
+
+    lin = applied.read_lineage()
+    assert {r["batch_id"] for r in lin.select("batch_id")
+            .distinct().collect()} == {0, 1, 2}
+    removed = applied.expire_side_tables(keep_batches=1)
+    assert removed["lineage"] == 2
+    kept = {r["batch_id"] for r in applied.read_lineage()
+            .select("batch_id").distinct().collect()}
+    assert kept == {2}
+    assert applied.table().applied_batch("default") == 2  # untouched
+    # replaying an expired batch backfills its partition (idempotent)
+    events = generate_cdc_events(
+        spark, GenSpec(n_events=2000, n_conversations=40,
+                       turns_per_conversation=6)
+    )
+    b0 = events.filter(F.col("kafka_offset") < 700)
+    r = applied.apply_batch(b0, batch_id=0)
+    assert r.skipped
+    kept = {r["batch_id"] for r in applied.read_lineage()
+            .select("batch_id").distinct().collect()}
+    assert kept == {0, 2}

@@ -306,3 +306,38 @@ def test_cascade_follows_upstream_restore(spark, tmp_path):
     r = run.sync()
     assert r.mode == "incremental"
     assert _rows(silver) == _rows(bronze) == state_v0
+
+
+def test_cascade_mor_lock_step_rides_fast_path(spark, tmp_path):
+    """Lock-step followers on a merge-on-read bronze sync exactly one
+    delta commit per window — precisely the shape the change feed's
+    adjacent-delta fast path accepts, so steady-state cascade cost is
+    the batch's delta files + key-filtered old buckets, never a
+    snapshot resolve."""
+    from kafka_jdbc_sink_connector_spark.lake import changes
+    from kafka_jdbc_sink_connector_spark.streaming.runner import (
+        CdcStreamRunner,
+    )
+
+    bronze = CdcApplier(
+        spark,
+        SinkConfig(n_buckets=4, merge_mode="mor", delete_mode="delete"),
+        str(tmp_path / "bronze"), audit_ts=audit_col(),
+    )
+    silver = _mk_silver(spark, str(tmp_path / "silver"))
+    cascade = CascadeRunner(spark, bronze.table_path, silver)
+    runner = CdcStreamRunner(
+        bronze, str(tmp_path / "ckpt"), followers=[cascade]
+    )
+    runner.process_batch(_events_df(spark, B0), batch_id=0)  # bootstrap
+    runner.process_batch(_events_df(spark, B1), batch_id=1)
+    runner.process_batch(_events_df(spark, B2), batch_id=2)
+    t = bronze.table()
+    assert t.snapshot.delta_buckets  # steady batches committed as deltas
+    # every steady-state sync window was a single delta commit → the
+    # fast path's eligibility test accepts it
+    head = t.version
+    for v in range(2, head + 1):
+        old, new = t._read_version(v - 1), t._read_version(v)
+        assert changes._new_commit_files(old, new) is not None, v
+    assert _rows(silver) == _rows(bronze)

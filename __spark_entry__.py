@@ -1386,6 +1386,41 @@ FROM documents d LEFT JOIN percount c USING (doc_id)
 """
 
 
+def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (``operators/text.pack_chunks``):
+    concatenate-then-chunk layout for training sequences — per
+    document: its md5-prefix shard, start offset in the shard's token
+    stream (window cumsum within shard, ONE hash shuffle, no global
+    order), the 2048-token pack it begins in, and whether it straddles
+    a pack boundary. Deterministic under re-runs/re-partitioning."""
+    from kafka_jdbc_sink_connector_spark.operators.text import pack_chunks
+
+    return pack_chunks(_t(spark, sf_dir, "documents"), max_tokens=2048)
+
+
+def _sql_doc_pack_chunks() -> str:
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         md5('pack-v1' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, substr(h, 1, 2) AS shard,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY substr(h, 1, 2) ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_off
+  FROM t
+)
+SELECT doc_id, n_tokens, shard, start_off,
+       CAST(floor(start_off / 2048) AS BIGINT) AS pack_id,
+       (start_off % 2048) + n_tokens > 2048 AS spans_boundary
+FROM c
+"""
+
+
 def q_doc_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 corpus split by salted content hash —
     stable under re-runs/re-shards/incremental adds (no RNG). Hex
@@ -2909,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": q_doc_token_count,
         "doc_bpe_token_count_true": q_doc_bpe_token_count_true,
         "doc_train_val_split": q_doc_train_val_split,
+        "doc_pack_chunks": q_doc_pack_chunks,
         "doc_contamination_check": q_doc_contamination_check,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_temperature_mix": q_doc_temperature_mix,
@@ -2981,6 +3017,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": _sql_token_count(),
         "doc_bpe_token_count_true": _sql_bpe_token_count_true(),
         "doc_train_val_split": _sql_train_val_split(),
+        "doc_pack_chunks": _sql_doc_pack_chunks(),
         "doc_contamination_check": _sql_contamination(),
         "doc_stratified_sample": _sql_stratified_sample(),
         "doc_temperature_mix": _sql_temperature_mix(),

@@ -44,6 +44,7 @@ QUERY_NAMES = [
     "events_sessionize",
     "doc_quality_score",
     "doc_train_val_split",
+    "doc_pack_chunks",
     "doc_stratified_sample",
     "doc_contamination_check",
     "doc_minhash_lsh_pairs",

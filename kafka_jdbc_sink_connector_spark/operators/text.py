@@ -532,3 +532,66 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def pack_chunks(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack-v1",
+    shard_chars: int = 2,
+) -> DataFrame:
+    """Sequence packing by concatenate-then-chunk — the layout step of
+    a training-data pipeline: documents are concatenated in a
+    deterministic content-hash order and the token stream is cut into
+    fixed ``max_tokens`` sequences. Emits, per document, the shard it
+    packs into, its start offset in the shard's token stream, the pack
+    (sequence) id it begins in, and whether it straddles a pack
+    boundary (the fraction a loss-masking policy cares about).
+
+    Scale shape: documents are sharded by a salted md5 prefix
+    (``16^shard_chars`` shards — the same cross-engine hex-prefix
+    trick as :func:`hash_split`, no engine-specific hex→int
+    conversion), and the running token offset is a window cumsum
+    WITHIN each shard — one hash-partitioned shuffle, no global total
+    order, each shard packs independently (at 100 TB every shard is a
+    few GB and the window never sees more than its shard).
+    Determinism: order within a shard is (full hash, id), so re-runs,
+    re-partitioning, and incremental re-packs place every document
+    identically.
+    """
+    from pyspark.sql import Window
+
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    cid = F.col(id_col)
+    h = F.md5(F.concat(F.lit(salt), cid.cast("string")).cast("binary"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        docs.select(
+            cid.alias(id_col),
+            token_count(F.col(text_col)).alias("n_tokens"),
+            F.substring(h, 1, shard_chars).alias("shard"),
+            h.alias("__h"),
+        )
+        .withColumn(
+            "start_off",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("start_off") / F.lit(max_tokens)).cast("long"),
+        )
+        .withColumn(
+            "spans_boundary",
+            (F.pmod(F.col("start_off"), F.lit(max_tokens))
+             + F.col("n_tokens")) > F.lit(max_tokens),
+        )
+        .drop("__h")
+    )
+    return out

@@ -350,3 +350,17 @@ def test_zorder_key_stays_codegen(spark):
     assert "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # key computation itself: no shuffle
     assert "WholeStageCodegen" in z._jdf.queryExecution().executedPlan().toString() or "*(1)" in plan
+
+
+def test_pack_chunks_one_shuffle_no_python(spark):
+    """Sequence packing = one hash shuffle on the shard key + a
+    window cumsum within shards; no global sort, no Python eval."""
+    from kafka_jdbc_sink_connector_spark.operators.text import pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], "doc_id long, text string"
+    )
+    plan = plan_of(pack_chunks(docs, max_tokens=128))
+    assert plan.count("Exchange") == 1  # shard hash-partitioning only
+    assert "rangepartitioning" not in plan.lower()  # no global order
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

@@ -748,3 +748,37 @@ def test_line_dedup_trim_matching_and_threshold(spark):
         for r in docdedup.line_dedup(df, min_df=3).collect()
     }
     assert kept3 == {1: 0, 2: 0, 3: 0}
+
+
+def test_pack_chunks_invariants(spark):
+    """Packing is deterministic under repartitioning, offsets are a
+    contiguous per-shard token stream, and boundary flags agree with
+    the arithmetic."""
+    from kafka_jdbc_sink_connector_spark.operators.text import pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (1 + (i * 37) % 700)) for i in range(400)],
+        "doc_id long, text string",
+    )
+    L = 256
+    out = pack_chunks(docs, max_tokens=L).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert len(rows) == 400
+    # determinism under a different input partitioning
+    out2 = pack_chunks(docs.repartition(13), max_tokens=L).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in out2}
+    # per shard: offsets sorted in (hash, id) order are contiguous
+    by_shard: dict[str, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) > 10  # genuinely sharded
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: r["start_off"])
+        acc = 0
+        for r in rs:
+            assert r["start_off"] == acc, (shard, r)
+            assert r["pack_id"] == r["start_off"] // L
+            assert r["spans_boundary"] == (
+                (r["start_off"] % L) + r["n_tokens"] > L
+            )
+            acc += r["n_tokens"]

@@ -216,6 +216,54 @@ def cmd_vacuum(args) -> None:
     print(json.dumps(vacuum(t, keep_versions=args.keep_versions)))
 
 
+def cmd_restore(args) -> None:
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    spark = _session(args)
+    t = LakeTable.load(spark, args.table)
+    snap = t.restore(args.version)
+    print(json.dumps({
+        "version": snap.version,
+        "restored_from": args.version,
+        "applied_batches": snap.applied_batches,
+    }))
+
+
+def cmd_rebucket(args) -> None:
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import rebucket
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    spark = _session(args)
+    t = LakeTable.load(spark, args.table)
+    old = t.snapshot.n_buckets
+    rebucket(t, args.n_buckets)
+    print(json.dumps({
+        "version": t.version, "n_buckets": [old, args.n_buckets],
+    }))
+
+
+def cmd_set_props(args) -> None:
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    spark = _session(args)
+    t = LakeTable.load(spark, args.table)
+    updates: dict = {}
+    for kv in args.set or []:
+        k, _, v = kv.partition("=")
+        if not _:
+            raise SystemExit(f"--set expects key=value, got {kv!r}")
+        # JSON values when they parse (lists/ints for bloom.* etc.),
+        # bare strings otherwise
+        try:
+            updates[k] = json.loads(v)
+        except json.JSONDecodeError:
+            updates[k] = v
+    for k in args.unset or []:
+        updates[k] = None
+    snap = t.set_props(updates)
+    print(json.dumps({"version": snap.version, "props": snap.props}))
+
+
 def cmd_show(args) -> None:
     from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
 
@@ -367,6 +415,30 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--table", required=True)
     p.add_argument("--limit", type=int, default=None)
     p.set_defaults(fn=cmd_history)
+
+    p = sub.add_parser(
+        "restore",
+        help="roll back to a version (state + batch watermarks rewind)",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--version", type=int, required=True)
+    p.set_defaults(fn=cmd_restore)
+
+    p = sub.add_parser(
+        "rebucket", help="change the bucket count (full resolved rewrite)"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--n-buckets", type=int, required=True)
+    p.set_defaults(fn=cmd_rebucket)
+
+    p = sub.add_parser(
+        "props", help="update table properties (metadata-only commit)"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="JSON values when they parse, strings otherwise")
+    p.add_argument("--unset", action="append", metavar="KEY")
+    p.set_defaults(fn=cmd_set_props)
 
     p = sub.add_parser(
         "changes", help="change data feed between two table versions"

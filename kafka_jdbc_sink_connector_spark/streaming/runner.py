@@ -226,6 +226,7 @@ class MultiTableRunner:
         record_parser=None,
         parse_max_retries: int = 3,
         parse_backoff_ms: int = 500,
+        followers: list | None = None,
     ):
         #: topic -> CdcApplier, created lazily like the per-table
         #: BufferedRecords map (JdbcAuditDbWriter.java:63-83)
@@ -245,6 +246,11 @@ class MultiTableRunner:
         self.record_parser = record_parser
         self.parse_max_retries = parse_max_retries
         self.parse_backoff_ms = parse_backoff_ms
+        #: same post-apply cascade hook as CdcStreamRunner.followers —
+        #: run after EVERY table routed in the batch has applied (a
+        #: follower may tail any of them; its own upstream-version
+        #: watermark makes replays idempotent)
+        self.followers = list(followers or [])
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.record_parser is not None:
@@ -288,6 +294,18 @@ class MultiTableRunner:
                     if attempt == attempts - 1:
                         raise
                     time.sleep(applier.cfg.retry_backoff_ms / 1000.0)
+        for follower in self.followers:
+            attempts = self.parse_max_retries + 1
+            for attempt in range(attempts):
+                try:
+                    follower.sync()
+                    break
+                except NON_RETRIABLE:
+                    raise
+                except Exception:  # noqa: BLE001
+                    if attempt == attempts - 1:
+                        raise
+                    time.sleep(self.parse_backoff_ms / 1000.0)
 
     def start(self, stream_df: DataFrame, available_now: bool = True) -> StreamingQuery:
         writer = stream_df.writeStream.foreachBatch(

@@ -458,3 +458,57 @@ def test_multi_table_runner_record_parser_routes_decoded_topics(
     assert set(made) == {"t_a", "t_b"}
     assert made["t_a"].read_target().count() == 2
     assert made["t_b"].read_target().count() == 1
+
+
+def test_multi_table_followers_cascade(spark, tmp_path):
+    """MultiTableRunner followers: one cascade per routed table keeps
+    each silver in lock-step with its bronze."""
+    from kafka_jdbc_sink_connector_spark.streaming.cascade import (
+        CascadeRunner,
+    )
+
+    cfg = SinkConfig(n_buckets=2)
+    made = {}
+
+    def factory(topic):
+        a = CdcApplier(
+            spark, cfg, str(tmp_path / cfg.table_name(topic)),
+            audit_ts=audit_col(),
+        )
+        made[topic] = a
+        return a
+
+    silvers = {}
+    followers = []
+    for topic in ("t_even", "t_odd"):
+        bronze_path = str(tmp_path / cfg.table_name(topic))
+        silvers[topic] = CdcApplier(
+            spark, cfg, str(tmp_path / f"silver_{topic}"),
+            audit_ts=audit_col(),
+        )
+        followers.append(
+            CascadeRunner(spark, bronze_path, silvers[topic],
+                          upstream_deleted_when=F.col("op_type") == "D")
+        )
+
+    runner = MultiTableRunner(factory, str(tmp_path / "ckpt"),
+                              followers=followers)
+    df = generate_cdc_events(
+        spark, GenSpec(n_events=200, n_conversations=10)
+    ).withColumn(
+        "topic",
+        F.when(F.col("kafka_offset") % 2 == 0, "t_even").otherwise("t_odd"),
+    )
+    runner.process_batch(df, batch_id=0)
+    for topic in ("t_even", "t_odd"):
+        live = {
+            tuple(r) for r in made[topic].read_target()
+            .filter(F.col("op_type") != "D")
+            .select("conv_id", "turn_idx", "text").collect()
+        }
+        got = {
+            tuple(r) for r in silvers[topic].read_target()
+            .filter(F.col("op_type") != "D")
+            .select("conv_id", "turn_idx", "text").collect()
+        }
+        assert got == live and live

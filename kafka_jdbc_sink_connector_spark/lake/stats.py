@@ -625,8 +625,11 @@ def harvest_blooms(
         tbl = pq.read_table(full, columns=want)
         per_col: dict[str, dict] = {}
         for c in want:
+            # drop nulls ARROW-side: pandas would otherwise promote a
+            # nullable int column to float64 (kind 'f') and
+            # build_bloom would decline it
             b = build_bloom(
-                tbl.column(c).to_pandas(),
+                tbl.column(c).drop_null().combine_chunks().to_pandas(),
                 spec["bits_per_key"], spec["max_bytes"],
             )
             if b is not None:

@@ -173,3 +173,23 @@ def test_props_carry_and_set_props(spark, tmp_path):
     assert LakeTable.load(spark, t.path).snapshot.props == {
         "bloom.cols": ["k"]
     }
+
+
+def test_nullable_int_column_still_gets_bloom(spark, tmp_path):
+    """Nulls in an int column must not silently disable its bloom
+    (pandas promotes nullable ints to float64 — nulls are dropped
+    Arrow-side before canonicalization)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, n_buckets=1,
+        key_fields=["k"], props={"bloom.cols": ["kid"]},
+    )
+    rows = [(f"key-{i}", i if i % 5 else None, 0.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, kid long, v double")
+    t.commit_append(t.with_bucket(df))
+    f = t.snapshot.files()[0]
+    ent = t.snapshot.file_stats[f]["cols"]["kid"]
+    assert "bloom" in ent and ent["bloom"]["t"] == "n"
+    got = {r["k"] for r in t.read(where=[("kid", "=", 7)]).collect()}
+    assert got == {"key-7"}
+    # null rows are invisible to equality probes but still readable
+    assert t.read().filter("kid is null").count() == 100

@@ -1084,6 +1084,45 @@ FROM events, m WHERE event_id > m.e_hi
 """
 
 
+def q_events_assemble_transcripts(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Transcript assembly — the payload-domain layout step: collapse
+    each key's ordered event stream into ONE training-ready text row
+    (`role: text` turns joined in order), plus turn count and total
+    length. Shape at 100 TB: collect_list per key (map-side partial)
+    → array_sort on the (offset, …) struct → codegen'd transform +
+    array_join — one shuffle on the key, no window, no global order,
+    no Python. The same plan assembles multi-turn conversations from
+    the CDC table (`conv_id`/`turn_idx`/`role`/`text`)."""
+    from kafka_jdbc_sink_connector_spark.operators.text import (
+        assemble_transcripts,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") != "error")
+    line = F.concat_ws(
+        ": ", F.col("event_type"), F.format_string("%.2f", F.col("value"))
+    )
+    return assemble_transcripts(ev, ["user_id"], "event_id", line)
+
+
+def _sql_events_assemble_transcripts() -> str:
+    # format_string('%.2f') and printf('%.2f') agree at any magnitude
+    # (no locale grouping on either side)
+    return """
+WITH turns AS (
+  SELECT user_id, event_id,
+         event_type || ': ' || printf('%.2f', value) AS line
+  FROM events WHERE event_type <> 'error'
+)
+SELECT user_id,
+       CAST(count(*) AS INT) AS n_turns,
+       string_agg(line, chr(10) ORDER BY event_id) AS transcript,
+       CAST(length(string_agg(line, chr(10) ORDER BY event_id)) AS INT)
+         AS transcript_chars
+FROM turns GROUP BY user_id
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 1800s starts a new session per user.
 
@@ -2929,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_clustered_scan": q_cdc_clustered_scan,
         "cdc_zorder_scan": q_cdc_zorder_scan,
         "events_sessionize": q_events_sessionize,
+        "events_assemble_transcripts": q_events_assemble_transcripts,
         "events_topk_per_type": q_events_topk_per_type,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
@@ -3002,6 +3042,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_clustered_scan": _sql_clustered_scan(),
         "cdc_zorder_scan": _sql_zorder_scan(),
         "events_sessionize": _sql_sessionize(),
+        "events_assemble_transcripts": _sql_events_assemble_transcripts(),
         "events_topk_per_type": _sql_topk(),
         "tpch_q1_pricing_summary": _sql_tpch_q1(),
         "tpch_q3_shipping_priority": _sql_tpch_q3(),

@@ -42,6 +42,7 @@ QUERY_NAMES = [
     "cdc_cascade_view",
     "cdc_bloom_point_lookup",
     "events_sessionize",
+    "events_assemble_transcripts",
     "doc_quality_score",
     "doc_train_val_split",
     "doc_pack_chunks",

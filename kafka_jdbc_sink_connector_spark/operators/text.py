@@ -595,3 +595,37 @@ def pack_chunks(
         .drop("__h")
     )
     return out
+
+
+def assemble_transcripts(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    line: Column,
+    sep: str = "\n",
+) -> DataFrame:
+    """Collapse each key's ordered rows into ONE training-ready text
+    row — the transcript-assembly step that turns a per-turn CDC table
+    (``conv_id``/``turn_idx``/``role``/``text``) into whole-conversation
+    documents for the curation/dedup/packing operators downstream.
+
+    Scale shape: ``collect_list(struct(order, line))`` per key with
+    map-side partial aggregation, then a codegen'd ``array_sort`` +
+    ``transform`` + ``array_join`` on the grouped row — ONE shuffle on
+    the key, no window, no global order, no Python, and the sort is
+    per-conversation (bounded by turns-per-conversation, not
+    partition size).
+
+    Returns ``key_cols + (n_turns, transcript, transcript_chars)``.
+    """
+    turn = F.struct(F.col(order_col).alias("__o"), line.alias("__l"))
+    agg = df.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_list(turn)).alias("__turns")
+    )
+    return agg.select(
+        *key_cols,
+        F.size("__turns").alias("n_turns"),
+        F.array_join(
+            F.transform(F.col("__turns"), lambda t: t["__l"]), sep
+        ).alias("transcript"),
+    ).withColumn("transcript_chars", F.length("transcript"))

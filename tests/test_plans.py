@@ -364,3 +364,27 @@ def test_pack_chunks_one_shuffle_no_python(spark):
     assert plan.count("Exchange") == 1  # shard hash-partitioning only
     assert "rangepartitioning" not in plan.lower()  # no global order
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_assemble_transcripts_one_shuffle_partial_agg(spark):
+    """Transcript assembly = one key shuffle with map-side partial
+    collect_list; sorting is per-group (array_sort), never a global
+    or range sort; no Python eval."""
+    from kafka_jdbc_sink_connector_spark.operators.text import (
+        assemble_transcripts,
+    )
+
+    df = spark.createDataFrame(
+        [(f"c{i % 7}", i, f"u{i}") for i in range(100)],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = assemble_transcripts(
+        df, ["conv_id"], "turn_idx", F.col("text")
+    )
+    plan = plan_of(out)
+    assert plan.count("Exchange") == 1
+    assert "partial_collect_list" in plan  # map-side combine
+    assert "rangepartitioning" not in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    rows = {r["conv_id"]: r for r in out.collect()}
+    assert rows["c0"]["transcript"].startswith("u0\nu7\nu14")

@@ -475,6 +475,99 @@ class CdcApplier:
             self.lineage_path
         )
 
+    def replay_quarantine(
+        self, batch_id: int, fix=None, replay_source: str = "dlq"
+    ) -> BatchResult:
+        """Re-drive one batch's dead-lettered rows through the FULL
+        apply path after the cause is fixed — the completion of the
+        reference's unroll-and-retry story (its DLQ is terminal; an
+        operator re-produces to the topic by hand). Semantics:
+
+        * rows that now apply vanish from the quarantine (the replay's
+          own quarantine write replaces the batch's partition with the
+          still-failing subset; zero failures clears it);
+        * rows that still fail stay quarantined with fresh reasons;
+        * the original batch's lineage is untouched — replay lineage
+          is tracked beside it (``<lineage>_dlq``);
+        * exactly-once per ``(replay_source, batch_id)``: a repeated
+          call skips via the table watermark; re-drive after ANOTHER
+          fix by passing a new ``replay_source``.
+
+        Parsing: pk and transport columns re-parse under their REAL
+        types (bucket hashes must agree between the stats job and the
+        merge — a pk that no longer parses re-quarantines as a null
+        key), while non-key payload re-parses as STRING so the
+        engine's per-row ``try_cast`` rescue decides again, exactly
+        like a fresh batch. ``fix`` (DataFrame → DataFrame) rewrites
+        the parsed events before apply — the "operator fixed the
+        upstream bug" hook. Columns the current target doesn't know
+        are dropped (re-evolution of quarantined-only columns is out
+        of scope)."""
+        from pyspark.sql import types as T
+
+        from kafka_jdbc_sink_connector_spark.operators.merge import (
+            payload_columns,
+        )
+
+        cfg = self.cfg
+        part_dir = os.path.join(
+            self.quarantine_path, f"batch_id={batch_id}"
+        )
+        if not os.path.isdir(part_dir):
+            raise FileNotFoundError(
+                f"no quarantine partition for batch {batch_id} at "
+                f"{part_dir}"
+            )
+        table = self.table()
+        if table is None:
+            raise FileNotFoundError(self.table_path)
+        by_name = {f.name: f for f in table.schema.fields}
+        fields = []
+        for name in payload_columns(table.schema, cfg):
+            if name == cfg.audit_ts_column:
+                continue
+            dtype = (
+                by_name[name].dataType
+                if name in cfg.pk_fields
+                else T.StringType()
+            )
+            fields.append(T.StructField(name, dtype, True))
+        fields += [
+            T.StructField(cfg.op_column, T.StringType(), True),
+            T.StructField(cfg.offset_column, T.LongType(), True),
+            T.StructField(cfg.partition_column, T.IntegerType(), True),
+        ]
+        schema = T.StructType(fields)
+        # stage the partition aside first: the replay's own quarantine
+        # write OVERWRITES this partition mid-apply, and the apply's
+        # later jobs re-scan the (lazy) events plan — reading the
+        # original files in place would hit deleted-file errors
+        import tempfile
+        import uuid as _uuid
+
+        staging = os.path.join(
+            tempfile.gettempdir(), f"dlq-replay-{_uuid.uuid4().hex[:8]}"
+        )
+        shutil.copytree(part_dir, staging)
+        try:
+            raw = self.spark.read.schema("raw string").parquet(staging)
+            events = raw.select(
+                F.from_json("raw", schema).alias("e")
+            ).select("e.*")
+            if fix is not None:
+                events = fix(events)
+            dlq = CdcApplier(
+                self.spark, cfg, self.table_path,
+                quarantine_path=self.quarantine_path,
+                lineage_path=f"{self.lineage_path.rstrip('/')}_dlq",
+                audit_ts=self.audit_ts,
+            )
+            return dlq.apply_batch(
+                events, batch_id=batch_id, source_id=replay_source
+            )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
     def expire_side_tables(self, keep_batches: int) -> dict:
         """Retention for the lineage/quarantine side tables: drop
         batch partitions older than the newest ``keep_batches`` batch

@@ -77,6 +77,22 @@ def cmd_apply(args) -> None:
     }))
 
 
+def cmd_replay_dlq(args) -> None:
+    from kafka_jdbc_sink_connector_spark.apply import CdcApplier
+
+    spark = _session(args)
+    applier = CdcApplier(spark, _config(args), args.table)
+    res = applier.replay_quarantine(
+        args.batch_id, replay_source=args.replay_source
+    )
+    print(json.dumps({
+        "batch_id": res.batch_id, "skipped": res.skipped,
+        "n_applied": res.n_events,
+        "n_still_quarantined": res.n_quarantined,
+        "snapshot_version": res.snapshot_version,
+    }))
+
+
 def cmd_stream(args) -> None:
     from kafka_jdbc_sink_connector_spark.apply import CdcApplier
     from kafka_jdbc_sink_connector_spark.schemas import CDC_EVENT_SCHEMAS
@@ -351,6 +367,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--input", required=True)
     p.add_argument("--batch-id", type=int, default=0)
     p.set_defaults(fn=cmd_apply)
+
+    p = sub.add_parser(
+        "replay-dlq",
+        help="re-drive one batch's quarantined rows through the apply",
+    )
+    add_cfg(p)
+    p.add_argument("--batch-id", type=int, required=True)
+    p.add_argument("--replay-source", default="dlq",
+                   help="watermark namespace; change it to re-drive "
+                        "the same batch again after another fix")
+    p.set_defaults(fn=cmd_replay_dlq)
 
     p = sub.add_parser("stream", help="run the streaming pipeline")
     add_cfg(p)

@@ -192,3 +192,74 @@ def test_rebucket_races_decline_both_directions(spark, tmp_path):
     t = LakeTable.load(spark, p2)
     assert t.snapshot.n_buckets == 4
     assert {r["k"] for r in t.read().collect()} >= {"y"}
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_randomized_stale_commit_schedules(spark, tmp_path, seed):
+    """Deterministic fuzz over stale-handle commit schedules: a mix of
+    appends and single-bucket rewrites issued from handles of varying
+    staleness. Invariants: (a) every operation either lands or raises
+    CommitConflict — never silently vanishes; (b) the final state
+    reflects exactly the landed operations; (c) every parquet on disk
+    is referenced by some retained snapshot (losers cleaned up);
+    (d) the manifest chain is unbroken."""
+    import random
+
+    rng = random.Random(seed)
+    p = str(tmp_path / "t")
+    _mk(spark, p)  # k0..k19 = 0..19
+    expected = {f"k{i}": i for i in range(20)}
+    landed, declined = 0, 0
+
+    for step in range(10):
+        op = rng.choice(["append", "rewrite", "append_stale",
+                         "rewrite_stale"])
+        stale = op.endswith("_stale")
+        t = LakeTable.load(spark, p)
+        if stale:
+            # simulate a writer that lost a race: another commit lands
+            # between this handle's load and its publish
+            other = LakeTable.load(spark, p)
+            other.commit_append(
+                other.with_bucket(_df(spark, [(f"bg{step}", 7000 + step)]))
+            )
+            expected[f"bg{step}"] = 7000 + step
+        try:
+            if op.startswith("append"):
+                t.commit_append(
+                    t.with_bucket(_df(spark, [(f"n{step}", 1000 + step)]))
+                )
+                expected[f"n{step}"] = 1000 + step
+            else:
+                b = rng.randrange(4)
+                from pyspark.sql import functions as F
+                pre = {r["k"] for r in t.read(buckets=[b]).collect()}
+                t.commit_rewrite(
+                    t.read(buckets=[b], include_bucket=True)
+                    .withColumn("v", F.col("v") + 100000),
+                    [b],
+                )
+                for k in pre:
+                    expected[k] += 100000
+            landed += 1
+        except CommitConflict:
+            declined += 1  # allowed only for stale rewrites
+            assert op == "rewrite_stale", op
+    assert landed >= 6  # schedules aren't degenerate
+
+    t = LakeTable.load(spark, p)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == expected
+    # no orphan files, unbroken parent chain
+    live = set()
+    versions = t.history()
+    for v in versions:
+        live.update(t._read_version(v).all_files())
+    on_disk = {
+        os.path.relpath(os.path.join(dp, fn), p)
+        for dp, _dn, fns in os.walk(os.path.join(p, "data"))
+        for fn in fns if fn.endswith(".parquet")
+    }
+    assert on_disk <= live
+    for v in versions[1:]:
+        assert t._read_version(v).parent in versions

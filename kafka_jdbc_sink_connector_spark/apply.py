@@ -580,9 +580,11 @@ class CdcApplier:
         (idempotent), it never double-applies."""
         if keep_batches < 0:
             raise ValueError("keep_batches must be >= 0")
-        removed = {"lineage": 0, "quarantine": 0}
+        removed = {"lineage": 0, "quarantine": 0, "lineage_dlq": 0}
         for key, root in (("lineage", self.lineage_path),
-                          ("quarantine", self.quarantine_path)):
+                          ("quarantine", self.quarantine_path),
+                          ("lineage_dlq",
+                           f"{self.lineage_path.rstrip('/')}_dlq")):
             if not os.path.isdir(root):
                 continue
             parts = sorted(

@@ -263,3 +263,51 @@ def test_randomized_stale_commit_schedules(spark, tmp_path, seed):
     assert on_disk <= live
     for v in versions[1:]:
         assert t._read_version(v).parent in versions
+
+
+def test_compaction_racing_delta_commit_declines(spark, tmp_path):
+    """A compaction (bucket rewrite folding deltas) that loses the
+    race to a NEW delta commit on the same buckets must decline —
+    rebasing would silently drop the concurrent batch's changes."""
+    from pyspark.sql import functions as F
+
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import compact
+    from kafka_jdbc_sink_connector_spark.lake.mor import (
+        DELTA_DEL,
+        DELTA_DEL_OFF,
+        DELTA_UPS,
+        DELTA_UPS_OFF,
+    )
+
+    p = str(tmp_path / "t")
+    t1 = LakeTable.create(spark, p, SCHEMA, n_buckets=2, key_fields=["k"])
+    t1.overwrite(_df(spark, [(f"k{i}", i) for i in range(10)]))
+    meta = {"soft": False, "hard": False, "upd_only": False,
+            "guard": [], "overlay_cols": []}
+
+    def delta_rows(t, rows, off):
+        return t.with_bucket(_df(spark, rows)).select(
+            "k",
+            F.struct(F.col("v").alias("v")).alias(DELTA_UPS),
+            F.lit(off).cast("long").alias(DELTA_UPS_OFF),
+            F.lit(None).cast("struct<v:long>").alias(DELTA_DEL),
+            F.lit(None).cast("long").alias(DELTA_DEL_OFF),
+            F.col("__bucket"),
+        )
+
+    t1.commit_delta(delta_rows(t1, [("k1", 100)], 1), mor_meta=meta)
+    # compactor loads, then a writer lands another delta first
+    compactor = LakeTable.load(spark, p)
+    writer = LakeTable.load(spark, p)
+    writer.commit_delta(delta_rows(writer, [("k2", 200)], 2),
+                        mor_meta=meta)
+    with pytest.raises(CommitConflict):
+        compact(compactor, min_files=1)
+    # nothing lost: both deltas resolve; a fresh compaction succeeds
+    t = LakeTable.load(spark, p)
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows["k1"] == 100 and rows["k2"] == 200
+    compact(t, min_files=1)
+    assert not t.snapshot.delta_buckets
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows["k1"] == 100 and rows["k2"] == 200

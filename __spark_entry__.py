@@ -705,6 +705,49 @@ WHERE coalesce(
 """
 
 
+def q_cdc_dlq_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter replay (``apply.replay_quarantine``): every event
+    of ~10% of the keys arrives with a corrupted op and dead-letters
+    through the REAL quarantine path; the replay re-drives the
+    batch's quarantine partition with a fix that restores the op, so
+    the engine converges to the state the clean stream would have
+    produced — which is exactly the standard final-state oracle.
+    Mangling whole KEYS (not scattered events) keeps replay ordering
+    out of the semantics: each affected key's full event set flows
+    through one collapse, same as a clean apply."""
+    cfg = SinkConfig(**_CDC_CFG)
+    cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
+    mangled = cdc.withColumn(
+        "op",
+        F.when(F.pmod("user_id", F.lit(10)) == 3, F.lit("x"))
+        .otherwise(F.col("op")),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_dlq_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
+    applier.apply_batch(mangled, batch_id=0)
+
+    def fix(df):
+        return df.withColumn(
+            "op",
+            F.when(
+                F.col("op") == "x",
+                F.when(F.col("event_type") == "error", F.lit("d"))
+                .otherwise(F.lit("u")),
+            ).otherwise(F.col("op")),
+        )
+
+    applier.replay_quarantine(0, fix=fix)
+    return applier.read_target().select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        "op_type",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+
+
 def q_cdc_schema_evolution_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evolution/backfill semantics (O6): even event_ids replay the
     pre-evolution schema (no `value` column); unionByName null-backfills
@@ -2960,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_change_feed_soft": q_cdc_change_feed_soft,
         "cdc_lineage_agg": q_cdc_lineage_agg,
         "cdc_quarantine_split": q_cdc_quarantine_split,
+        "cdc_dlq_replay_state": q_cdc_dlq_replay_state,
         "cdc_schema_evolution_backfill": q_cdc_schema_evolution_backfill,
         "cdc_schema_widening_state": q_cdc_schema_widening_state,
         "cdc_time_range_scan": q_cdc_time_range_scan,
@@ -3034,6 +3078,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_change_feed_soft": _sql_cdc_change_feed_soft(),
         "cdc_lineage_agg": _sql_cdc_lineage(),
         "cdc_quarantine_split": _sql_cdc_quarantine(),
+        "cdc_dlq_replay_state": _sql_cdc_final_state(),
         "cdc_schema_evolution_backfill": _sql_cdc_evolution(),
         "cdc_schema_widening_state": _sql_cdc_widening(),
         "cdc_time_range_scan": _sql_time_range_scan(),

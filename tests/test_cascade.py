@@ -41,9 +41,13 @@ B2 = [ev(200 + i, "u", f"c{(i + 1) % 5}", (i + 2) % 3, text="rev3")
       for i in range(9)]
 
 
-def test_cascade_mirror_bootstrap_and_incremental(spark, tmp_path):
+@pytest.mark.parametrize("silver_mode", ["cow", "mor"])
+def test_cascade_mirror_bootstrap_and_incremental(
+    spark, tmp_path, silver_mode
+):
     bronze = _mk_bronze(spark, str(tmp_path / "bronze"))
-    silver = _mk_silver(spark, str(tmp_path / "silver"))
+    silver = _mk_silver(spark, str(tmp_path / "silver"),
+                        merge_mode=silver_mode)
     run = CascadeRunner(spark, bronze.table_path, silver)
 
     bronze.apply_batch(_events_df(spark, B0), batch_id=0)

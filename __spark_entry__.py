@@ -2272,6 +2272,34 @@ def q_emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        dim=64, round_digits=4)
 
 
+def q_emb_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup against a persisted sign-LSH bucket
+    index (operators/incremental.EmbeddingDedupIndex): the corpus
+    arrives as two ingest batches (vec_id parity split); each batch is
+    bucketed once, probed against the index built so far (batch side
+    broadcast — the index is never shuffled), exact-cosine verified,
+    and appended as an atomic watermarked commit. The unioned
+    two-batch result must equal the corpus-wide
+    ``cosine_dup_pairs`` set — the oracle is exactly
+    ``emb_cosine_dup_pairs``'s."""
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="emb_idx_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    idx = incremental.EmbeddingDedupIndex.create(
+        spark, os.path.join(tmp, "idx"), n_buckets=8, n_planes=8,
+        dim=64, threshold=0.3, round_digits=4,
+    )
+    p0 = idx.add_and_find_dups(
+        emb.filter(F.col("vec_id") % 2 == 0), batch_id=0
+    )
+    p1 = idx.add_and_find_dups(
+        emb.filter(F.col("vec_id") % 2 == 1), batch_id=1
+    )
+    # disjoint by construction: each pair is emitted by the batch
+    # that completes it
+    return p0.union(p1)
+
+
 def _sql_cosine_dup_pairs() -> str:
     planes = similarity.hyperplanes(8, 64, seed=42)
     with_planes = ", ".join(
@@ -3053,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
+        "emb_dedup_incremental": q_emb_dedup_incremental,
         "emb_dup_clusters": q_emb_dup_clusters,
         "emb_lsh_ann": q_emb_lsh_ann,
         "emb_ivf_ann": q_emb_ivf_ann,
@@ -3128,6 +3157,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_bruteforce": _sql_knn(),
         "emb_lsh_buckets": _sql_lsh_buckets(),
         "emb_cosine_dup_pairs": _sql_cosine_dup_pairs(),
+        "emb_dedup_incremental": _sql_cosine_dup_pairs(),
         "emb_dup_clusters": _sql_emb_dup_clusters(),
         "emb_lsh_ann": _sql_lsh_ann(),
         "emb_ivf_ann": _sql_ivf_ann(),

@@ -489,9 +489,16 @@ class CdcApplier:
         * rows that still fail stay quarantined with fresh reasons;
         * the original batch's lineage is untouched — replay lineage
           is tracked beside it (``<lineage>_dlq``);
-        * exactly-once per ``(replay_source, batch_id)``: a repeated
-          call skips via the table watermark; re-drive after ANOTHER
-          fix by passing a new ``replay_source``.
+        * exactly-once per ``(replay_source, batch_id)``: the
+          watermark is namespaced per batch
+          (``{replay_source}:{batch_id}``), so replaying batch 5 and
+          then batch 3 applies BOTH — a plain high-water mark on
+          ``replay_source`` alone would send the lower batch id down
+          the skip path, whose side-table backfill deletes the
+          dead-lettered partition without ever applying it. A
+          repeated call for the SAME batch skips idempotently;
+          re-drive after ANOTHER fix by passing a new
+          ``replay_source``.
 
         Parsing: pk and transport columns re-parse under their REAL
         types (bucket hashes must agree between the stats job and the
@@ -563,7 +570,9 @@ class CdcApplier:
                 audit_ts=self.audit_ts,
             )
             return dlq.apply_batch(
-                events, batch_id=batch_id, source_id=replay_source
+                events,
+                batch_id=batch_id,
+                source_id=f"{replay_source}:{batch_id}",
             )
         finally:
             shutil.rmtree(staging, ignore_errors=True)

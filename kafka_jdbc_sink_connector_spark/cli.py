@@ -189,23 +189,43 @@ def cmd_cluster(args) -> None:
     print(json.dumps({"clustered_buckets": done, "version": t.version}))
 
 
-def _parse_where(items: list[str] | None):
+_NUMERIC_TYPES = ("byte", "short", "int", "long", "float", "double",
+                  "decimal")
+
+
+def _parse_where(items: list[str] | None, schema=None):
     """``col:op:value`` triples (``col:is_null`` / ``col:not_null``
-    need no value); numeric-looking values are cast so footer-stat
-    pruning can compare them."""
+    need no value). A value is cast to int/float ONLY when the target
+    column's schema type is numeric — unconditional coercion turned a
+    predicate on a STRING column (e.g. zero-padded id ``'0123'``)
+    into ``col = 123``, which Spark then matched by casting the
+    COLUMN to int, selecting different rows than string equality.
+    An explicit 4-part form ``col:op:str:value`` / ``col:op:int:value``
+    / ``col:op:float:value`` forces the type (and is the only way to
+    keep a literal containing ``:`` intact)."""
+    numeric_cols = set()
+    for f in schema.fields if schema is not None else []:
+        if f.dataType.typeName().startswith(_NUMERIC_TYPES):
+            numeric_cols.add(f.name)
     out = []
     for s in items or []:
-        parts = s.split(":", 2)
+        parts = s.split(":", 3)
         if len(parts) == 2:
             out.append((parts[0], parts[1]))
             continue
-        col, op, val = parts
-        for cast in (int, float):
-            try:
-                val = cast(val)
-                break
-            except ValueError:
-                pass
+        if len(parts) == 4 and parts[2] in ("str", "int", "float"):
+            col, op, marker, val = parts
+            caster = {"str": str, "int": int, "float": float}[marker]
+            out.append((col, op, caster(val)))
+            continue
+        col, op, val = parts[0], parts[1], ":".join(parts[2:])
+        if col in numeric_cols or schema is None:
+            for cast in (int, float):
+                try:
+                    val = cast(val)
+                    break
+                except ValueError:
+                    pass
         out.append((col, op, val))
     return out or None
 
@@ -215,7 +235,7 @@ def cmd_count(args) -> None:
 
     spark = _session(args)
     t = LakeTable.load(spark, args.table)
-    where = _parse_where(args.where)
+    where = _parse_where(args.where, schema=t.schema)
     print(json.dumps({
         "rows": t.count(where=where),
         "version": t.version,

@@ -1010,13 +1010,15 @@ class LakeTable:
         chunk-scan the raw text and stop at the first match (the
         parse of a large snapshot's bucket lists is the cost this
         avoids; the read itself short-circuits once found)."""
-        pat = re.compile(rb'^ "commit_ts": ([0-9.eE+-]+|null),?$',
+        # the trailing \n is load-bearing: with MULTILINE `$` the
+        # pattern also matches end-of-buffer, so a value straddling a
+        # chunk boundary mid-number would "match" its truncated digit
+        # prefix and silently corrupt time-travel resolution
+        pat = re.compile(rb'^ "commit_ts": ([0-9.eE+-]+|null),?\n',
                          re.MULTILINE)
+        path = os.path.join(self.path, _LOG_DIR, f"v{version:020d}.json")
         carry = b""
-        with open(
-            os.path.join(self.path, _LOG_DIR, f"v{version:020d}.json"),
-            "rb",
-        ) as fh:
+        with open(path, "rb") as fh:
             while chunk := fh.read(1 << 16):
                 m = pat.search(carry + chunk)
                 if m:
@@ -1025,7 +1027,10 @@ class LakeTable:
                 # keep an un-split tail in case the line straddles the
                 # chunk boundary
                 carry = (carry + chunk)[-64:]
-        return None
+        # no complete line found (foreign manifest layout / no final
+        # newline) — pay the full parse rather than guessing
+        with open(path, "rb") as fh:
+            return json.load(fh).get("commit_ts")
 
     def read_as_of(self, ts: float, **kwargs) -> DataFrame:
         """Time travel by wall clock: read the table as it was at

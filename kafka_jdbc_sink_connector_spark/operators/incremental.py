@@ -174,6 +174,206 @@ class MinHashDedupIndex:
         return self.table.refresh().read()
 
 
+_EMB_META_NAME = "emb_index_meta.json"
+
+
+@dataclass
+class EmbeddingDedupIndex:
+    """Persisted sign-LSH bucket index over embedding vectors — the
+    semantic-dedup sibling of :class:`MinHashDedupIndex`.
+
+    The corpus-wide path (``similarity.cosine_dup_pairs``) recomputes
+    buckets for the whole corpus per invocation; the steady-state
+    100-TB operation is per-ingest-batch: the index IS a lake table of
+    ``(vec_id, bucket, embedding)`` bucketed by the LSH bucket (the
+    vector rides along so the exact-cosine verify of batch-vs-indexed
+    candidates needs no second join back to a corpus table). Per
+    batch: bucket the batch once, probe the index by **broadcasting
+    the batch side** (the index streams through a BroadcastHashJoin —
+    never shuffled), verify candidates with exact cosine, and append
+    the batch's rows as one atomic watermarked commit. A replayed
+    batch recomputes identical pairs (deterministic hyperplanes) and
+    skips the re-append.
+
+    Invariant (driver-checked as ``emb_dedup_incremental``):
+    processing a corpus in ANY batch order yields exactly the
+    corpus-wide ``cosine_dup_pairs`` set — each pair is emitted by
+    the batch that completes it, with the same rounded cosine.
+
+    Reference anchor: same as :class:`MinHashDedupIndex` — the
+    persisted index is the lake-native analog of the stateless JDBC
+    target "remembering" prior batches
+    (``JdbcAuditDbWriter.java:63-94``).
+    """
+
+    spark: SparkSession
+    path: str
+    table: LakeTable
+    n_planes: int
+    seed: int
+    dim: int
+    threshold: float
+    round_digits: int
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 32,
+        n_planes: int = 8,
+        seed: int = 42,
+        dim: int = 64,
+        threshold: float = 0.9,
+        round_digits: int = 4,
+        id_type: T.DataType = T.LongType(),
+        vec_type: T.DataType | None = None,
+    ) -> "EmbeddingDedupIndex":
+        vec_type = vec_type or T.ArrayType(T.FloatType())
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", id_type, True),
+                T.StructField("bucket", T.LongType(), True),
+                T.StructField("embedding", vec_type, True),
+            ]
+        )
+        table = LakeTable.create(
+            spark, path, schema, n_buckets=n_buckets,
+            key_fields=["bucket"], bucket_key="bucket",
+        )
+        # LSH geometry + verify threshold are properties of the WHOLE
+        # index (a probe under different planes finds nothing), pinned
+        # at creation exactly like the MinHash sidecar
+        with open(os.path.join(path, _EMB_META_NAME), "w") as fh:
+            json.dump(
+                {
+                    "n_planes": n_planes,
+                    "seed": seed,
+                    "dim": dim,
+                    "threshold": threshold,
+                    "round_digits": round_digits,
+                },
+                fh,
+            )
+        return cls(spark, path, table, n_planes, seed, dim, threshold,
+                   round_digits)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "EmbeddingDedupIndex":
+        table = LakeTable.load(spark, path)
+        with open(os.path.join(path, _EMB_META_NAME)) as fh:
+            m = json.load(fh)
+        return cls(
+            spark, path, table, m["n_planes"], m["seed"], m["dim"],
+            m["threshold"], m["round_digits"],
+        )
+
+    def add_and_find_dups(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        source_id: str = "emb-index",
+        batch_id: int | None = None,
+    ) -> DataFrame:
+        """Semantic-dedup one ingest batch against the index, then
+        append the batch's bucketed vectors as an atomic watermarked
+        commit. Returns ``(id_a, id_b, cos_sim)`` for every pair with
+        at least one batch vector whose exact cosine ≥ the index
+        threshold — identical to the corpus-wide
+        ``cosine_dup_pairs`` rows those vectors complete."""
+        from kafka_jdbc_sink_connector_spark.operators.similarity import (
+            lsh_buckets,
+        )
+
+        t = self.table.refresh()
+        buckets = lsh_buckets(
+            vectors, self.n_planes, self.seed, id_col, vec_col, self.dim
+        )
+        bvec = (
+            vectors.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+            )
+            .join(
+                buckets.withColumnRenamed(id_col, "vec_id"), "vec_id"
+            )
+            .select("vec_id", "bucket", "embedding")
+        )
+        # materialize once, reuse three times (within-join both
+        # sides, probe build side, append)
+        bvec = bvec.localCheckpoint(eager=False)
+        batch_ids = vectors.select(F.col(id_col).alias("vec_id")).distinct()
+        ivec = t.read().join(
+            F.broadcast(batch_ids), "vec_id", "left_anti"
+        )
+        pairs = _emb_within_pairs(bvec, self.round_digits).union(
+            _emb_probe_pairs(ivec, bvec, self.round_digits)
+        )
+        out = pairs.filter(F.col("cos_sim") >= self.threshold)
+        if batch_id is not None and batch_id <= t.applied_batch(source_id):
+            return out
+        t.commit_append(
+            t.with_bucket(bvec), source_id=source_id, batch_id=batch_id
+        )
+        return out
+
+    def read_index(self) -> DataFrame:
+        return self.table.refresh().read()
+
+
+def _emb_cos(va, vb, round_digits: int):
+    from kafka_jdbc_sink_connector_spark.operators.similarity import cosine
+
+    return F.round(cosine(va, vb), round_digits)
+
+
+def _emb_within_pairs(bvec: DataFrame, round_digits: int) -> DataFrame:
+    """Bucket collisions inside one batch, exact-cosine scored."""
+    a = bvec.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        "bucket",
+    )
+    b = bvec.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            _emb_cos(F.col("va"), F.col("vb"), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+    )
+
+
+def _emb_probe_pairs(
+    ivec: DataFrame, bvec: DataFrame, round_digits: int
+) -> DataFrame:
+    """Bucket collisions between the index and one batch: the batch
+    side is explicitly broadcast so the (unboundedly growing) index
+    streams through a BroadcastHashJoin — no Exchange over the index
+    scan. Sign-LSH assigns exactly ONE bucket per vector, so a pair
+    collides at most once."""
+    probe = bvec.select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"),
+        "bucket",
+    )
+    return (
+        ivec.join(F.broadcast(probe), "bucket")
+        .filter(F.col("vec_id") != F.col("bid"))
+        .select(
+            F.least("vec_id", "bid").alias("id_a"),
+            F.greatest("vec_id", "bid").alias("id_b"),
+            _emb_cos(F.col("embedding"), F.col("bv"),
+                     round_digits).alias("cos_sim"),
+        )
+    )
+
+
 def _within_pairs(bsig: DataFrame) -> DataFrame:
     """Band collisions inside one batch: (doc_a, doc_b, band_idx)."""
     a = bsig.select(

@@ -160,6 +160,19 @@ class CascadeRunner:
 
     # -- event construction ---------------------------------------------
 
+    def _op_upsert(self) -> str:
+        """A non-delete op drawn from the DOWNSTREAM config's
+        vocabulary — hardcoding ``'u'`` quarantines every cascaded row
+        when the sink uses a custom vocabulary (``error_expr`` checks
+        membership), or worse applies upstream deletes as upserts if
+        ``'d'`` happens to be a configured update value."""
+        cfg = self.applier.cfg
+        return (
+            cfg.op_update_values[0]
+            if cfg.op_update_values
+            else cfg.op_insert_value
+        )
+
     def _finish(self, rows: DataFrame, op, apply_transform=True) -> DataFrame:
         """Project + stamp the transport columns the applier expects.
 
@@ -199,7 +212,9 @@ class CascadeRunner:
         return rows
 
     def _bootstrap_events(self, up: LakeTable, head: int) -> DataFrame:
-        return self._finish(self._live(up.read(version=head)), F.lit("u"))
+        return self._finish(
+            self._live(up.read(version=head)), F.lit(self._op_upsert())
+        )
 
     def _incremental_events(
         self, up: LakeTable, w: int, head: int
@@ -218,8 +233,10 @@ class CascadeRunner:
             # NULL-valued predicates count as failing (bootstrap's
             # .filter drops them), so coalesce before negating
             is_del = is_del | ~F.coalesce(self.row_filter, F.lit(False))
-        op = F.when(is_del, F.lit("d")).otherwise(F.lit("u"))
         cfg = self.applier.cfg
+        op = F.when(is_del, F.lit(cfg.op_delete_value)).otherwise(
+            F.lit(self._op_upsert())
+        )
         # stamp the op while the feed meta is still in scope, THEN drop
         ch = ch.withColumn(cfg.op_column, op).drop(*_FEED_META)
         return self._finish(ch, F.col(cfg.op_column))
@@ -229,7 +246,7 @@ class CascadeRunner:
         rows = self._live(up.read(version=head))
         # transform runs on the live rows, so the key comparison below
         # happens in DOWNSTREAM key space (a transform may derive keys)
-        live = self._finish(rows, F.lit("u"))
+        live = self._finish(rows, F.lit(self._op_upsert()))
         # keys present downstream but gone upstream → explicit deletes
         # (LEFT ANTI on pk; both sides pruned to key columns, so the
         # reconcile shuffles keys, not payloads)

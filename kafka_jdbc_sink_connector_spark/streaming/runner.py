@@ -18,6 +18,8 @@ Maps the reference's task lifecycle (``JdbcAuditSinkTask.java``):
 
 from __future__ import annotations
 
+import json
+import os
 import time
 
 from pyspark.sql import DataFrame
@@ -215,7 +217,23 @@ class CdcStreamRunner:
 
 class MultiTableRunner:
     """Routes one stream to many destination tables by a topic column
-    (reference O3/O4: ``table.name.format`` + per-table buffers)."""
+    (reference O3/O4: ``table.name.format`` + per-table buffers).
+
+    Cross-table batch atomicity: the reference commits ONE JDBC
+    transaction per ``put()`` spanning every routed table
+    (``JdbcAuditDbWriter.java:63-94``, commit at ``:84``). Lake tables
+    commit per-table, so this runner reproduces the consistency point
+    with a COMMIT-GROUP MARKER: after every table routed in the batch
+    has committed, an atomically-renamed JSON record under
+    ``group_dir`` maps each table to a version that contains every
+    batch ≤ ``batch_id``. Readers wanting the reference's "whole
+    batch or nothing" view go through :meth:`read_consistent`, which
+    pins each table to its marker version — a crash between table A's
+    and table B's commits leaves no marker, so such readers never see
+    the partial batch, and the per-table watermarks make the restart
+    replay converge (table A skips, table B applies) before the
+    marker for that batch is finally published.
+    """
 
     def __init__(
         self,
@@ -227,6 +245,7 @@ class MultiTableRunner:
         parse_max_retries: int = 3,
         parse_backoff_ms: int = 500,
         followers: list | None = None,
+        group_dir: str | None = None,
     ):
         #: topic -> CdcApplier, created lazily like the per-table
         #: BufferedRecords map (JdbcAuditDbWriter.java:63-83)
@@ -251,6 +270,11 @@ class MultiTableRunner:
         #: follower may tail any of them; its own upstream-version
         #: watermark makes replays idempotent)
         self.followers = list(followers or [])
+        #: commit-group marker log (see class docstring); lives beside
+        #: the stream's own checkpoint state by default
+        self.group_dir = group_dir or os.path.join(
+            checkpoint_dir, "_commit_groups"
+        )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.record_parser is not None:
@@ -294,6 +318,9 @@ class MultiTableRunner:
                     if attempt == attempts - 1:
                         raise
                     time.sleep(applier.cfg.retry_backoff_ms / 1000.0)
+        # every routed table committed — publish the batch's
+        # consistency point (JdbcAuditDbWriter.java:84's commit)
+        self._publish_group(batch_id)
         for follower in self.followers:
             attempts = self.parse_max_retries + 1
             for attempt in range(attempts):
@@ -306,6 +333,80 @@ class MultiTableRunner:
                     if attempt == attempts - 1:
                         raise
                     time.sleep(self.parse_backoff_ms / 1000.0)
+
+    # -- commit groups -------------------------------------------------
+
+    def _group_path(self, batch_id: int) -> str:
+        return os.path.join(self.group_dir, f"g{batch_id:020d}.json")
+
+    def latest_group_id(self) -> int | None:
+        """Highest batch id with a published commit-group marker."""
+        if not os.path.isdir(self.group_dir):
+            return None
+        ids = [
+            int(n[1:-5])
+            for n in os.listdir(self.group_dir)
+            if n.startswith("g") and n.endswith(".json")
+        ]
+        return max(ids) if ids else None
+
+    def read_group(self, batch_id: int) -> dict:
+        with open(self._group_path(batch_id)) as fh:
+            return json.load(fh)
+
+    def _publish_group(self, batch_id: int) -> None:
+        """Atomically (tmp + rename) record, for every table this
+        runner has ever routed to, a version containing every batch ≤
+        ``batch_id``. Tables untouched by THIS batch carry forward
+        from the previous marker — their older version still contains
+        all their batches ≤ ``batch_id`` (they had no rows in the
+        newer ones), so the group stays a consistent cut. A replayed
+        batch republishes the same marker idempotently."""
+        prev = self.latest_group_id()
+        tables: dict[str, dict] = {}
+        if prev is not None:
+            tables.update(self.read_group(prev)["tables"])
+        for topic, applier in self.appliers.items():
+            t = applier.table()
+            if t is not None:
+                tables[topic] = {
+                    "path": os.path.abspath(applier.table_path),
+                    "version": t.version,
+                }
+        rec = {
+            "batch_id": batch_id,
+            "source_id": self.source_id,
+            "tables": tables,
+        }
+        os.makedirs(self.group_dir, exist_ok=True)
+        tmp = self._group_path(batch_id) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._group_path(batch_id))
+
+    def read_consistent(
+        self, spark, batch_id: int | None = None
+    ) -> dict[str, DataFrame]:
+        """The reference's post-commit view of "the batch": every
+        routed table pinned to its marker version, so either ALL of a
+        batch's per-table writes are visible or none are — never the
+        torn middle a crash between two tables' commits leaves in the
+        live heads. ``batch_id=None`` reads the newest marker.
+        Version pinning reads retained snapshots; a vacuum past the
+        marker's versions ends its readability window (same contract
+        as time travel)."""
+        from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+        gid = self.latest_group_id() if batch_id is None else batch_id
+        if gid is None:
+            return {}
+        rec = self.read_group(gid)
+        return {
+            topic: LakeTable.load(spark, info["path"]).read(
+                version=info["version"]
+            )
+            for topic, info in rec["tables"].items()
+        }
 
     def start(self, stream_df: DataFrame, available_now: bool = True) -> StreamingQuery:
         writer = stream_df.writeStream.foreachBatch(

@@ -331,6 +331,41 @@ def test_incremental_probe_broadcasts_batch_not_index(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_emb_incremental_probe_broadcasts_batch_not_index(
+    spark, tmp_path
+):
+    """Same 100-TB property as the MinHash index, for the embedding
+    index: the per-batch probe broadcasts the (small) batch vectors
+    and streams the (unboundedly growing) index through the join —
+    no shuffle Exchange, no sort-merge over the index scan."""
+    from kafka_jdbc_sink_connector_spark.operators import incremental
+    from kafka_jdbc_sink_connector_spark.operators.similarity import (
+        lsh_buckets,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    idx = incremental.EmbeddingDedupIndex.create(
+        spark, str(tmp_path / "idx"), n_buckets=4, threshold=0.3
+    )
+    idx.add_and_find_dups(
+        emb.filter(F.col("vec_id") % 2 == 0), batch_id=0
+    )
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    bvec = (
+        batch.select("vec_id", "embedding")
+        .join(lsh_buckets(batch, 8, 42, "vec_id", "embedding", 64),
+              "vec_id")
+        .localCheckpoint()
+    )
+    probe = incremental._emb_probe_pairs(idx.table.read(), bvec, 4)
+    plan = plan_of(probe)
+    assert "BroadcastExchange" in plan          # batch side shipped
+    assert "SortMergeJoin" not in plan          # index never sorted
+    assert "Exchange hashpartitioning" not in plan
+    # cosine verify stays JVM-side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_zorder_key_stays_codegen(spark):
     """The Morton key is built from cast/floor/shift primitives only —
     no Python eval node, no shuffle of its own (the single Exchange in

@@ -25,6 +25,8 @@ readers never observe a partial state.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import os
 
 from pyspark.sql import functions as F
@@ -228,6 +230,14 @@ def cluster_by(
         stats={"clustered_by": list(cols), "cluster_method": method},
         preserve_layout=True,
     )
+    # record the clustering intent as table properties so
+    # :func:`plan` knows which axis to measure drift against on later
+    # runs (Delta's OPTIMIZE remembers nothing; a table property is
+    # the honest place for a standing layout contract). Metadata-only
+    # commit, skipped when already recorded.
+    want = {"cluster.cols": list(cols), "cluster.method": method}
+    if any(table.snapshot.props.get(k) != v for k, v in want.items()):
+        table.set_props(want)
     return target
 
 
@@ -269,3 +279,205 @@ def vacuum(table: LakeTable, keep_versions: int = 1) -> dict:
         "removed_snapshots": removed_snapshots,
         "kept_versions": sorted(keep),
     }
+
+
+@dataclass
+class MaintenanceAction:
+    """One recommended maintenance operation, with the manifest
+    evidence that triggered it."""
+
+    kind: str      # compact | cluster_by | vacuum | rebucket
+    reason: str
+    params: dict
+
+    def run(self, table: LakeTable):
+        if self.kind == "compact":
+            return compact(table, buckets=self.params.get("buckets"))
+        if self.kind == "cluster_by":
+            return cluster_by(
+                table, self.params["cols"],
+                buckets=self.params.get("buckets"),
+                method=self.params.get("method", "linear"),
+            )
+        if self.kind == "vacuum":
+            return vacuum(
+                table, keep_versions=self.params["keep_versions"]
+            )
+        if self.kind == "rebucket":
+            return rebucket(table, self.params["new_n_buckets"])
+        raise ValueError(f"unknown maintenance action {self.kind!r}")
+
+
+def _interval_overlap_fraction(bounds: list[tuple]) -> float:
+    """Fraction of files whose [lo, hi] range overlaps another file's
+    — 0.0 for a freshly clustered bucket (disjoint slices), → 1.0 as
+    out-of-order ingest smears every file across the axis."""
+    if len(bounds) < 2:
+        return 0.0
+    bounds = sorted(bounds)
+    overlapping = set()
+    reach_hi, reach_idx = bounds[0][1], 0
+    for i in range(1, len(bounds)):
+        lo, hi = bounds[i]
+        if lo <= reach_hi:
+            overlapping.add(i)
+            overlapping.add(reach_idx)
+        if hi > reach_hi:
+            reach_hi, reach_idx = hi, i
+    return len(overlapping) / len(bounds)
+
+
+def plan(
+    table: LakeTable,
+    *,
+    max_delta_depth: int = 4,
+    max_files_per_bucket: int = 8,
+    max_retained_versions: int = 30,
+    vacuum_keep_versions: int = 2,
+    cluster_cols: list[str] | None = None,
+    cluster_method: str | None = None,
+    max_overlap_fraction: float = 0.5,
+    min_cluster_files: int = 4,
+    target_rows_per_bucket: int | None = None,
+    execute: bool = False,
+) -> list[MaintenanceAction]:
+    """Read the manifest and decide WHICH maintenance the table needs
+    — the policy layer over :func:`compact` / :func:`cluster_by` /
+    :func:`vacuum` / :func:`rebucket`, which are mechanisms the
+    operator otherwise has to schedule by hand. Everything is decided
+    from the snapshot alone (bucket file lists, ``file_stats`` bounds,
+    manifest count) — no data is read, so the plan itself is a
+    driver-side metadata scan regardless of table size.
+
+    Signals, in the order a 100-TB steady-state table hits them:
+
+    * **merge-on-read delta depth** — buckets whose pending
+      delta/sdel overlay count ≥ ``max_delta_depth`` (read
+      amplification grows linearly with depth) → ``compact`` those
+      buckets;
+    * **small files** — buckets with ≥ ``max_files_per_bucket`` base
+      files → ``compact``;
+    * **clustering drift** — when the table has a standing clustering
+      contract (``cluster.cols`` property, recorded by
+      :func:`cluster_by`, or passed explicitly), buckets with ≥
+      ``min_cluster_files`` files whose per-file [min, max] ranges on
+      the primary clustering axis overlap for more than
+      ``max_overlap_fraction`` of files (footer stats from
+      ``file_stats``; a clustered bucket's slices are disjoint) →
+      ``cluster_by`` those buckets;
+    * **manifest growth** — more than ``max_retained_versions``
+      retained snapshots → ``vacuum`` keeping
+      ``vacuum_keep_versions``;
+    * **bucket overflow** (opt-in: needs ``target_rows_per_bucket``)
+      — when mean rows per bucket exceeds 2× the target (row counts
+      from complete ``file_stats`` coverage only — never guessed),
+      recommend ``rebucket`` to the next power of two that brings it
+      back under target. Advisory by default because it is a full
+      rewrite; it executes like any other action when ``execute``.
+
+    ``execute=True`` runs the recommended actions in list order
+    (compactions before clusterings before vacuum, so the vacuum sees
+    the rewrites' garbage) and attaches each result under
+    ``action.params["result"]``. Wire it on an ingest cadence via
+    ``CdcStreamRunner(maintenance_every_batches=N)``.
+    """
+    snap = table.snapshot
+    actions: list[MaintenanceAction] = []
+
+    deep = sorted(
+        int(b)
+        for b in set(snap.delta_buckets) | set(snap.sdel_buckets)
+        if len(snap.delta_buckets.get(b, []))
+        + len(snap.sdel_buckets.get(b, [])) >= max_delta_depth
+    )
+    small = sorted(
+        int(b)
+        for b, files in snap.buckets.items()
+        if len(files) >= max_files_per_bucket and int(b) not in set(deep)
+    )
+    if deep or small:
+        bits = []
+        if deep:
+            bits.append(
+                f"{len(deep)} bucket(s) at delta depth ≥ {max_delta_depth}"
+            )
+        if small:
+            bits.append(
+                f"{len(small)} bucket(s) with ≥ {max_files_per_bucket} "
+                f"base files"
+            )
+        actions.append(MaintenanceAction(
+            "compact", " and ".join(bits), {"buckets": deep + small}
+        ))
+
+    cols = cluster_cols or snap.props.get("cluster.cols")
+    method = cluster_method or snap.props.get("cluster.method", "linear")
+    if cols:
+        axis = cols[0]
+        compacting = set(a for act in actions
+                         for a in act.params.get("buckets", []))
+        drifted = []
+        for b, files in snap.buckets.items():
+            if int(b) in compacting or len(files) < min_cluster_files:
+                # a bucket about to be compacted gets fresh files
+                # anyway; re-measure next plan
+                continue
+            bounds = []
+            for f in files:
+                ent = (snap.file_stats.get(f) or {}).get("cols", {}).get(
+                    axis
+                )
+                if not ent or "lo" not in ent or "hi" not in ent:
+                    bounds = []
+                    break  # incomplete stats: never guess
+                bounds.append((ent["lo"], ent["hi"]))
+            if bounds and _interval_overlap_fraction(
+                bounds
+            ) > max_overlap_fraction:
+                drifted.append(int(b))
+        if drifted:
+            actions.append(MaintenanceAction(
+                "cluster_by",
+                f"{len(drifted)} bucket(s) with > "
+                f"{max_overlap_fraction:.0%} overlapping file ranges on "
+                f"{axis!r}",
+                {"cols": list(cols), "buckets": sorted(drifted),
+                 "method": method},
+            ))
+
+    n_versions = len(table.history())
+    if n_versions > max_retained_versions:
+        actions.append(MaintenanceAction(
+            "vacuum",
+            f"{n_versions} retained snapshots > {max_retained_versions}",
+            {"keep_versions": vacuum_keep_versions},
+        ))
+
+    if target_rows_per_bucket:
+        rows, complete = 0, True
+        for files in snap.buckets.values():
+            for f in files:
+                r = (snap.file_stats.get(f) or {}).get("rows")
+                if r is None:
+                    complete = False
+                    break
+                rows += r
+            if not complete:
+                break
+        if complete and snap.n_buckets and rows / snap.n_buckets > (
+            2 * target_rows_per_bucket
+        ):
+            want = snap.n_buckets
+            while rows / want > target_rows_per_bucket:
+                want *= 2
+            actions.append(MaintenanceAction(
+                "rebucket",
+                f"~{rows // snap.n_buckets} rows/bucket > 2× target "
+                f"{target_rows_per_bucket}",
+                {"new_n_buckets": want},
+            ))
+
+    if execute:
+        for act in actions:
+            act.params["result"] = act.run(table)
+    return actions

@@ -87,6 +87,8 @@ class CdcStreamRunner:
         source_id: str = "stream",
         record_parser=None,
         followers: list | None = None,
+        maintenance_every_batches: int | None = None,
+        maintenance_kwargs: dict | None = None,
     ):
         self.applier = applier
         self.checkpoint_dir = checkpoint_dir
@@ -94,6 +96,15 @@ class CdcStreamRunner:
         self.record_parser = record_parser
         self.followers = list(followers or [])
         self.results: list[BatchResult] = []
+        #: stats-driven maintenance cadence: every N batches run
+        #: ``lake.maintenance.plan(table, execute=True, **kwargs)`` —
+        #: the policy decides WHETHER anything (compact / cluster /
+        #: vacuum) is actually needed from the manifest, so an idle
+        #: cadence tick costs one metadata scan and no jobs
+        self.maintenance_every_batches = maintenance_every_batches
+        self.maintenance_kwargs = dict(maintenance_kwargs or {})
+        #: plan() results per cadence tick, for observability/tests
+        self.maintenance_log: list = []
 
     # foreachBatch body — public so tests can drive it directly
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> BatchResult:
@@ -130,6 +141,7 @@ class CdcStreamRunner:
         for attempt in range(attempts):
             try:
                 self._maybe_compact(batch_id, skipped=res.skipped)
+                self._maybe_maintain(batch_id, skipped=res.skipped)
                 break
             except NON_RETRIABLE:
                 raise
@@ -172,6 +184,27 @@ class CdcStreamRunner:
         table = self.applier.table()
         if table is not None and table.snapshot.delta_files():
             compact(table)
+
+    def _maybe_maintain(self, batch_id: int, skipped: bool) -> None:
+        """Stats-driven housekeeping cadence: every
+        ``maintenance_every_batches`` batches, let
+        :func:`..lake.maintenance.plan` read the manifest and execute
+        whatever it recommends. Replay-safe for the same reason
+        compaction is: a maintenance commit is a rewrite/metadata
+        commit outside the batch watermark, and a crash-replayed batch
+        skips the apply then simply re-evaluates the (now satisfied)
+        policy — idempotent, at worst a redundant metadata scan."""
+        every = self.maintenance_every_batches
+        if skipped or every is None or batch_id <= 0 or batch_id % every:
+            return
+        from kafka_jdbc_sink_connector_spark.lake.maintenance import plan
+
+        table = self.applier.table()
+        if table is not None:
+            self.maintenance_log.append(
+                (batch_id,
+                 plan(table, execute=True, **self.maintenance_kwargs))
+            )
 
     def metrics(self) -> dict:
         """Throughput summary over this runner's processed batches."""

@@ -345,3 +345,62 @@ def test_cascade_mor_lock_step_rides_fast_path(spark, tmp_path):
         old, new = t._read_version(v - 1), t._read_version(v)
         assert changes._new_commit_files(old, new) is not None, v
     assert _rows(silver) == _rows(bronze)
+
+
+def test_cascade_sync_races_concurrent_upstream_writer(spark, tmp_path):
+    """Upstream commits landing WHILE syncs run are never skipped:
+    ``sync()`` pins ``head`` at entry and watermarks ``batch_id=head``,
+    so a commit racing past that read lands in the NEXT sync's
+    ``(watermark, head]`` window. A writer thread applies batches
+    continuously while the main thread syncs in a loop; the sync
+    windows must chain gaplessly and the silver must converge to the
+    final bronze state."""
+    import threading
+
+    bronze = _mk_bronze(spark, str(tmp_path / "bronze"))
+    silver = _mk_silver(spark, str(tmp_path / "silver"))
+    run = CascadeRunner(spark, bronze.table_path, silver)
+
+    n_batches, errs = 8, []
+    # seed the table before the race so every sync sees an upstream
+    # (a cascade is configured after its bronze exists)
+    bronze.apply_batch(
+        _events_df(spark, [ev(i, "u", f"c{i % 6}", 0) for i in range(4)]),
+        batch_id=100,
+    )
+
+    def writer():
+        try:
+            for b in range(n_batches):
+                rows = (
+                    [ev(100 * b + i, "u", f"c{(b + i) % 6}", i % 3,
+                        text=f"rev{b}") for i in range(5)]
+                    + ([ev(100 * b + 50, "d", f"c{b % 6}", 0)]
+                       if b % 2 else [])
+                )
+                bronze.apply_batch(_events_df(spark, rows), batch_id=b)
+        except Exception as e:  # noqa: BLE001 — surface in main thread
+            errs.append(e)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    results = []
+    while t.is_alive():
+        results.append(run.sync())
+    t.join()
+    assert not errs, errs
+    results.append(run.sync())  # cover the final window
+    assert run.sync().mode == "noop"
+
+    # windows chain without gaps: each non-noop sync starts exactly
+    # where the previous one ended (a skipped racing commit would
+    # surface as from_version > previous upstream_version)
+    applied = [r for r in results if r.mode != "noop"]
+    assert applied, "writer finished before any sync ran"
+    for prev, nxt in zip(applied, applied[1:]):
+        assert nxt.from_version == prev.upstream_version, (prev, nxt)
+    # watermark reached the true head and the state converged
+    head = LakeTable.load(spark, bronze.table_path).version
+    assert run.watermark() == head
+    assert applied[-1].upstream_version == head or results[-1].mode == "noop"
+    assert _rows(silver) == _rows(bronze)

@@ -196,6 +196,86 @@ def ivf_codebook(n_cells: int, dim: int, seed: int = 7) -> list[list[float]]:
     return [_det_unit_floats(seed * 1000 + c, dim) for c in range(n_cells)]
 
 
+def kmeans_codebook(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    dim: int = 64,
+    iters: int = 4,
+    seed: int = 7,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> list[list[float]]:
+    """Data-dependent IVF codebook: deterministic seeded Lloyd k-means
+    over a corpus sample — the drop-in :func:`ivf_codebook` replacement
+    real recall needs at scale (a random codebook's cells ignore where
+    the data actually lives; trained centroids track its density).
+
+    Deterministic by construction, no RNG state and no wall clock:
+
+    * the sample is the ``sample`` ids smallest by
+      ``md5(seed:id)`` — a seeded pseudo-random draw any engine
+      reproduces;
+    * init centroids are the first ``n_cells`` sample vectors in that
+      hash order (k-means++-style spread matters little at these cell
+      counts; determinism matters more);
+    * exactly ``iters`` Lloyd rounds — assignment is the same
+      codegen'd argmin the read path uses (:func:`_cell_structs`),
+      the recompute is one ``posexplode`` + per-(cell, dim) average
+      (sample-sized, never the corpus), centroids rounded to
+      ``round_digits`` so sub-rounding float-summation noise cannot
+      leak into the literal codebook;
+    * an emptied cell keeps its previous centroid (no resampling —
+      that would re-order the randomness).
+
+    The returned plain ``list[list[float]]`` plugs into
+    :func:`ivf_assign` / :func:`ivf_ann` via their ``codebook``
+    parameter; assignment stays a pure literal expression, so the
+    100-TB plumbing (write-partition by cell, multi-probe rerank) is
+    unchanged. Driver-side cost: ``iters`` jobs over ``sample``
+    vectors plus an (n_cells × dim) collect per round — independent
+    of corpus size.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    v = (
+        v.orderBy(
+            F.md5(F.concat(F.lit(f"{seed}:"),
+                           F.col("_id").cast("string"))),
+            F.col("_id"),
+        )
+        .limit(sample)
+        .localCheckpoint()
+    )
+    cb = [
+        [round(float(x), round_digits) for x in r["_v"]]
+        for r in v.limit(n_cells).collect()
+    ]
+    if len(cb) < n_cells:
+        raise ValueError(
+            f"corpus has only {len(cb)} vectors, need >= {n_cells}"
+        )
+    for _ in range(iters):
+        cell = F.least(*_cell_structs(F.col("_v"), cb, round_digits))["i"]
+        means = (
+            # two selects: a generator (posexplode) alongside the
+            # struct-argmin in ONE select makes Spark drop the struct
+            # field names (FIELD_NOT_FOUND on `i`)
+            v.select(cell.alias("cell"), "_v")
+            .select("cell", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cb]
+        for r in means:
+            new[r["cell"]][r["pos"]] = round(r["m"], round_digits)
+        cb = new
+    return cb
+
+
 def _cell_dist(vec_col, centroid: list[float]):
     """Squared L2 distance to a literal centroid (ordered fold,
     engine-portable like plane_dot)."""
@@ -231,12 +311,14 @@ def ivf_assign(
     vec_col: str = "embedding",
     dim: int = 64,
     round_digits: int = 6,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """(vec_id, cell) — nearest-codebook-cell assignment (IVF lists).
     At 100 TB the corpus would be *written* partitioned by cell, so a
     probe reads n_probe partitions (same layout idea as the lake
-    buckets)."""
-    cb = ivf_codebook(n_cells, dim, seed)
+    buckets). ``codebook`` swaps in trained centroids
+    (:func:`kmeans_codebook`); default is the seeded grid."""
+    cb = codebook or ivf_codebook(n_cells, dim, seed)
     cell = F.least(*_cell_structs(F.col(vec_col), cb, round_digits))["i"]
     return vectors.select(F.col(id_col), cell.alias("cell"))
 
@@ -252,14 +334,17 @@ def ivf_ann(
     vec_col: str = "embedding",
     dim: int = 64,
     round_digits: int = 6,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: queries probe their ``n_probe`` nearest
     cells and exact-cosine rerank only those inverted lists
     (cost ≈ n_probe/n_cells of the brute-force scan; recall grows
-    with n_probe — the standard IVF trade)."""
-    cb = ivf_codebook(n_cells, dim, seed)
+    with n_probe — the standard IVF trade). ``codebook`` swaps in
+    trained centroids (:func:`kmeans_codebook`)."""
+    cb = codebook or ivf_codebook(n_cells, dim, seed)
     c = corpus.join(ivf_assign(corpus, n_cells, seed, id_col, vec_col,
-                               dim, round_digits), id_col).select(
+                               dim, round_digits, codebook=cb),
+                    id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         "cell",

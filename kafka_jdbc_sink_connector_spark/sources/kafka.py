@@ -7,7 +7,12 @@ the Spark equivalent reads the topic directly. Two separable pieces:
 * :func:`kafka_stream` — builds the ``readStream.format("kafka")``
   DataFrame (requires the spark-sql-kafka jars on the cluster; the
   sandbox image lacks them, so this raises a clear error there — the
-  parsing below is fully testable without Kafka).
+  parsing below is fully testable without Kafka). Vendoring probes:
+  2026-08-17 (r6) and 2026-08-18 (r7) — no jar anywhere on the image
+  (`find / -name '*spark-sql-kafka*'`) and no route to Maven Central
+  (DNS resolution fails), so the broker connection itself remains the
+  one untestable hop; wire-frame parsing, Confluent framing, the
+  registry client, and the runner-integrated decode are all covered.
 * :func:`parse_kafka_records` — turns Kafka's wire schema
   (key/value binary + topic/partition/offset/timestamp) into the
   engine's change-event frame. Supports:

@@ -399,6 +399,98 @@ FROM live WHERE value >= 50
 """
 
 
+def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained AGGREGATE view
+    (``streaming/aggview.AggViewRunner``): ingest the stream into a
+    hard-delete bronze in three batches; after each, the runner keeps
+    ``GROUP BY event_type`` aggregates (user count, sum/max of value
+    cents) current from the change feed WITH pre-images — group-wise
+    partial recompute, so an update that moves a user's live row to a
+    different event_type debits the old group (the edge post-image
+    feeds can't see), deletes shrink groups, and a group losing its
+    last row leaves the view. Cost per sync follows the changed
+    groups, never the table. Result: the view table, which must equal
+    the declarative GROUP BY over bronze's final live state."""
+    from kafka_jdbc_sink_connector_spark.streaming.aggview import (
+        AggViewRunner,
+    )
+
+    cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
+    hi = cdc.agg(F.max("kafka_offset")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="cdc_aggview_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    bronze = CdcApplier(
+        spark,
+        SinkConfig(pk_fields=("user_id",), n_buckets=8,
+                   delete_mode="delete"),
+        os.path.join(tmp, "bronze"),
+    )
+    view = CdcApplier(
+        spark,
+        SinkConfig(pk_fields=("event_type",), n_buckets=4,
+                   delete_mode="delete", delete_retain_fields=()),
+        os.path.join(tmp, "view"),
+    )
+    run = AggViewRunner(
+        spark, bronze.table_path, view, ["event_type"],
+        {
+            "n_users": F.count("*"),
+            "sum_value_cents": F.sum(_cents(F.col("value"))),
+            "max_value_cents": F.max(_cents(F.col("value"))),
+        },
+    )
+    cuts = (hi // 3, 2 * hi // 3)
+    bronze.apply_batch(
+        cdc.filter(F.col("kafka_offset") <= cuts[0]), batch_id=0
+    )
+    run.sync()  # bootstrap
+    bronze.apply_batch(
+        cdc.filter((F.col("kafka_offset") > cuts[0])
+                   & (F.col("kafka_offset") <= cuts[1])),
+        batch_id=1,
+    )
+    run.sync()  # incremental: group moves + deletes
+    bronze.apply_batch(
+        cdc.filter(F.col("kafka_offset") > cuts[1]), batch_id=2
+    )
+    run.sync()
+    return view.read_target().select(
+        "event_type", "n_users", "sum_value_cents", "max_value_cents"
+    )
+
+
+def _sql_cdc_agg_view() -> str:
+    # live state (same collapse as the cascade oracle), then the
+    # GROUP BY the incremental view must converge to
+    return """
+WITH cdc AS (
+  SELECT *, CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM cdc WHERE op <> 'd'
+),
+ups AS (SELECT * FROM ranked WHERE rn = 1),
+live AS (
+  SELECT u.* FROM ups u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cdc d
+    WHERE d.op = 'd' AND d.user_id = u.user_id
+      AND d.event_id > u.event_id
+  )
+)
+SELECT event_type,
+       COUNT(*) AS n_users,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents,
+       MAX(CAST(round(value * 100, 0) AS BIGINT)) AS max_value_cents
+FROM live
+GROUP BY event_type
+"""
+
+
 def q_cdc_rebucket_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-count evolution (``maintenance.rebucket``): apply the
     full stream, then re-bucket the table 8 → 32 with one resolved
@@ -3025,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_restore_replay": q_cdc_restore_replay,
         "cdc_cascade_view": q_cdc_cascade_view,
+        "cdc_agg_view": q_cdc_agg_view,
         "cdc_bloom_point_lookup": q_cdc_bloom_point_lookup,
         "cdc_rebucket_state": q_cdc_rebucket_state,
         "cdc_change_feed": q_cdc_change_feed,
@@ -3101,6 +3194,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_snapshot_diff": _sql_cdc_snapshot_diff(),
         "cdc_restore_replay": _sql_cdc_restore_replay(),
         "cdc_cascade_view": _sql_cdc_cascade_view(),
+        "cdc_agg_view": _sql_cdc_agg_view(),
         "cdc_bloom_point_lookup": _sql_cdc_bloom_point_lookup(),
         "cdc_rebucket_state": _sql_cdc_final_state(),
         "cdc_change_feed": _sql_cdc_change_feed(),

@@ -40,6 +40,7 @@ QUERY_NAMES = [
     "cdc_lineage_agg",
     "cdc_time_range_scan",
     "cdc_cascade_view",
+    "cdc_agg_view",
     "cdc_bloom_point_lookup",
     "events_sessionize",
     "events_assemble_transcripts",
@@ -51,6 +52,7 @@ QUERY_NAMES = [
     "doc_minhash_lsh_pairs",
     "doc_dedup_incremental",
     "doc_line_dedup",
+    "emb_dedup_incremental",
     "doc_simhash_dups",
     "doc_dup_clusters",
     "emb_dup_clusters",

@@ -47,6 +47,7 @@ def table_changes(
     from_version: int,
     to_version: int | None = None,
     compare_cols: list[str] | None = None,
+    include_preimages: bool = False,
 ) -> DataFrame:
     """Rows whose state differs between ``from_version`` and
     ``to_version`` (default: current), as post-images (pre-image for
@@ -58,6 +59,14 @@ def table_changes(
     moves on every re-application — e.g. an at-least-once redelivery
     re-writes identical values with a fresh audit ts, which most
     consumers don't want to see as an update.
+
+    ``include_preimages=True`` switches updates to the Delta-CDF
+    two-row scheme — ``update_preimage`` (the old values) followed by
+    ``update_postimage`` — which consumers that must UNDO the old row
+    need (incremental aggregate maintenance subtracts the pre-image;
+    a group-by column change must debit the OLD group, which the
+    post-image alone cannot name). Free in both feed paths: the diff
+    join already holds both sides of every update.
 
     Contract (checked): both versions share the bucket layout and the
     old schema's columns are a subset of the new one's (the engine's
@@ -101,8 +110,10 @@ def table_changes(
         return _adjacent_delta_changes(
             table, old_snap, new_snap, *new_files,
             keys=keys, cols=cols, cmp_cols=cmp_cols,
+            include_preimages=include_preimages,
         )
-    return _diff_changes(table, old_snap, new_snap, keys, cols, cmp_cols)
+    return _diff_changes(table, old_snap, new_snap, keys, cols, cmp_cols,
+                         include_preimages)
 
 
 def _keywise_diff(
@@ -113,6 +124,7 @@ def _keywise_diff(
     cmp_cols: list[str],
     from_version: int,
     to_version: int,
+    include_preimages: bool = False,
 ) -> DataFrame:
     """Full-outer key diff of two same-schema states → change rows.
     ``old``'s columns must be pre-renamed with an ``o_`` prefix."""
@@ -126,6 +138,33 @@ def _keywise_diff(
     differs = F.lit(False)
     for c in cmp_cols:
         differs = differs | ~j[c].eqNullSafe(j[f"o_{c}"])
+
+    if include_preimages:
+        # Delta-CDF scheme: updates emit pre- AND post-image rows.
+        # One pass over the join via explode of a per-row entry array
+        # (a union of two selects would execute the diff join twice);
+        # a no-match WHEN yields NULL and explode drops it.
+        pre = F.struct(*[j[f"o_{c}"].alias(c) for c in cols])
+        post = F.struct(*[j[c].alias(c) for c in cols])
+
+        def entry(img, ct):
+            return F.struct(img.alias("img"), F.lit(ct).alias("ct"))
+
+        entries = (
+            F.when(new_exists & ~old_exists,
+                   F.array(entry(post, "insert")))
+            .when(~new_exists & old_exists,
+                  F.array(entry(pre, "delete")))
+            .when(differs,
+                  F.array(entry(pre, "update_preimage"),
+                          entry(post, "update_postimage")))
+        )
+        return j.select(F.explode(entries).alias("e")).select(
+            "e.img.*",
+            F.col("e.ct").alias(CHANGE_TYPE),
+            F.lit(from_version).alias(FROM_VERSION),
+            F.lit(to_version).alias(TO_VERSION),
+        )
 
     change = (
         F.when(new_exists & ~old_exists, F.lit("insert"))
@@ -170,7 +209,8 @@ def _old_state(
 
 
 def _diff_changes(
-    table: LakeTable, old_snap, new_snap, keys, cols, cmp_cols
+    table: LakeTable, old_snap, new_snap, keys, cols, cmp_cols,
+    include_preimages: bool = False,
 ) -> DataFrame:
     """Generic path: diff the two fully resolved states. Correct for
     any version distance, compaction-crossing windows included."""
@@ -194,7 +234,8 @@ def _diff_changes(
     old = _old_state(table, old_snap, new_snap, changed)
     new = table.read(version=new_snap.version, buckets=changed)
     return _keywise_diff(
-        new, old, keys, cols, cmp_cols, old_snap.version, new_snap.version
+        new, old, keys, cols, cmp_cols, old_snap.version,
+        new_snap.version, include_preimages,
     )
 
 
@@ -258,7 +299,7 @@ def _adjacent_delta_changes(
     table: LakeTable, old_snap, new_snap,
     new_delta: dict[str, list[str]],
     new_sdel: dict[str, list[str]] | None = None,
-    *, keys, cols, cmp_cols,
+    *, keys, cols, cmp_cols, include_preimages: bool = False,
 ) -> DataFrame:
     """Adjacent-delta fast path: the just-committed delta/sdel files
     list exactly the keys that can have changed, so the feed touches
@@ -392,5 +433,6 @@ def _adjacent_delta_changes(
     else:
         new = mor.resolve(base, deltas, new_snap).drop(mor.BUCKET_COL)
     return _keywise_diff(
-        new, old, keys, cols, cmp_cols, old_snap.version, new_snap.version
+        new, old, keys, cols, cmp_cols, old_snap.version,
+        new_snap.version, include_preimages,
     )

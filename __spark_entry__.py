@@ -2392,6 +2392,51 @@ def q_emb_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p0.union(p1)
 
 
+def q_emb_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic dedup (``streaming/dedup.EmbDedupStreamRunner``):
+    the corpus arrives as three micro-batches (vec_id mod 3) — per
+    batch: broadcast-probe the persisted sign-LSH index, exact-cosine
+    verify, append bucketed vectors + dup evidence as two watermarked
+    commits. The evidence table is the result, so the oracle checks
+    the full streaming contract: pair set == the corpus-wide
+    cosine-pair self-join, ``batch_id`` is the completing batch, and
+    ``drop_doc`` the later arrival — all derivable in SQL from the
+    deterministic ``vec_id % 3`` partition."""
+    from kafka_jdbc_sink_connector_spark.streaming.dedup import (
+        EmbDedupStreamRunner,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="emb_stream_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    idx = incremental.EmbeddingDedupIndex.create(
+        spark, os.path.join(tmp, "idx"), n_buckets=8, n_planes=8,
+        dim=64, threshold=0.3, round_digits=4,
+    )
+    pairs = EmbDedupStreamRunner.create_pairs_table(
+        spark, os.path.join(tmp, "pairs"), n_buckets=8
+    )
+    runner = EmbDedupStreamRunner(idx, pairs, os.path.join(tmp, "ckpt"))
+    for b in range(3):
+        runner.process_batch(emb.filter(F.col("vec_id") % 3 == b), b)
+    return runner.pairs_table.refresh().read()
+
+
+def _sql_emb_dedup_stream() -> str:
+    # corpus-wide cosine pairs + arrival-order rules under the
+    # vec_id%3 batch partition (batch of vec x = x mod 3)
+    return (
+        "\nWITH p AS (" + _sql_cosine_dup_pairs() + """)
+SELECT id_a, id_b, cos_sim,
+       CASE WHEN id_a % 3 = id_b % 3 THEN greatest(id_a, id_b)
+            WHEN id_a % 3 > id_b % 3 THEN id_a
+            ELSE id_b END AS drop_doc,
+       greatest(id_a % 3, id_b % 3) AS batch_id
+FROM p
+"""
+    )
+
+
 def _sql_cosine_dup_pairs() -> str:
     planes = similarity.hyperplanes(8, 64, seed=42)
     with_planes = ", ".join(
@@ -3175,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_cosine_dup_pairs": q_emb_cosine_dup_pairs,
         "emb_dedup_incremental": q_emb_dedup_incremental,
+        "emb_dedup_stream": q_emb_dedup_stream,
         "emb_dup_clusters": q_emb_dup_clusters,
         "emb_lsh_ann": q_emb_lsh_ann,
         "emb_ivf_ann": q_emb_ivf_ann,
@@ -3252,6 +3298,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_buckets": _sql_lsh_buckets(),
         "emb_cosine_dup_pairs": _sql_cosine_dup_pairs(),
         "emb_dedup_incremental": _sql_cosine_dup_pairs(),
+        "emb_dedup_stream": _sql_emb_dedup_stream(),
         "emb_dup_clusters": _sql_emb_dup_clusters(),
         "emb_lsh_ann": _sql_lsh_ann(),
         "emb_ivf_ann": _sql_ivf_ann(),

@@ -250,3 +250,172 @@ class DedupStreamRunner:
         if q.exception() is not None:
             raise q.exception()
         return self.results
+
+
+def _emb_pairs_schema(id_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("id_a", id_type, True),
+            T.StructField("id_b", id_type, True),
+            T.StructField("cos_sim", T.DoubleType(), True),
+            T.StructField("drop_doc", id_type, True),
+            T.StructField("batch_id", T.LongType(), True),
+        ]
+    )
+
+
+class EmbDedupStreamRunner:
+    """The semantic (embedding) sibling of :class:`DedupStreamRunner`:
+    drives a vector stream through
+    :class:`~..operators.incremental.EmbeddingDedupIndex` with the
+    identical exactly-once-across-two-tables contract — both commits
+    carry the ``(source_id, batch_id)`` watermark, and a batch's
+    cosine-verified pairs are a deterministic function of (batch,
+    index-before-this-batch), so every crash window replays to the
+    same bytes. Loser rule per pair is also identical: batch doc
+    loses against the index (arrived later), larger id loses within a
+    batch."""
+
+    def __init__(
+        self,
+        index,
+        pairs_table: LakeTable,
+        checkpoint_dir: str,
+        source_id: str = "emb-dedup-stream",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        record_parser=None,
+        max_retries: int = 2,
+        retry_backoff_ms: int = 100,
+    ):
+        self.index = index
+        self.pairs_table = pairs_table
+        self.checkpoint_dir = checkpoint_dir
+        self.source_id = source_id
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.record_parser = record_parser
+        self.max_retries = max_retries
+        self.retry_backoff_ms = retry_backoff_ms
+        self.results: list[tuple[int, int, int, bool]] = []
+
+    @classmethod
+    def create_pairs_table(
+        cls,
+        spark,
+        path: str,
+        n_buckets: int = 16,
+        id_type: T.DataType = T.LongType(),
+    ) -> LakeTable:
+        return LakeTable.create(
+            spark,
+            path,
+            _emb_pairs_schema(id_type),
+            n_buckets=n_buckets,
+            key_fields=["id_a", "id_b"],
+            bucket_key="id_a",
+        )
+
+    # foreachBatch body — public so tests can drive it directly
+    def process_batch(self, batch_df: DataFrame, batch_id: int):
+        attempts = self.max_retries + 1
+        last_err: Exception | None = None
+        for attempt in range(attempts):
+            try:
+                return self._process_once(batch_df, batch_id)
+            except NON_RETRIABLE:
+                raise
+            except Exception as e:  # noqa: BLE001 — mirror catch(SQLException)
+                last_err = e
+                if attempt < attempts - 1:
+                    time.sleep(self.retry_backoff_ms / 1000.0)
+        assert last_err is not None
+        raise last_err
+
+    def _process_once(self, batch_df: DataFrame, batch_id: int):
+        parsed = (
+            self.record_parser(batch_df)
+            if self.record_parser is not None
+            else batch_df
+        )
+        batch_ids = (
+            parsed.select(F.col(self.id_col).alias("__bid")).distinct()
+        )
+        pairs = self.index.add_and_find_dups(
+            parsed,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            source_id=self.source_id,
+            batch_id=batch_id,
+        )
+        a_new = batch_ids.select(
+            F.col("__bid").alias("id_a"), F.lit(True).alias("__a_new")
+        )
+        b_new = batch_ids.select(
+            F.col("__bid").alias("id_b"), F.lit(True).alias("__b_new")
+        )
+        marked = (
+            pairs.join(F.broadcast(a_new), "id_a", "left")
+            .join(F.broadcast(b_new), "id_b", "left")
+            .select(
+                "id_a",
+                "id_b",
+                "cos_sim",
+                F.when(
+                    F.coalesce(F.col("__a_new"), F.lit(False))
+                    & F.coalesce(F.col("__b_new"), F.lit(False)),
+                    F.greatest("id_a", "id_b"),
+                )
+                .when(
+                    F.coalesce(F.col("__a_new"), F.lit(False)),
+                    F.col("id_a"),
+                )
+                .otherwise(F.col("id_b"))
+                .alias("drop_doc"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+        )
+        pt = self.pairs_table.refresh()
+        skipped = batch_id <= pt.applied_batch(self.source_id)
+        if skipped:
+            n_pairs = 0
+        else:
+            rows = marked.localCheckpoint(eager=True)
+            n_pairs = rows.count()
+            pt.commit_append(
+                pt.with_bucket(rows),
+                source_id=self.source_id,
+                batch_id=batch_id,
+            )
+        n_docs = batch_ids.count()
+        self.results.append((batch_id, n_docs, n_pairs, skipped))
+        return marked
+
+    def dup_doc_ids(self) -> DataFrame:
+        return (
+            self.pairs_table.refresh().read().select("drop_doc").distinct()
+        )
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        available_now: bool = True,
+        processing_time: str | None = None,
+    ) -> StreamingQuery:
+        writer = stream_df.writeStream.foreachBatch(
+            lambda df, bid: self.process_batch(df, bid)
+        ).option("checkpointLocation", self.checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_available(self, stream_df: DataFrame, timeout_s: float = 600):
+        q = self.start(stream_df, available_now=True)
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+        if q.exception() is not None:
+            raise q.exception()
+        return self.results

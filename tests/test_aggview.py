@@ -6,6 +6,8 @@ update_preimage/update_postimage rows).
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -266,3 +268,69 @@ def test_aggview_validation(spark):
         AggViewRunner(spark, "p", _A(), ["x"], {"x": F.count("*")})
     with pytest.raises(ValueError, match="non-empty"):
         AggViewRunner(spark, "p", _A(), [], {"n": F.count("*")})
+
+
+def test_aggview_as_streaming_follower(spark, tmp_path):
+    """AggViewRunner exposes the same idempotent ``sync()`` contract
+    as CascadeRunner, so it plugs into the runners' ``followers``
+    hook unchanged — the view advances in lock-step with ingest."""
+    from kafka_jdbc_sink_connector_spark.streaming.runner import (
+        CdcStreamRunner,
+    )
+
+    bronze = _mk_bronze(spark, tmp_path / "bronze")
+    view = _mk_view(spark, tmp_path / "view")
+    agg = _runner(spark, bronze, view)
+    runner = CdcStreamRunner(
+        bronze, str(tmp_path / "ckpt"), followers=[agg]
+    )
+    runner.process_batch(
+        _events_df(spark, [ev(i, "u", f"c{i}", i,
+                              role=("user" if i % 2 else "assistant"))
+                           for i in range(6)]),
+        batch_id=0,
+    )
+    assert _got(view) == _want(bronze)
+    runner.process_batch(
+        _events_df(spark, [ev(10, "u", "c0", 0, role="user"),
+                           ev(11, "d", "c1", 1)]),
+        batch_id=1,
+    )
+    assert _got(view) == _want(bronze)
+
+
+def test_aggview_incremental_plan_broadcasts_groups(spark, tmp_path):
+    """The 100-TB property: the incremental sync's upstream re-read is
+    restricted by a BROADCAST left-semi join of the (batch-sized)
+    affected-group set — the table side is never shuffled for the
+    group restriction, and no Python eval node appears."""
+    bronze = _mk_bronze(spark, tmp_path / "bronze")
+    view = _mk_view(spark, tmp_path / "view")
+    run = _runner(spark, bronze, view)
+    bronze.apply_batch(
+        _events_df(spark, [ev(i, "u", f"c{i}", i, role="user")
+                           for i in range(4)]),
+        batch_id=0,
+    )
+    run.sync()
+    bronze.apply_batch(
+        _events_df(spark, [ev(10, "u", "c0", 0, role="assistant")]),
+        batch_id=1,
+    )
+    from kafka_jdbc_sink_connector_spark.lake.changes import (
+        table_changes as tc,
+    )
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    up = LakeTable.load(spark, bronze.table_path)
+    feed = tc(up, run.watermark(), up.version, include_preimages=True)
+    affected = feed.select("role").na.drop().distinct()
+    relevant = run._live(up.read(version=up.version)).join(
+        F.broadcast(affected), ["role"], "left_semi"
+    )
+    plan = relevant._jdf.queryExecution().executedPlan().toString()
+    # the group restriction itself must be a broadcast LEFT SEMI (the
+    # feed's internal full-outer diff upstream of `affected` is a
+    # shuffle join by nature — but bucket-pruned and batch-sized)
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

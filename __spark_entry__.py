@@ -1258,6 +1258,115 @@ FROM turns GROUP BY user_id
 """
 
 
+def q_events_hll_user_registers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic HyperLogLog sketch (``operators/sketch.py``) of
+    distinct users as a REGISTER TABLE — md5-hashed, nibble-arithmetic
+    rho, no float log2 — so the sketch itself is portable: the DuckDB
+    oracle computes the identical ≤256 rows, hash-exact. Mergeability
+    (union sketch = register-wise max) is what lets per-batch sketches
+    compose at 100 TB without rescans; pytest pins it exactly."""
+    from kafka_jdbc_sink_connector_spark.operators.sketch import (
+        hll_registers,
+    )
+
+    return hll_registers(_t(spark, sf_dir, "events"), "user_id", p=8)
+
+
+_SQL_HLL_RHO = """
+  CASE WHEN length(ltrim(substr(hx, {o}, 13), '0')) = 0 THEN 53
+       ELSE (13 - length(ltrim(substr(hx, {o}, 13), '0'))) * 4
+            + CASE substr(ltrim(substr(hx, {o}, 13), '0'), 1, 1)
+                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                WHEN '7' THEN 1 ELSE 0 END + 1 END
+"""
+
+
+def _sql_hll_registers() -> str:
+    rho = _SQL_HLL_RHO.format(o=3)
+    return f"""
+WITH h AS (
+  SELECT md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (SELECT substr(hx, 1, 2) AS register, {rho} AS rho FROM h)
+SELECT register, CAST(MAX(rho) AS INT) AS max_rho
+FROM r GROUP BY register
+"""
+
+
+def q_events_hll_users_per_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped sketches: per-event_type distinct-user HLL estimate
+    beside the exact count — the "distinct users per source" rollup a
+    training pipeline tracks per partition without a COUNT DISTINCT
+    shuffle of the raw ids (register tables are ≤256 rows per key and
+    merge across batches). Estimate rounded to 2 decimals (the
+    harmonic sum's float order differs across engines at the last
+    ulp; the estimator maps that far below 0.01)."""
+    from kafka_jdbc_sink_connector_spark.operators.sketch import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_registers_by(ev, ["event_type"], "user_id", p=8)
+    est = hll_estimate_by(regs, ["event_type"], p=8).select(
+        "event_type", F.round("estimate", 2).alias("est_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "est_users", "n_exact"
+    )
+
+
+def _sql_hll_per_type() -> str:
+    rho = _SQL_HLL_RHO.format(o=3)
+    m, alpha = 256, 0.7213 / (1 + 1.079 / 256)
+    return f"""
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, substr(hx, 1, 2) AS register, {rho} AS rho FROM h
+),
+regs AS (
+  SELECT event_type, register, MAX(rho) AS max_rho
+  FROM r GROUP BY event_type, register
+),
+agg AS (
+  SELECT event_type,
+         COUNT(*) AS present,
+         SUM(power(2.0, -max_rho)) AS s_present
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m})
+                   / (s_present + ({m} - present)) <= 2.5 * {m}
+                   AND ({m} - present) > 0
+              THEN -({m}.0 * ln(({m} - present) / {m}.0))
+              ELSE (CAST({alpha!r} AS DOUBLE) * {m} * {m})
+                   / (s_present + ({m} - present)) END AS estimate
+  FROM agg
+)
+SELECT e.event_type,
+       round(e.estimate, 2) AS est_users,
+       CAST(x.n_exact AS BIGINT) AS n_exact
+FROM est e
+JOIN (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY event_type
+) x USING (event_type)
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 1800s starts a new session per user.
 
@@ -3178,6 +3287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_clustered_scan": q_cdc_clustered_scan,
         "cdc_zorder_scan": q_cdc_zorder_scan,
         "events_sessionize": q_events_sessionize,
+        "events_hll_user_registers": q_events_hll_user_registers,
+        "events_hll_users_per_type": q_events_hll_users_per_type,
         "events_assemble_transcripts": q_events_assemble_transcripts,
         "events_topk_per_type": q_events_topk_per_type,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
@@ -3256,6 +3367,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_clustered_scan": _sql_clustered_scan(),
         "cdc_zorder_scan": _sql_zorder_scan(),
         "events_sessionize": _sql_sessionize(),
+        "events_hll_user_registers": _sql_hll_registers(),
+        "events_hll_users_per_type": _sql_hll_per_type(),
         "events_assemble_transcripts": _sql_events_assemble_transcripts(),
         "events_topk_per_type": _sql_topk(),
         "tpch_q1_pricing_summary": _sql_tpch_q1(),

@@ -1,0 +1,167 @@
+"""Mergeable distinct-count sketches (deterministic HyperLogLog).
+
+Spark's ``approx_count_distinct`` answers one query on one frame; a
+100-TB pipeline wants the SKETCH itself as data — per-batch / per-
+partition register tables that persist in a lake table, merge by
+``GROUP BY register → MAX(rho)`` without ever rescanning history, and
+yield a cardinality estimate at any point. That mergeability is the
+whole point (Flajolet et al., "HyperLogLog: the analysis of a
+near-optimal cardinality estimation algorithm", AofA 2007): the union
+sketch of two datasets is the register-wise max of their sketches —
+an aggregate an incremental view can maintain.
+
+Everything here is DETERMINISTIC and engine-portable, which Spark's
+builtin (and DuckDB's ``approx_count_distinct``) are not — their HLL
+implementations hash differently, so their sketches can't be compared
+or merged across engines. This one can: the hash is ``md5`` of the
+value's canonical string (identical bytes everywhere), the register
+is the first ``p/4`` hex chars, and the rho computation is pure
+string/CASE arithmetic (no float ``log2`` — nibble-level leading-zero
+counting), so the register table an oracle SQL computes is
+hash-EXACT against Spark's. The driver checks exactly that.
+
+Plan shape: one codegen scan → one ``GROUP BY register`` with
+map-side partial ``MAX`` → at most ``2^p`` rows. No Python, no
+second pass, no shuffle beyond the (tiny) register aggregation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hex chars drawn for the rho value (52 bits — md5 has plenty)
+_RHO_HEX = 13
+_MAX_RHO = _RHO_HEX * 4 + 1
+
+
+def _leading_zero_bits(hexcol: Column) -> Column:
+    """Leading zero BITS of a lowercase hex string, via nibble
+    arithmetic — portable to ANSI-ish SQL (ltrim/length/CASE), and
+    exact where ``floor(log2(x))`` float tricks are not."""
+    stripped = F.ltrim(hexcol, F.lit("0"))
+    nz_nibbles = (F.length(hexcol) - F.length(stripped)) * 4
+    first = F.substring(stripped, 1, 1)
+    in_first = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return F.when(
+        F.length(stripped) == 0, F.length(hexcol) * 4
+    ).otherwise(nz_nibbles + in_first)
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = 8
+) -> DataFrame:
+    """The HLL sketch of ``col`` as a register TABLE:
+    ``(register: 2-char hex string, max_rho: int)``, ≤ ``2^p`` rows.
+
+    ``p`` must be a multiple of 4 (register = first ``p/4`` hex chars
+    of the md5 — keeping the register a hex STRING avoids base
+    conversion and stays portable). NULLs don't count (SQL COUNT
+    DISTINCT semantics). Values are canonicalized via CAST AS STRING —
+    two values that print identically count once (document the caveat;
+    for the usual id/string columns it IS distinctness).
+    """
+    if p % 4 or p <= 0 or p > 16:
+        raise ValueError("p must be one of 4, 8, 12, 16")
+    nib = p // 4
+    h = F.md5(F.col(col).cast("string"))
+    reg = F.substring(h, 1, nib)
+    val = F.substring(h, nib + 1, _RHO_HEX)
+    rho = (_leading_zero_bits(val) + 1).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(reg.alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union sketch = register-wise max — the mergeability that makes
+    per-batch sketches composable without rescans."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Cardinality estimate from a register table: the standard HLL
+    estimator with the small-range linear-counting correction
+    (empty registers count as ``2^0`` in the harmonic sum; upper-range
+    correction omitted — it matters only near 2^32+, beyond these
+    sketches' use here). One row: ``(estimate: double)``."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.agg(
+        F.count("*").alias("present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s_present"),
+    )
+    zeros = F.lit(m) - F.col("present")
+    s = F.col("s_present") + zeros.cast("double")
+    raw = F.lit(alpha * m * m) / s
+    linear = -(F.lit(float(m)) * F.log(zeros.cast("double") / m))
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(est.alias("estimate"))
+
+
+def hll_count_distinct(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """One-shot convenience: sketch + estimate in a single plan."""
+    return hll_estimate(hll_registers(df, col, p), p)
+
+
+def hll_registers_by(
+    df: DataFrame, keys: list[str], col: str, p: int = 8
+) -> DataFrame:
+    """Per-key sketches: ``(keys..., register, max_rho)`` — the
+    "distinct users per source/day" shape. ≤ ``2^p`` rows per key;
+    merge across batches stays ``GROUP BY (keys, register) → MAX``."""
+    if p % 4 or p <= 0 or p > 16:
+        raise ValueError("p must be one of 4, 8, 12, 16")
+    nib = p // 4
+    h = F.md5(F.col(col).cast("string"))
+    reg = F.substring(h, 1, nib)
+    val = F.substring(h, nib + 1, _RHO_HEX)
+    rho = (_leading_zero_bits(val) + 1).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, reg.alias("register"), rho.alias("rho"))
+        .groupBy(*keys, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, keys: list[str], p: int = 8
+) -> DataFrame:
+    """Per-key estimates from a keyed register table: one row per key,
+    ``(keys..., estimate)`` — same estimator as :func:`hll_estimate`."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.groupBy(*keys).agg(
+        F.count("*").alias("present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s_present"),
+    )
+    zeros = F.lit(m) - F.col("present")
+    s = F.col("s_present") + zeros.cast("double")
+    raw = F.lit(alpha * m * m) / s
+    linear = -(F.lit(float(m)) * F.log(zeros.cast("double") / m))
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(*keys, est.alias("estimate"))
+
+
+def hll_error_bound(p: int = 8, sigmas: float = 3.0) -> float:
+    """Relative standard error of the estimator (1.04/sqrt(m)) times
+    ``sigmas`` — the bound tests assert against."""
+    return sigmas * 1.04 / math.sqrt(1 << p)

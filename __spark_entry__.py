@@ -439,21 +439,15 @@ def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value_cents": F.max(_cents(F.col("value"))),
         },
     )
-    cuts = (hi // 3, 2 * hi // 3)
+    mid = hi // 2
     bronze.apply_batch(
-        cdc.filter(F.col("kafka_offset") <= cuts[0]), batch_id=0
+        cdc.filter(F.col("kafka_offset") <= mid), batch_id=0
     )
     run.sync()  # bootstrap
     bronze.apply_batch(
-        cdc.filter((F.col("kafka_offset") > cuts[0])
-                   & (F.col("kafka_offset") <= cuts[1])),
-        batch_id=1,
+        cdc.filter(F.col("kafka_offset") > mid), batch_id=1
     )
-    run.sync()  # incremental: group moves + deletes
-    bronze.apply_batch(
-        cdc.filter(F.col("kafka_offset") > cuts[1]), batch_id=2
-    )
-    run.sync()
+    run.sync()  # incremental: group moves + deletes + empties
     return view.read_target().select(
         "event_type", "n_users", "sum_value_cents", "max_value_cents"
     )
@@ -1364,6 +1358,71 @@ JOIN (
   SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
   FROM events GROUP BY event_type
 ) x USING (event_type)
+"""
+
+
+def q_events_cms_user_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-min frequency sketch (``operators/sketch.py``): sparse
+    (row, col, cnt) counters, SUM-mergeable across batches, point
+    estimate = MIN over the d rows — never an underestimate. Same
+    portability recipe as the HLL: md5 row hashes make the sketch AND
+    the estimates hash-exact against the DuckDB oracle. The query
+    estimates per-user event counts for a deterministic probe set
+    beside the exact counts."""
+    from kafka_jdbc_sink_connector_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "user_id", d=4, w_hex=3)
+    probes = ev.filter(F.col("user_id") % 10 == 3)
+    est = cms_estimate(sk, probes, "user_id", d=4, w_hex=3)
+    exact = probes.groupBy("user_id").agg(
+        F.count("*").alias("n_exact")
+    )
+    return est.join(exact, "user_id").select(
+        "user_id", "est_cnt", "n_exact"
+    )
+
+
+def _sql_cms_user_counts() -> str:
+    return """
+WITH vals AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
+),
+rws AS (SELECT i FROM range(4) t(i)),
+h AS (
+  SELECT r.i AS row,
+         substr(md5(CAST(r.i AS VARCHAR) || ':'
+                    || CAST(v.user_id AS VARCHAR)), 1, 3) AS col
+  FROM vals v CROSS JOIN rws r
+),
+sk AS (SELECT row, col, COUNT(*) AS cnt FROM h GROUP BY row, col),
+probes AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 3
+),
+pk AS (
+  SELECT p.user_id, r.i AS row,
+         substr(md5(CAST(r.i AS VARCHAR) || ':'
+                    || CAST(p.user_id AS VARCHAR)), 1, 3) AS col
+  FROM probes p CROSS JOIN rws r
+),
+est AS (
+  SELECT pk.user_id, MIN(COALESCE(sk.cnt, 0)) AS est_cnt
+  FROM pk LEFT JOIN sk USING (row, col)
+  GROUP BY pk.user_id
+)
+SELECT e.user_id,
+       CAST(e.est_cnt AS BIGINT) AS est_cnt,
+       CAST(x.n_exact AS BIGINT) AS n_exact
+FROM est e
+JOIN (
+  SELECT user_id, COUNT(*) AS n_exact
+  FROM events WHERE user_id % 10 = 3 GROUP BY user_id
+) x USING (user_id)
 """
 
 
@@ -3289,6 +3348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_hll_user_registers": q_events_hll_user_registers,
         "events_hll_users_per_type": q_events_hll_users_per_type,
+        "events_cms_user_counts": q_events_cms_user_counts,
         "events_assemble_transcripts": q_events_assemble_transcripts,
         "events_topk_per_type": q_events_topk_per_type,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
@@ -3369,6 +3429,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _sql_sessionize(),
         "events_hll_user_registers": _sql_hll_registers(),
         "events_hll_users_per_type": _sql_hll_per_type(),
+        "events_cms_user_counts": _sql_cms_user_counts(),
         "events_assemble_transcripts": _sql_events_assemble_transcripts(),
         "events_topk_per_type": _sql_topk(),
         "tpch_q1_pricing_summary": _sql_tpch_q1(),

@@ -165,3 +165,99 @@ def hll_error_bound(p: int = 8, sigmas: float = 3.0) -> float:
     """Relative standard error of the estimator (1.04/sqrt(m)) times
     ``sigmas`` — the bound tests assert against."""
     return sigmas * 1.04 / math.sqrt(1 << p)
+
+
+# -- count-min sketch --------------------------------------------------
+#
+# The frequency sibling (Cormode & Muthukrishnan, "An improved data
+# stream summary: the count-min sketch and its applications", J.
+# Algorithms 2005): d hash rows × w counters, point frequency =
+# MIN over rows — never an underestimate, over by ≤ e·N/w with
+# probability 1−e^−d. Same portability recipe as the HLL above: row-i
+# hash = hex prefix of md5("i:" || value), counters SUM-merge, the
+# sketch is a SPARSE (row, col, cnt) table (zero counters implicit),
+# and the whole construction reproduces hash-exact in the SQL oracle.
+
+
+def _cms_hash(col: Column, row: int, w_hex: int) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{row}:"), col.cast("string"))), 1, w_hex
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    d: int = 4,
+    w_hex: int = 3,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Count-min sketch of ``col`` as a sparse counter table
+    ``(row: int, col: w_hex-char hex string, cnt: long)`` — ≤ d·16^w_hex
+    rows however large the input. ``weight`` switches from occurrence
+    counting to weighted sums (e.g. bytes per key). NULLs don't
+    count."""
+    if d < 1 or w_hex < 1 or w_hex > 8:
+        raise ValueError("need d >= 1 and 1 <= w_hex <= 8")
+    w = F.lit(1).cast("long") if weight is None else weight.cast("long")
+    rows = df.filter(F.col(col).isNotNull()).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    _cms_hash(F.col(col), i, w_hex).alias("col"),
+                )
+                for i in range(d)
+            ])
+        ).alias("h"),
+        w.alias("__w"),
+    )
+    return (
+        rows.select("h.row", "h.col", "__w")
+        .groupBy("row", "col")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union sketch = counter-wise SUM (both directions of the
+    per-batch accumulation story)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    d: int = 4,
+    w_hex: int = 3,
+) -> DataFrame:
+    """Point frequency estimates for ``probes[col]``: min over the d
+    counters each probe hashes to (absent counter = 0 — the sparse
+    encoding's implicit zero). Returns ``(col, est_cnt)``. The sketch
+    side is joined on its (row, col) key; the probe side is
+    broadcast — probes are query-sized, the sketch is state."""
+    keyed = probes.select(F.col(col)).distinct().select(
+        col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    _cms_hash(F.col(col), i, w_hex).alias("col"),
+                )
+                for i in range(d)
+            ])
+        ).alias("h"),
+    ).select(col, "h.row", "h.col")
+    joined = sketch.join(
+        F.broadcast(keyed), ["row", "col"], "right"
+    ).select(
+        F.col(col),
+        F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("c"),
+    )
+    return joined.groupBy(col).agg(F.min("c").alias("est_cnt"))

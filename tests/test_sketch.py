@@ -134,3 +134,81 @@ def test_sketch_plan_is_one_codegen_pass(spark, events):
     # one partial + one final aggregate around a single Exchange
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_max" in plan
+
+
+# -- count-min sketch --------------------------------------------------
+
+
+def test_cms_never_underestimates_and_merges(spark, events):
+    from kafka_jdbc_sink_connector_spark.operators.sketch import (
+        cms_estimate,
+        cms_merge,
+        cms_sketch,
+    )
+
+    sk = cms_sketch(events, "user_id")
+    probes = events.select("user_id").distinct()
+    est = {
+        r["user_id"]: r["est_cnt"]
+        for r in cms_estimate(sk, probes, "user_id").collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for u, n in exact.items():
+        assert est[u] >= n, u  # the one-sided guarantee
+    # merge = counter-wise sum, exactly
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    merged = {
+        tuple(r)
+        for r in cms_merge(
+            cms_sketch(a, "user_id"), cms_sketch(b, "user_id")
+        ).collect()
+    }
+    assert merged == {tuple(r) for r in sk.collect()}
+
+
+def test_cms_weighted_and_absent_probe(spark):
+    from kafka_jdbc_sink_connector_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7), (None, 99)],
+        "k string, w int",
+    )
+    sk = cms_sketch(df, "k", weight=F.col("w"))
+    probes = spark.createDataFrame(
+        [("a",), ("b",), ("zzz",)], "k string"
+    )
+    est = {
+        r["k"]: r["est_cnt"]
+        for r in cms_estimate(sk, probes, "k").collect()
+    }
+    assert est["a"] == 15 and est["b"] == 7
+    assert est["zzz"] == 0  # absent value -> implicit zero counters
+
+
+def test_cms_collision_overestimate_is_bounded(spark):
+    from kafka_jdbc_sink_connector_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    # tiny width forces collisions: w = 16 counters for 500 keys
+    df = spark.range(5000).select(
+        (F.col("id") % 500).cast("string").alias("k")
+    )
+    sk = cms_sketch(df, "k", d=4, w_hex=1)
+    probes = df.select("k").distinct().limit(50)
+    rows = cms_estimate(sk, probes, "k", d=4, w_hex=1).collect()
+    n_total = 5000
+    for r in rows:
+        assert r["est_cnt"] >= 10  # true count
+        # e*N/w bound holds with overwhelming probability at d=4
+        assert r["est_cnt"] - 10 <= 2.72 * n_total / 16 + 1

@@ -2560,6 +2560,92 @@ def q_emb_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p0.union(p1)
 
 
+def q_doc_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained inverted text index
+    (``streaming/textindex.TextIndexRunner``): ingest the corpus into
+    a bronze docs table, then apply a mutation batch (every 7th doc's
+    text replaced, every 11th deleted) — the index syncs from the
+    change feed WITH pre-images, retracting the OLD text's postings
+    and inserting the new ones (the edge a post-image-only feed
+    cannot maintain), exactly-once per upstream version. The posting
+    table is term-bucketed, so lookups bucket-prune. Result: postings
+    for a fixed probe-term set; oracle = tokenizing the FINAL
+    document state declaratively."""
+    from kafka_jdbc_sink_connector_spark.streaming.textindex import (
+        TextIndexRunner,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="doc_sindex_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    bronze = CdcApplier(
+        spark,
+        SinkConfig(pk_fields=("doc_id",), n_buckets=8,
+                   delete_mode="delete", delete_retain_fields=()),
+        os.path.join(tmp, "bronze"),
+    )
+    posting = CdcApplier(
+        spark,
+        SinkConfig(pk_fields=("term", "doc_id"), n_buckets=8,
+                   delete_mode="delete", delete_retain_fields=()),
+        os.path.join(tmp, "postings"),
+    )
+    run = TextIndexRunner(spark, bronze.table_path, posting)
+
+    def cdcify(df, op, off0):
+        return df.select(
+            F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+            .alias("kafka_partition"),
+            (F.col("doc_id") + F.lit(off0)).alias("kafka_offset"),
+            F.lit(op).alias("op"),
+            "doc_id",
+            "text",
+        )
+
+    bronze.apply_batch(cdcify(docs, "u", 0), batch_id=0)
+    run.sync()  # bootstrap
+    upd = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 0)
+    ).withColumn(
+        "text",
+        F.concat(F.lit("refreshed corpus entry "),
+                 F.col("doc_id").cast("string")),
+    )
+    dels = docs.filter(F.col("doc_id") % 11 == 0)
+    bronze.apply_batch(
+        cdcify(upd, "u", 1_000_000).unionByName(
+            cdcify(dels, "d", 2_000_000)
+        ),
+        batch_id=1,
+    )
+    run.sync()  # incremental: retract + insert + delete
+    probe = ["spark", "merge", "entry", "corpus"]
+    return run.postings().filter(F.col("term").isin(probe))
+
+
+def _sql_doc_search_index() -> str:
+    return """
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'refreshed corpus entry ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 11 <> 0
+),
+terms AS (
+  SELECT DISTINCT f.doc_id, t.term
+  FROM final f,
+       unnest(regexp_split_to_array(lower(f.text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''
+)
+SELECT term, doc_id
+FROM terms
+WHERE term IN ('spark', 'merge', 'entry', 'corpus')
+"""
+
+
 def q_emb_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming semantic dedup (``streaming/dedup.EmbDedupStreamRunner``):
     the corpus arrives as three micro-batches (vec_id mod 3) — per
@@ -3383,6 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_incremental": q_doc_dedup_incremental,
         "doc_dedup_stream": q_doc_dedup_stream,
         "doc_line_dedup": q_doc_line_dedup,
+        "doc_search_index": q_doc_search_index,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_dedup_keep_best": q_doc_dedup_keep_best,
         "doc_ngram_jaccard_dups": q_doc_ngram_jaccard_dups,
@@ -3464,6 +3551,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_incremental": _sql_minhash_lsh(),
         "doc_dedup_stream": _sql_dedup_stream(),
         "doc_line_dedup": _sql_line_dedup(),
+        "doc_search_index": _sql_doc_search_index(),
         "doc_dup_clusters": _sql_dup_clusters(),
         "doc_dedup_keep_best": _sql_dedup_keep_best(),
         "doc_ngram_jaccard_dups": _sql_ngram_jaccard(),

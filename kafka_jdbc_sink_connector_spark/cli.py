@@ -334,7 +334,8 @@ def cmd_changes(args) -> None:
     spark = _session(args)
     t = LakeTable.load(spark, args.table)
     feed = table_changes(
-        t, from_version=args.from_version, to_version=args.to_version
+        t, from_version=args.from_version, to_version=args.to_version,
+        include_preimages=getattr(args, "preimages", False),
     )
     if args.out:
         feed.write.mode("overwrite").parquet(args.out)
@@ -356,6 +357,77 @@ def cmd_changes(args) -> None:
         "to_version": args.to_version
         if args.to_version is not None else t.version,
     }))
+
+
+def cmd_maintain(args) -> None:
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import plan
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    spark = _session(args)
+    t = LakeTable.load(spark, args.table)
+    kw = {}
+    if args.max_delta_depth is not None:
+        kw["max_delta_depth"] = args.max_delta_depth
+    if args.max_files_per_bucket is not None:
+        kw["max_files_per_bucket"] = args.max_files_per_bucket
+    if args.max_retained_versions is not None:
+        kw["max_retained_versions"] = args.max_retained_versions
+    if args.target_rows_per_bucket is not None:
+        kw["target_rows_per_bucket"] = args.target_rows_per_bucket
+    acts = plan(t, execute=args.execute, **kw)
+    print(json.dumps({
+        "actions": [
+            {"kind": a.kind, "reason": a.reason,
+             "params": {k: v for k, v in a.params.items()
+                        if k != "result"},
+             **({"result": str(a.params.get("result"))}
+                if args.execute else {})}
+            for a in acts
+        ],
+        "executed": bool(args.execute),
+        "version": t.version,
+    }))
+
+
+def cmd_approx_distinct(args) -> None:
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+    from kafka_jdbc_sink_connector_spark.operators.sketch import (
+        hll_count_distinct,
+    )
+
+    spark = _session(args)
+    t = LakeTable.load(spark, args.table)
+    est = hll_count_distinct(t.read(), args.column, p=args.p).collect()[0]
+    print(json.dumps({
+        "column": args.column,
+        "estimate": round(est["estimate"], 2),
+        "p": args.p,
+    }))
+
+
+def cmd_search(args) -> None:
+    from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+
+    spark = _session(args)
+    t = LakeTable.load(spark, args.postings)
+    id_col = [f for f in t.snapshot.key_fields if f != "term"][0]
+    terms = [s for s in args.terms.split(",") if s]
+    hits = t.read(where=[("term", "in", terms)]
+                  if len(terms) > 1 else [("term", "=", terms[0])])
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    if args.mode == "all":
+        out = (
+            hits.groupBy(id_col)
+            .agg(F.count_distinct("term").alias("__nt"))
+            .filter(F.col("__nt") == len(set(terms)))
+            .select(id_col)
+        )
+    else:
+        out = hits.select(id_col).distinct()
+    ids = sorted(r[0] for r in out.collect())
+    print(json.dumps({"terms": terms, "mode": args.mode,
+                      "n_docs": len(ids), "doc_ids": ids[:args.limit]}))
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -493,11 +565,47 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--table", required=True)
     p.add_argument("--from-version", type=int, required=True)
     p.add_argument("--to-version", type=int, default=None)
+    p.add_argument("--preimages", action="store_true",
+                   help="Delta-CDF two-row updates "
+                        "(update_preimage/update_postimage)")
     p.add_argument("--out", default=None,
                    help="write the feed to this parquet path instead "
                         "of printing")
     p.add_argument("--limit", type=int, default=20)
     p.set_defaults(fn=cmd_changes)
+
+    p = sub.add_parser(
+        "maintain",
+        help="stats-driven maintenance policy: read the manifest, "
+             "print (or run) the recommended actions",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--execute", action="store_true")
+    p.add_argument("--max-delta-depth", type=int, default=None)
+    p.add_argument("--max-files-per-bucket", type=int, default=None)
+    p.add_argument("--max-retained-versions", type=int, default=None)
+    p.add_argument("--target-rows-per-bucket", type=int, default=None)
+    p.set_defaults(fn=cmd_maintain)
+
+    p = sub.add_parser(
+        "approx-distinct",
+        help="HLL distinct-count estimate for one column",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--column", required=True)
+    p.add_argument("--p", type=int, default=8)
+    p.set_defaults(fn=cmd_approx_distinct)
+
+    p = sub.add_parser(
+        "search",
+        help="term lookup over a (term, id) posting table "
+             "(textindex.TextIndexRunner output)",
+    )
+    p.add_argument("--postings", required=True)
+    p.add_argument("--terms", required=True, help="comma-separated")
+    p.add_argument("--mode", choices=["any", "all"], default="any")
+    p.add_argument("--limit", type=int, default=50)
+    p.set_defaults(fn=cmd_search)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -1426,6 +1426,95 @@ JOIN (
 """
 
 
+def q_events_qsketch_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile histogram sketch (``operators/sketch.py``): log2
+    octaves × 16 linear sub-buckets computed with INTEGER arithmetic
+    only (octave from the binary-string length, sub-bucket via
+    integer div — no float log), so the sketch is deterministic and
+    the DuckDB oracle rebuilds it bucket-for-bucket. Counts
+    SUM-merge across batches; estimates carry ≤ 1/(2·16) ≈ 3.1%
+    relative error. The query returns p50/p90/p99 estimates of the
+    value column (as integer cents) beside the exact percentiles."""
+    from kafka_jdbc_sink_connector_spark.operators.sketch import (
+        qsketch_histogram,
+        qsketch_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(_cents(F.col("value")).alias("c"))
+    qs = [0.5, 0.9, 0.99]
+    est = qsketch_quantiles(qsketch_histogram(cents, "c"), qs)
+    exact = cents.agg(
+        *[
+            F.round(F.expr(f"percentile(c, {q})"), 6).alias(f"x{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(float(q)).alias("q"),
+                    F.col(f"x{i}").alias("exact_q"),
+                )
+                for i, q in enumerate(qs)
+            ])
+        ).alias("e")
+    ).select("e.q", "e.exact_q")
+    return est.join(exact, "q").select("q", "estimate", "exact_q")
+
+
+def _sql_qsketch_value() -> str:
+    return """
+WITH v AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT CASE WHEN c < 0 THEN -2 WHEN c = 0 THEN -1
+              ELSE (length(bin(c)) - 1) * 16
+                   + ((c - (1::BIGINT << (length(bin(c)) - 1))) * 16)
+                     // (1::BIGINT << (length(bin(c)) - 1))
+         END AS bucket
+  FROM v
+),
+hist AS (SELECT bucket, COUNT(*) AS cnt FROM b GROUP BY bucket),
+cum AS (
+  SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM hist WHERE bucket >= -1
+),
+qs AS (
+  SELECT CAST(q AS DOUBLE) AS q
+  FROM (VALUES (0.5), (0.9), (0.99)) t(q)
+),
+hit AS (
+  SELECT q, MIN(bucket) AS bucket
+  FROM cum JOIN qs ON cum >= ceil(q * n)
+  GROUP BY q
+),
+est AS (
+  SELECT q,
+         CASE WHEN bucket = -1 THEN 0.0
+              ELSE round(power(2.0, CAST(bucket // 16 AS DOUBLE))
+                         * (1.0 + (CAST(bucket % 16 AS DOUBLE) + 0.5)
+                            / 16), 6) END AS estimate
+  FROM hit
+),
+ex AS (
+  SELECT CAST(0.5 AS DOUBLE) AS q,
+         round(quantile_cont(c, 0.5), 6) AS exact_q FROM v
+  UNION ALL
+  SELECT CAST(0.9 AS DOUBLE), round(quantile_cont(c, 0.9), 6) FROM v
+  UNION ALL
+  SELECT CAST(0.99 AS DOUBLE), round(quantile_cont(c, 0.99), 6) FROM v
+)
+SELECT e.q, e.estimate, x.exact_q
+FROM est e JOIN ex x USING (q)
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 1800s starts a new session per user.
 
@@ -3435,6 +3524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_user_registers": q_events_hll_user_registers,
         "events_hll_users_per_type": q_events_hll_users_per_type,
         "events_cms_user_counts": q_events_cms_user_counts,
+        "events_qsketch_value": q_events_qsketch_value,
         "events_assemble_transcripts": q_events_assemble_transcripts,
         "events_topk_per_type": q_events_topk_per_type,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
@@ -3517,6 +3607,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hll_user_registers": _sql_hll_registers(),
         "events_hll_users_per_type": _sql_hll_per_type(),
         "events_cms_user_counts": _sql_cms_user_counts(),
+        "events_qsketch_value": _sql_qsketch_value(),
         "events_assemble_transcripts": _sql_events_assemble_transcripts(),
         "events_topk_per_type": _sql_topk(),
         "tpch_q1_pricing_summary": _sql_tpch_q1(),

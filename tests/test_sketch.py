@@ -212,3 +212,100 @@ def test_cms_collision_overestimate_is_bounded(spark):
         assert r["est_cnt"] >= 10  # true count
         # e*N/w bound holds with overwhelming probability at d=4
         assert r["est_cnt"] - 10 <= 2.72 * n_total / 16 + 1
+
+
+# -- quantile histogram sketch -----------------------------------------
+
+
+def test_qsketch_quantiles_within_bound(spark, events):
+    from kafka_jdbc_sink_connector_spark.operators.sketch import (
+        qsketch_error_bound,
+        qsketch_histogram,
+        qsketch_quantiles,
+    )
+
+    cents = events.select(
+        F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    h = qsketch_histogram(cents, "c")
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = {
+        r["q"]: r["estimate"]
+        for r in qsketch_quantiles(h, qs).collect()
+    }
+    exact = cents.agg(
+        *[F.expr(f"percentile(c, {q})").alias(str(q)) for q in qs]
+    ).collect()[0]
+    for q in qs:
+        x = exact[str(q)]
+        assert abs(est[q] - x) / max(x, 1) <= qsketch_error_bound(), (
+            q, est[q], x,
+        )
+
+
+def test_qsketch_merge_and_partition_invariance(spark, events):
+    from kafka_jdbc_sink_connector_spark.operators.sketch import (
+        qsketch_histogram,
+        qsketch_merge,
+    )
+
+    cents = events.select(
+        F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    full = {tuple(r) for r in qsketch_histogram(cents, "c").collect()}
+    a = cents.filter(F.col("c") % 2 == 0)
+    b = cents.filter(F.col("c") % 2 == 1)
+    merged = {
+        tuple(r)
+        for r in qsketch_merge(
+            qsketch_histogram(a, "c"), qsketch_histogram(b, "c")
+        ).collect()
+    }
+    assert merged == full
+    rep = {
+        tuple(r)
+        for r in qsketch_histogram(cents.repartition(13), "c").collect()
+    }
+    assert rep == full
+
+
+def test_qsketch_zero_negative_null(spark):
+    from kafka_jdbc_sink_connector_spark.operators.sketch import (
+        qsketch_histogram,
+        qsketch_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(0,), (0,), (-5,), (None,), (8,)], "c bigint"
+    )
+    h = {r["bucket"]: r["cnt"] for r in qsketch_histogram(df, "c").collect()}
+    assert h[-1] == 2 and h[-2] == 1  # zeros + negatives counted
+    assert sum(h.values()) == 4      # null skipped
+    # 8 = 2^3 exactly: bucket = 3*16 + 0
+    assert h[48] == 1
+    est = {
+        r["q"]: r["estimate"]
+        for r in qsketch_quantiles(qsketch_histogram(df, "c"), [0.5])
+        .collect()
+    }
+    assert est[0.5] == 0.0  # median of ranked (0,0,8) is the zero bucket
+
+
+def test_qsketch_exact_bucket_boundaries(spark):
+    from kafka_jdbc_sink_connector_spark.operators.sketch import (
+        qsketch_histogram,
+    )
+
+    # powers of two and their neighbors land deterministically: the
+    # integer-div sub-bucket cannot straddle like float log would
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (15,), (16,), (17,), (1023,), (1024,)],
+        "c bigint",
+    )
+    got = {r["bucket"]: r["cnt"] for r in qsketch_histogram(df, "c").collect()}
+    # 1 -> octave 0 sub 0 = 0; 2 -> 16; 3 -> 16+8=24 ((3-2)*16//2);
+    # 4 -> 32; 15 -> 3*16 + 11*16//8 wait: octave(15)=3, (15-8)*16//8=14
+    assert got[0] == 1 and got[16] == 1 and got[24] == 1
+    assert got[32] == 1 and got[3 * 16 + 14] == 1
+    assert got[4 * 16] == 1 and got[4 * 16 + 1] == 1
+    assert got[9 * 16 + 15] == 1 and got[10 * 16] == 1

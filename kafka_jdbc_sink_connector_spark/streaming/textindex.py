@@ -187,15 +187,46 @@ class TextIndexRunner:
     def postings(self) -> DataFrame:
         return self.applier.read_target().select("term", self.id_col)
 
+    def _probe_buckets(self, terms: list[str]) -> list[int]:
+        """Manifest-level pruning: the bucket ids the probe terms hash
+        to (one tiny literal-frame job — the term bucketing is a
+        Column expression, so the ids come from the same hash the
+        writer used)."""
+        from kafka_jdbc_sink_connector_spark.functions.keys import (
+            bucket_expr,
+        )
+
+        t = self.applier.table()
+        lits = self.spark.createDataFrame(
+            [(x,) for x in terms], "term string"
+        )
+        rows = lits.select(
+            bucket_expr(t.snapshot.bucket_key, t.snapshot.n_buckets)
+            .alias("b")
+        ).distinct().collect()
+        return sorted(r["b"] for r in rows)
+
     def lookup(self, terms: list[str], mode: str = "any") -> DataFrame:
         """Documents matching ``terms``: ``any`` (OR) or ``all``
-        (AND). The term filter reaches the posting table's read as an
-        equality/IN predicate — bucket-pruned by the term bucketing,
-        so a lookup reads ~one bucket per probe term regardless of
-        corpus size."""
+        (AND). The read is pruned twice: manifest-level to the
+        buckets the probe terms hash to (:meth:`_probe_buckets`), and
+        file-level by the term predicate against footer min/max
+        stats — so a lookup reads ~one bucket's matching files per
+        probe term regardless of corpus size."""
         if mode not in ("any", "all"):
             raise ValueError("mode must be any|all")
-        hits = self.postings().filter(F.col("term").isin(list(terms)))
+        terms = list(terms)
+        t = self.applier.table()
+        if t is None:
+            raise FileNotFoundError(self.applier.table_path)
+        where = (
+            [("term", "in", terms)]
+            if len(terms) > 1
+            else [("term", "=", terms[0])]
+        )
+        hits = t.read(
+            buckets=self._probe_buckets(terms), where=where
+        ).select("term", self.id_col)
         if mode == "any":
             return hits.select(self.id_col).distinct()
         return (

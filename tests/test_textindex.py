@@ -165,3 +165,28 @@ def test_index_custom_tokenizer_and_pk_validation(spark, tmp_path):
     run.sync()
     got = {r["term"] for r in run.postings().collect()}
     assert "big fast" in got and "fast scan" in got
+
+
+def test_lookup_prunes_to_probe_buckets(spark, tmp_path):
+    """The lookup reads only the buckets the probe terms hash to —
+    manifest-level pruning, the property that keeps a term query
+    ~one-bucket-sized on a 100-TB posting table."""
+    bronze, run = _mk(spark, tmp_path)
+    rows = [ev(i, "u", f"c{i}", 0,
+               text=f"term{i} shared") for i in range(12)]
+    bronze.apply_batch(_events_df(spark, rows), batch_id=0)
+    run.sync()
+    t = run.applier.table()
+    probe = run._probe_buckets(["term3"])
+    assert len(probe) == 1 and 0 <= probe[0] < t.snapshot.n_buckets
+    # pruned result == unpruned filter (correctness of the pruning)
+    got = {r[0] for r in run.lookup(["term3"]).collect()}
+    want = {
+        r["conv_id"]
+        for r in run.postings().filter(F.col("term") == "term3").collect()
+    }
+    assert got == want == {"c3"}
+    # and the pruned read really touches fewer buckets than exist
+    assert len(run._probe_buckets(["term3", "shared"])) <= 2 < (
+        t.snapshot.n_buckets
+    )

@@ -417,6 +417,27 @@ class MultiTableRunner:
             json.dump(rec, fh, indent=1, sort_keys=True)
         os.replace(tmp, self._group_path(batch_id))
 
+    def expire_groups(self, keep_groups: int) -> int:
+        """Retention for the commit-group log: drop all but the newest
+        ``keep_groups`` markers (one tiny JSON per batch, but an
+        unbounded stream writes unboundedly many). Keep at least as
+        many groups as table versions your vacuum retains — a marker
+        older than the vacuum window is unreadable anyway (same
+        contract as time travel)."""
+        if keep_groups < 1:
+            raise ValueError("keep_groups must be >= 1")
+        if not os.path.isdir(self.group_dir):
+            return 0
+        names = sorted(
+            n for n in os.listdir(self.group_dir)
+            if n.startswith("g") and n.endswith(".json")
+        )
+        removed = 0
+        for n in names[: max(0, len(names) - keep_groups)]:
+            os.unlink(os.path.join(self.group_dir, n))
+            removed += 1
+        return removed
+
     def read_consistent(
         self, spark, batch_id: int | None = None
     ) -> dict[str, DataFrame]:

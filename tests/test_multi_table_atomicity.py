@@ -130,3 +130,26 @@ def test_replayed_batch_republishes_marker_idempotently(spark, tmp_path):
     r2.process_batch(df, batch_id=0)
     assert r2.read_group(0)["tables"] == v_before
     assert r2.read_consistent(spark)["t_a"].count() == 2
+
+
+def test_expire_groups_retention(spark, tmp_path):
+    r = _mk_runner(spark, tmp_path)
+    for b in range(4):
+        r.process_batch(_batch(spark, f"b{b}", off0=10 * b), batch_id=b)
+    assert r.latest_group_id() == 3
+    removed = r.expire_groups(keep_groups=2)
+    assert removed == 2
+    # newest markers survive; consistent reads still work
+    assert r.latest_group_id() == 3
+    assert r.read_group(2)["batch_id"] == 2
+    view = r.read_consistent(spark)
+    assert view["t_a"].count() == 8
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        r.read_group(0)
+    with _pytest.raises(ValueError):
+        r.expire_groups(0)
+    # carry-forward still intact after expiry on the next batch
+    r.process_batch(_batch(spark, "b4", off0=40), batch_id=4)
+    assert set(r.read_group(4)["tables"]) == {"t_a", "t_b"}

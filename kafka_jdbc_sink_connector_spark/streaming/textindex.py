@@ -28,6 +28,10 @@ TERM — a term lookup bucket-prunes to one bucket however many
 documents are indexed, and the per-sync cost follows the changed
 documents' term counts, never the corpus. Exactly-once per upstream
 version rides the same watermark as the other maintained views.
+Because it is an ordinary lake table, the standard tooling applies:
+``set_props({"bloom.cols": ["term"]})`` adds per-file bloom filters
+so point lookups also skip non-matching files WITHIN the probed
+bucket, and ``maintenance.plan`` keeps its file counts healthy.
 
 Reference anchor: the reference stops at row delivery
 (``JdbcSinkTask.put``); derived search structures are lake-native

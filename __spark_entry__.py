@@ -1515,6 +1515,105 @@ FROM est e JOIN ex x USING (q)
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (``operators/joins.asof_join``): every event picks
+    the latest 'purchase' event of the same user at-or-before its
+    timestamp — the kdb ``aj`` / pandas ``merge_asof`` semantics
+    Spark lacks, built as UNION + key-window ``last(ignorenulls)``:
+    ONE shuffle on the key, no join operator at all, fully codegen'd.
+    Equal-timestamp duplicates resolve to the greatest event_id
+    (explicit tiebreak). Oracle: the literal argmax correlated
+    subquery."""
+    from kafka_jdbc_sink_connector_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("rts"),
+        F.col("event_id").alias("ref_event_id"),
+        _cents(F.col("value")).alias("ref_value_cents"),
+    )
+    res = asof_join(
+        left, right, ["user_id"], "ts", "rts",
+        tiebreak="ref_event_id",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.col("ref_event_id_asof").alias("ref_event_id"),
+        F.col("ref_value_cents_asof").alias("ref_value_cents"),
+    )
+
+
+def _sql_asof_join() -> str:
+    return """
+WITH r AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT l.event_id, l.user_id,
+         (SELECT r.event_id FROM r
+          WHERE r.user_id = l.user_id AND r.ts <= l.ts
+          ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS ref_event_id
+  FROM events l
+)
+SELECT m.event_id, m.user_id, m.ref_event_id,
+       r.value_cents AS ref_value_cents
+FROM m LEFT JOIN r ON r.event_id = m.ref_event_id
+"""
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (interval-containment) join
+    (``operators/joins.range_join_bins``): every 'error' event opens a
+    120-second incident window for its user; count the user's events
+    falling inside each window. A raw BETWEEN join is
+    BroadcastNestedLoop (quadratic); here intervals explode into
+    fixed-width epoch bins and the join is an EQUI-join on
+    (user, bin) with an exact residual — shuffle follows rows ×
+    bins-per-interval. Oracle: the literal BETWEEN join."""
+    from kafka_jdbc_sink_connector_spark.operators.joins import (
+        range_join_bins,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.select("user_id", "ts", "event_id")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 120 SECONDS")).alias("w_end"),
+        F.col("event_id").alias("err_id"),
+    )
+    j = range_join_bins(
+        points, iv, ["user_id"], "ts", "w_start", "w_end",
+        bin_width=120.0,
+    )
+    return j.groupBy("err_id").agg(
+        F.count("*").alias("n_in_window"),
+        F.min("event_id").alias("first_event_id"),
+    )
+
+
+def _sql_range_join() -> str:
+    return """
+WITH iv AS (
+  SELECT user_id, ts AS w_start, ts + INTERVAL 120 SECOND AS w_end,
+         event_id AS err_id
+  FROM events WHERE event_type = 'error'
+)
+SELECT iv.err_id,
+       COUNT(*) AS n_in_window,
+       MIN(e.event_id) AS first_event_id
+FROM iv JOIN events e
+  ON e.user_id = iv.user_id
+ AND e.ts >= iv.w_start AND e.ts < iv.w_end
+GROUP BY iv.err_id
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 1800s starts a new session per user.
 
@@ -3525,6 +3624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_users_per_type": q_events_hll_users_per_type,
         "events_cms_user_counts": q_events_cms_user_counts,
         "events_qsketch_value": q_events_qsketch_value,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "events_assemble_transcripts": q_events_assemble_transcripts,
         "events_topk_per_type": q_events_topk_per_type,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
@@ -3608,6 +3709,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hll_users_per_type": _sql_hll_per_type(),
         "events_cms_user_counts": _sql_cms_user_counts(),
         "events_qsketch_value": _sql_qsketch_value(),
+        "events_asof_join": _sql_asof_join(),
+        "events_range_join": _sql_range_join(),
         "events_assemble_transcripts": _sql_events_assemble_transcripts(),
         "events_topk_per_type": _sql_topk(),
         "tpch_q1_pricing_summary": _sql_tpch_q1(),

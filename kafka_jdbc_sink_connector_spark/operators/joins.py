@@ -1,0 +1,195 @@
+"""Time-series joins Spark lacks as built-ins: AS-OF and RANGE.
+
+**As-of join** — for each left row, the single most recent right row
+of the same key at-or-before its timestamp (pandas ``merge_asof`` /
+kdb ``aj`` / DuckDB ``ASOF JOIN`` semantics). The naive SQL is a
+per-row correlated subquery; the scalable Spark shape used here is
+the UNION + WINDOW trick: tag both sides, union them, and let
+``last(col, ignorenulls=True)`` over a key-partitioned window
+ordered by ``(ts, side, tiebreak)`` carry each right row's payload
+forward to every later left row. ONE shuffle on the key, no join
+explosion, no Python — whole-stage codegen end to end. Ties at equal
+timestamps match (the right side sorts before the left), and a
+``tiebreak`` column makes duplicate right timestamps deterministic
+(the greatest tiebreak wins, matching argmax-(ts, tiebreak)).
+
+**Range join** — points against intervals. Spark executes a raw
+``BETWEEN`` join as BroadcastNestedLoop (quadratic blowup); the
+scale shape is BINNING: each interval explodes into the fixed-width
+bins it overlaps, points compute their bin, and the join becomes an
+EQUI-join on ``(key, bin)`` with an exact residual filter — shuffle
+volume follows rows × (interval span / bin width), never the cross
+product. Pick ``bin_width`` ≈ the typical interval length so most
+intervals explode into ~2 bins.
+
+Both are (a) in the engine because a CDC/event lake constantly asks
+"which dimension version was current when this event happened" and
+"which events fall inside this incident window", and (b) oracled
+against declarative SQL (argmax subquery / BETWEEN join) in the
+driver harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    tolerance: float | None = None,
+    tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: every left row + the latest right row per
+    ``on`` key with ``right_ts <= left_ts`` (NULL-filled when none).
+
+    ``right_cols`` — right payload columns to carry (default: all
+    non-key, non-ts). ``tolerance`` — maximum ``left_ts - right_ts``
+    (same units as the timestamps' cast-to-double seconds); older
+    matches are nulled out. ``tiebreak`` — right column deciding
+    among equal-timestamp right rows (greatest wins); required for
+    determinism when duplicates are possible. Carried columns are
+    renamed ``<col><suffix>`` (and the matched timestamp is exposed
+    as ``<right_ts><suffix>``).
+    """
+    if not on:
+        raise ValueError("asof_join needs at least one key column")
+    rcols = right_cols or [
+        c for c in right.columns if c not in (*on, right_ts)
+    ]
+    out_names = {c: f"{c}{suffix}" for c in [*rcols, right_ts]}
+
+    ts_d = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    lpay = [c for c in left.columns if c not in on]
+    l_tag = left.select(
+        *on,
+        ts_d(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("double").alias("__tb"),
+        *[F.col(c) for c in lpay],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in rcols],
+        F.lit(None).cast("double").alias("__rts"),
+    )
+    tb = (
+        F.col(tiebreak).cast("double")
+        if tiebreak is not None
+        else F.lit(0.0)
+    )
+    r_tag = right.select(
+        *on,
+        ts_d(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        tb.alias("__tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lpay],
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        ts_d(right_ts).alias("__rts"),
+    )
+    u = l_tag.unionByName(r_tag)
+    # right rows order before left at equal ts (at-or-before matches);
+    # among equal right ts the greatest tiebreak lands last and wins
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(),
+                 F.col("__tb").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(
+            out_names[c]
+        )
+        for c in rcols
+    ]
+    mts = F.last("__rts", ignorenulls=True).over(w).alias(
+        out_names[right_ts]
+    )
+    res = u.select(
+        *on, "__ts", "__side", *lpay, *carried, mts
+    ).filter(F.col("__side") == 1)
+    if tolerance is not None:
+        stale = (
+            F.col(out_names[right_ts]).isNull()
+            | (F.col("__ts") - F.col(out_names[right_ts]) > tolerance)
+        )
+        res = res.select(
+            *on, "__ts", "__side", *lpay,
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(
+                    out_names[c]
+                )).alias(out_names[c])
+                for c in rcols
+            ],
+            F.when(stale, F.lit(None)).otherwise(
+                F.col(out_names[right_ts])
+            ).alias(out_names[right_ts]),
+        )
+    # the original left_ts column rides along in lpay untouched; the
+    # matched right timestamp is exposed as epoch-seconds double
+    # (exact for microsecond timestamps — 1.7e15 < 2^53)
+    return res.drop("__ts", "__side")
+
+
+def range_join_bins(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_width: float = 300.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points to the ``[start, end)`` intervals containing them,
+    as an EQUI-join on ``(on…, bin)``: intervals explode into the
+    fixed-width epoch bins they overlap (``sequence`` — JVM-side),
+    points compute one bin, the residual containment filter runs
+    after the hash join. ``how='left'`` keeps unmatched points with
+    NULL interval columns. Interval columns keep their names — they
+    must not collide with point columns."""
+    if how not in ("inner", "left"):
+        raise ValueError("how must be inner|left")
+    overlap = (set(intervals.columns) - set(on)) & set(points.columns)
+    if overlap:
+        raise ValueError(
+            f"interval column(s) {sorted(overlap)} collide with point "
+            f"columns; rename before joining"
+        )
+    ts_d = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    p = points.withColumn(
+        "__bin", F.floor(ts_d(point_ts) / bin_width).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(ts_d(start_ts) / bin_width).cast("long"),
+                # end is exclusive, but a point in the end bin can
+                # still be < end; ceil via floor of (end - epsilon)
+                # is wrong for exact multiples — emitting the end bin
+                # and letting the residual filter decide is exact
+                F.floor(ts_d(end_ts) / bin_width).cast("long"),
+            )
+        ),
+    )
+    cond = [p[k] == iv[k] for k in on] + [p["__bin"] == iv["__bin"]]
+    contained = (ts_d(point_ts) >= ts_d(start_ts)) & (
+        ts_d(point_ts) < ts_d(end_ts)
+    )
+    if how == "inner":
+        j = p.join(iv, cond, "inner").filter(contained)
+    else:
+        # left: containment must live IN the join condition — a
+        # post-filter would drop the unmatched rows a left join is
+        # asked to keep
+        j = p.join(iv, [*cond, contained], "left")
+    return j.select(
+        *[p[c] for c in points.columns],
+        *[iv[c] for c in intervals.columns if c not in on],
+    )

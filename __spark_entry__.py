@@ -485,6 +485,91 @@ GROUP BY event_type
 """
 
 
+def q_cdc_rollup_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed continuous aggregate (the Timescale hypertable
+    rollup shape) as an incrementally-maintained view:
+    ``AggViewRunner`` with a DERIVED group column — the transform
+    hook stamps ``date_trunc('hour', ts)`` on upstream AND feed rows,
+    so a changed row debits its OLD hour bucket via the pre-image and
+    credits the new one; only touched (hour, event_type) buckets
+    re-aggregate per sync. Oracle = the declarative rollup over the
+    final live state."""
+    from kafka_jdbc_sink_connector_spark.streaming.aggview import (
+        AggViewRunner,
+    )
+
+    cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
+    hi = cdc.agg(F.max("kafka_offset")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="cdc_rollup_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    bronze = CdcApplier(
+        spark,
+        SinkConfig(pk_fields=("user_id",), n_buckets=8,
+                   delete_mode="delete"),
+        os.path.join(tmp, "bronze"),
+    )
+    view = CdcApplier(
+        spark,
+        SinkConfig(pk_fields=("bucket_hour", "event_type"),
+                   n_buckets=4, delete_mode="delete",
+                   delete_retain_fields=()),
+        os.path.join(tmp, "view"),
+    )
+    run = AggViewRunner(
+        spark, bronze.table_path, view,
+        ["bucket_hour", "event_type"],
+        {
+            "n_rows": F.count("*"),
+            "sum_value_cents": F.sum(_cents(F.col("value"))),
+        },
+        transform=lambda df: df.withColumn(
+            "bucket_hour", F.date_trunc("hour", F.col("ts"))
+        ),
+    )
+    mid = hi // 2
+    bronze.apply_batch(
+        cdc.filter(F.col("kafka_offset") <= mid), batch_id=0
+    )
+    run.sync()
+    bronze.apply_batch(
+        cdc.filter(F.col("kafka_offset") > mid), batch_id=1
+    )
+    run.sync()
+    return view.read_target().select(
+        "bucket_hour", "event_type", "n_rows", "sum_value_cents"
+    )
+
+
+def _sql_cdc_rollup_view() -> str:
+    return """
+WITH cdc AS (
+  SELECT *, CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM cdc WHERE op <> 'd'
+),
+ups AS (SELECT * FROM ranked WHERE rn = 1),
+live AS (
+  SELECT u.* FROM ups u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cdc d
+    WHERE d.op = 'd' AND d.user_id = u.user_id
+      AND d.event_id > u.event_id
+  )
+)
+SELECT date_trunc('hour', ts) AS bucket_hour,
+       event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM live
+GROUP BY 1, 2
+"""
+
+
 def q_cdc_rebucket_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-count evolution (``maintenance.rebucket``): apply the
     full stream, then re-bucket the table 8 → 32 with one resolved
@@ -3605,6 +3690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_restore_replay": q_cdc_restore_replay,
         "cdc_cascade_view": q_cdc_cascade_view,
         "cdc_agg_view": q_cdc_agg_view,
+        "cdc_rollup_view": q_cdc_rollup_view,
         "cdc_bloom_point_lookup": q_cdc_bloom_point_lookup,
         "cdc_rebucket_state": q_cdc_rebucket_state,
         "cdc_change_feed": q_cdc_change_feed,
@@ -3690,6 +3776,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_restore_replay": _sql_cdc_restore_replay(),
         "cdc_cascade_view": _sql_cdc_cascade_view(),
         "cdc_agg_view": _sql_cdc_agg_view(),
+        "cdc_rollup_view": _sql_cdc_rollup_view(),
         "cdc_bloom_point_lookup": _sql_cdc_bloom_point_lookup(),
         "cdc_rebucket_state": _sql_cdc_final_state(),
         "cdc_change_feed": _sql_cdc_change_feed(),

@@ -82,6 +82,7 @@ class AggViewRunner:
         aggs: dict[str, Column],
         *,
         row_filter: Column | str | None = None,
+        transform=None,
         source_id: str | None = None,
     ):
         if not group_by or not aggs:
@@ -104,6 +105,15 @@ class AggViewRunner:
         self.row_filter = (
             F.expr(row_filter) if isinstance(row_filter, str) else row_filter
         )
+        #: optional PROJECTION-ONLY callable run on upstream rows
+        #: (feed rows included) before grouping — how DERIVED group
+        #: columns work, e.g. a time bucket
+        #: ``df.withColumn("hour", date_trunc('hour', ts))`` turns
+        #: the view into a Timescale-style continuous aggregate. Must
+        #: be deterministic and must not drop rows (row selection
+        #: belongs in ``row_filter``): pre-images re-derive the OLD
+        #: group through the same expression.
+        self.transform = transform
         self.source_id = source_id or (
             f"aggview:{os.path.abspath(upstream_path)}"
         )
@@ -133,6 +143,8 @@ class AggViewRunner:
             mode = "refresh" if full_refresh else "bootstrap"
         else:
             feed = table_changes(up, w, head, include_preimages=True)
+            if self.transform is not None:
+                feed = self.transform(feed)
             # NULL-group images are rows outside the view (same rule
             # as _live): they can't name an affected group
             affected = (
@@ -161,6 +173,14 @@ class AggViewRunner:
     # -- pieces --------------------------------------------------------
 
     def _live(self, rows: DataFrame) -> DataFrame:
+        if self.transform is not None:
+            rows = self.transform(rows)
+            missing = set(self.group_by) - set(rows.columns)
+            if missing:
+                raise ValueError(
+                    f"aggview transform dropped group column(s) "
+                    f"{sorted(missing)}"
+                )
         rows = rows.na.drop(subset=self.group_by)
         if self.row_filter is not None:
             rows = rows.filter(

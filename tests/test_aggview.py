@@ -334,3 +334,81 @@ def test_aggview_incremental_plan_broadcasts_groups(spark, tmp_path):
     # shuffle join by nature — but bucket-pruned and batch-sized)
     assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_aggview_derived_group_rollup(spark, tmp_path):
+    """Time-bucketed rollup via the transform hook: a DERIVED group
+    column (hour bucket from ts). An update moving a row's ts across
+    the bucket boundary must debit the old bucket through the
+    pre-image — the transform runs on feed rows too."""
+    import datetime as dt
+
+    bronze = _mk_bronze(spark, tmp_path / "bronze")
+    view = CdcApplier(
+        spark,
+        SinkConfig(n_buckets=2, delete_mode="delete",
+                   pk_fields=("bucket_hour",), delete_retain_fields=()),
+        str(tmp_path / "view"), audit_ts=audit_col(),
+    )
+    run = AggViewRunner(
+        spark, bronze.table_path, view, ["bucket_hour"],
+        {"n": F.count("*")},
+        transform=lambda df: df.withColumn(
+            "bucket_hour", F.date_trunc("hour", F.col("ts"))
+        ),
+    )
+
+    def want():
+        return sorted(
+            tuple(r)
+            for r in bronze.read_target()
+            .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+            .agg(F.count("*")).collect()
+        )
+
+    def got():
+        return sorted(
+            tuple(r)
+            for r in view.read_target()
+            .select("bucket_hour", "n").collect()
+        )
+
+    h0 = dt.datetime(2024, 1, 1, 10, 5)
+    h1 = dt.datetime(2024, 1, 1, 11, 20)
+    b0 = [ev(0, "u", "a", 0, ts=h0), ev(1, "u", "b", 1, ts=h0),
+          ev(2, "u", "c", 2, ts=h1)]
+    bronze.apply_batch(_events_df(spark, b0), batch_id=0)
+    run.sync()
+    assert got() == want() and len(got()) == 2
+    # move a row across the hour boundary: hour-10 bucket shrinks,
+    # hour-11 grows — needs the OLD bucket from the pre-image
+    bronze.apply_batch(
+        _events_df(spark, [ev(10, "u", "a", 0, ts=h1)]), batch_id=1
+    )
+    run.sync()
+    assert got() == want()
+    counts = dict(got())
+    assert counts[dt.datetime(2024, 1, 1, 10)] == 1
+    assert counts[dt.datetime(2024, 1, 1, 11)] == 2
+    # empty the hour-10 bucket entirely -> it leaves the view
+    bronze.apply_batch(
+        _events_df(spark, [ev(20, "u", "b", 1, ts=h1)]), batch_id=2
+    )
+    run.sync()
+    assert got() == want() and len(got()) == 1
+
+    # a transform that drops the group column is rejected loudly
+    bad = AggViewRunner(
+        spark, bronze.table_path,
+        CdcApplier(
+            spark,
+            SinkConfig(n_buckets=2, delete_mode="delete",
+                       pk_fields=("bucket_hour",),
+                       delete_retain_fields=()),
+            str(tmp_path / "bad"), audit_ts=audit_col(),
+        ),
+        ["bucket_hour"], {"n": F.count("*")},
+        transform=lambda df: df.select("conv_id"),
+    )
+    with pytest.raises(ValueError, match="dropped group column"):
+        bad.sync()

@@ -407,24 +407,14 @@ def cmd_approx_distinct(args) -> None:
 
 def cmd_search(args) -> None:
     from kafka_jdbc_sink_connector_spark.lake.table import LakeTable
+    from kafka_jdbc_sink_connector_spark.streaming.textindex import (
+        search_postings,
+    )
 
     spark = _session(args)
     t = LakeTable.load(spark, args.postings)
-    id_col = [f for f in t.snapshot.key_fields if f != "term"][0]
     terms = [s for s in args.terms.split(",") if s]
-    hits = t.read(where=[("term", "in", terms)]
-                  if len(terms) > 1 else [("term", "=", terms[0])])
-    import pyspark.sql.functions as F  # noqa: PLC0415
-
-    if args.mode == "all":
-        out = (
-            hits.groupBy(id_col)
-            .agg(F.count_distinct("term").alias("__nt"))
-            .filter(F.col("__nt") == len(set(terms)))
-            .select(id_col)
-        )
-    else:
-        out = hits.select(id_col).distinct()
+    out = search_postings(spark, t, terms, mode=args.mode)
     ids = sorted(r[0] for r in out.collect())
     print(json.dumps({"terms": terms, "mode": args.mode,
                       "n_docs": len(ids), "doc_ids": ids[:args.limit]}))

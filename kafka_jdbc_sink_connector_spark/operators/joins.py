@@ -67,52 +67,64 @@ def asof_join(
 
     ts_d = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
     lpay = [c for c in left.columns if c not in on]
+    # the whole matched right row travels as ONE struct: carrying each
+    # payload column independently with last(ignorenulls) would let a
+    # NULL in the matched row be backfilled by a STALE value from an
+    # older right row — a torn output row mixing two right rows
+    r_struct = F.struct(
+        ts_d(right_ts).alias("__mts"),
+        *[F.col(c).alias(c) for c in rcols],
+    )
     l_tag = left.select(
         *on,
         ts_d(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast("double").alias("__tb"),
         *[F.col(c) for c in lpay],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in rcols],
-        F.lit(None).cast("double").alias("__rts"),
-    )
-    tb = (
-        F.col(tiebreak).cast("double")
-        if tiebreak is not None
-        else F.lit(0.0)
-    )
-    r_tag = right.select(
+    ).withColumn("__r", F.lit(None))
+    # a NULL right timestamp would sort before everything and match
+    # every left row as "oldest" — it can't participate
+    r_tag = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         ts_d(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        tb.alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lpay],
-        *[F.col(c).alias(f"__r_{c}") for c in rcols],
-        ts_d(right_ts).alias("__rts"),
+        r_struct.alias("__r"),
+    )
+    # the left tag's NULL struct needs the right struct's exact type
+    l_tag = l_tag.withColumn(
+        "__r", F.lit(None).cast(dict(r_tag.dtypes)["__r"])
+    )
+    if tiebreak is not None and tiebreak not in rcols:
+        raise ValueError(
+            f"tiebreak {tiebreak!r} must be one of right_cols {rcols}"
+        )
+    # tiebreak orders by the column's OWN type (a cast would null out
+    # non-numeric tiebreaks and silently lose determinism)
+    tb_order = (
+        [F.col("__r")[tiebreak].asc_nulls_first()]
+        if tiebreak is not None
+        else []
     )
     u = l_tag.unionByName(r_tag)
     # right rows order before left at equal ts (at-or-before matches);
     # among equal right ts the greatest tiebreak lands last and wins
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(),
-                 F.col("__tb").asc_nulls_last())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), *tb_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(
-            out_names[c]
+    matched = F.last("__r", ignorenulls=True).over(w)
+    res = (
+        u.select(*on, "__ts", "__side", *lpay,
+                 matched.alias("__m"))
+        .filter(F.col("__side") == 1)
+        .select(
+            *on, "__ts", "__side", *lpay,
+            *[F.col("__m")[c].alias(out_names[c]) for c in rcols],
+            F.col("__m")["__mts"].alias(out_names[right_ts]),
         )
-        for c in rcols
-    ]
-    mts = F.last("__rts", ignorenulls=True).over(w).alias(
-        out_names[right_ts]
     )
-    res = u.select(
-        *on, "__ts", "__side", *lpay, *carried, mts
-    ).filter(F.col("__side") == 1)
     if tolerance is not None:
         stale = (
             F.col(out_names[right_ts]).isNull()

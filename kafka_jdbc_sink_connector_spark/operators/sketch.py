@@ -68,19 +68,7 @@ def hll_registers(
     two values that print identically count once (document the caveat;
     for the usual id/string columns it IS distinctness).
     """
-    if p % 4 or p <= 0 or p > 16:
-        raise ValueError("p must be one of 4, 8, 12, 16")
-    nib = p // 4
-    h = F.md5(F.col(col).cast("string"))
-    reg = F.substring(h, 1, nib)
-    val = F.substring(h, nib + 1, _RHO_HEX)
-    rho = (_leading_zero_bits(val) + 1).cast("int")
-    return (
-        df.filter(F.col(col).isNotNull())
-        .select(reg.alias("register"), rho.alias("rho"))
-        .groupBy("register")
-        .agg(F.max("rho").alias("max_rho"))
-    )
+    return hll_registers_by(df, [], col, p)
 
 
 def hll_merge(*sketches: DataFrame) -> DataFrame:
@@ -101,19 +89,9 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     estimator with the small-range linear-counting correction
     (empty registers count as ``2^0`` in the harmonic sum; upper-range
     correction omitted — it matters only near 2^32+, beyond these
-    sketches' use here). One row: ``(estimate: double)``."""
-    m = 1 << p
-    alpha = 0.7213 / (1 + 1.079 / m)
-    agg = registers.agg(
-        F.count("*").alias("present"),
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s_present"),
-    )
-    zeros = F.lit(m) - F.col("present")
-    s = F.col("s_present") + zeros.cast("double")
-    raw = F.lit(alpha * m * m) / s
-    linear = -(F.lit(float(m)) * F.log(zeros.cast("double") / m))
-    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
-    return agg.select(est.alias("estimate"))
+    sketches' use here). One row: ``(estimate: double)`` — 0.0 for an
+    empty sketch."""
+    return hll_estimate_by(registers, [], p)
 
 
 def hll_count_distinct(df: DataFrame, col: str, p: int = 8) -> DataFrame:
@@ -151,7 +129,11 @@ def hll_estimate_by(
     alpha = 0.7213 / (1 + 1.079 / m)
     agg = registers.groupBy(*keys).agg(
         F.count("*").alias("present"),
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s_present"),
+        # SUM over zero rows is NULL — an empty sketch (empty table /
+        # all-NULL column) must estimate 0.0, not propagate NULL
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))), F.lit(0.0)
+        ).alias("s_present"),
     )
     zeros = F.lit(m) - F.col("present")
     s = F.col("s_present") + zeros.cast("double")
@@ -346,9 +328,11 @@ def cms_estimate(
 ) -> DataFrame:
     """Point frequency estimates for ``probes[col]``: min over the d
     counters each probe hashes to (absent counter = 0 — the sparse
-    encoding's implicit zero). Returns ``(col, est_cnt)``. The sketch
-    side is joined on its (row, col) key; the probe side is
-    broadcast — probes are query-sized, the sketch is state."""
+    encoding's implicit zero). Returns ``(col, est_cnt)``. The probe
+    side is preserved (LEFT join) and the SKETCH side is broadcast —
+    it is bounded by construction (≤ d·16^w_hex counters however
+    large the input), which is exactly what makes it the build side;
+    a hint on the preserved side of an outer join would be ignored."""
     keyed = probes.select(F.col(col)).distinct().select(
         col,
         F.explode(
@@ -361,8 +345,8 @@ def cms_estimate(
             ])
         ).alias("h"),
     ).select(col, "h.row", "h.col")
-    joined = sketch.join(
-        F.broadcast(keyed), ["row", "col"], "right"
+    joined = keyed.join(
+        F.broadcast(sketch), ["row", "col"], "left"
     ).select(
         F.col(col),
         F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("c"),

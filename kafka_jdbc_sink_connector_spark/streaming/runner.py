@@ -200,11 +200,32 @@ class CdcStreamRunner:
         from kafka_jdbc_sink_connector_spark.lake.maintenance import plan
 
         table = self.applier.table()
-        if table is not None:
-            self.maintenance_log.append(
-                (batch_id,
-                 plan(table, execute=True, **self.maintenance_kwargs))
+        if table is None:
+            return
+        kw = dict(self.maintenance_kwargs)
+        # a policy-triggered vacuum must never drop the versions the
+        # followers' change-feed watermarks still point at — their
+        # next sync reads table_changes(watermark, head), and a
+        # vacuumed watermark manifest wedges the stream until a
+        # manual full_refresh. Floor the retention at the oldest
+        # follower window (+1 for the version about to be written).
+        wmarks = [
+            f.watermark()
+            for f in self.followers
+            if hasattr(f, "watermark")
+        ]
+        live_wmarks = [w for w in wmarks if w is not None and w >= 0]
+        if live_wmarks:
+            wmin = min(live_wmarks)
+            needed = len(
+                [v for v in table.history() if v >= wmin]
+            ) + 1
+            kw["vacuum_keep_versions"] = max(
+                kw.get("vacuum_keep_versions", 2), needed
             )
+        self.maintenance_log.append(
+            (batch_id, plan(table, execute=True, **kw))
+        )
 
     def metrics(self) -> dict:
         """Throughput summary over this runner's processed batches."""

@@ -69,6 +69,62 @@ def default_tokenizer(text: Column) -> Column:
     )
 
 
+def search_postings(
+    spark: SparkSession,
+    table: LakeTable,
+    terms: list[str],
+    mode: str = "any",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Term lookup over any ``(term, id)`` posting lake table —
+    shared by :meth:`TextIndexRunner.lookup` and the CLI ``search``
+    command so both get the same pruning: manifest-level to the
+    buckets the probe terms hash to (computed with the writer's own
+    bucket expression), then file-level via the term predicate
+    against footer stats/blooms. ``any`` = OR, ``all`` = AND."""
+    from kafka_jdbc_sink_connector_spark.functions.keys import (
+        bucket_expr,
+    )
+
+    if mode not in ("any", "all"):
+        raise ValueError("mode must be any|all")
+    terms = [t for t in terms if t]
+    if not terms:
+        raise ValueError("terms must be a non-empty list")
+    if id_col is None:
+        others = [f for f in table.snapshot.key_fields if f != "term"]
+        if len(others) != 1:
+            raise ValueError(
+                f"cannot infer id column from key fields "
+                f"{table.snapshot.key_fields}; pass id_col"
+            )
+        id_col = others[0]
+    lits = spark.createDataFrame([(x,) for x in terms], "term string")
+    probe_buckets = sorted(
+        r["b"]
+        for r in lits.select(
+            bucket_expr(table.snapshot.bucket_key,
+                        table.snapshot.n_buckets).alias("b")
+        ).distinct().collect()
+    )
+    where = (
+        [("term", "in", terms)]
+        if len(terms) > 1
+        else [("term", "=", terms[0])]
+    )
+    hits = table.read(buckets=probe_buckets, where=where).select(
+        "term", id_col
+    )
+    if mode == "any":
+        return hits.select(id_col).distinct()
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count_distinct("term").alias("__nt"))
+        .filter(F.col("__nt") == len(set(terms)))
+        .select(id_col)
+    )
+
+
 class TextIndexRunner:
     """One maintained inverted index.
 
@@ -212,30 +268,13 @@ class TextIndexRunner:
 
     def lookup(self, terms: list[str], mode: str = "any") -> DataFrame:
         """Documents matching ``terms``: ``any`` (OR) or ``all``
-        (AND). The read is pruned twice: manifest-level to the
-        buckets the probe terms hash to (:meth:`_probe_buckets`), and
-        file-level by the term predicate against footer min/max
-        stats — so a lookup reads ~one bucket's matching files per
-        probe term regardless of corpus size."""
-        if mode not in ("any", "all"):
-            raise ValueError("mode must be any|all")
-        terms = list(terms)
+        (AND). See :func:`search_postings` — manifest-level bucket
+        pruning plus the file-level term predicate, so a lookup reads
+        ~one bucket's matching files per probe term regardless of
+        corpus size."""
         t = self.applier.table()
         if t is None:
             raise FileNotFoundError(self.applier.table_path)
-        where = (
-            [("term", "in", terms)]
-            if len(terms) > 1
-            else [("term", "=", terms[0])]
-        )
-        hits = t.read(
-            buckets=self._probe_buckets(terms), where=where
-        ).select("term", self.id_col)
-        if mode == "any":
-            return hits.select(self.id_col).distinct()
-        return (
-            hits.groupBy(self.id_col)
-            .agg(F.count_distinct("term").alias("__nt"))
-            .filter(F.col("__nt") == len(set(terms)))
-            .select(self.id_col)
+        return search_postings(
+            self.spark, t, list(terms), mode=mode, id_col=self.id_col
         )

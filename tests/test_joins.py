@@ -173,3 +173,35 @@ def test_range_join_rejects_column_collisions(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         range_join_bins(pts, iv, ["k"], "ts", "s", "e")
+
+
+def test_asof_null_payload_in_matched_row_not_backfilled(spark):
+    """Review regression: the matched (latest) right row's NULL
+    payload must stay NULL — per-column carry would tear the row by
+    backfilling from an OLDER right row."""
+    left = spark.createDataFrame([("k", T(30), "l1")],
+                                 "k string, ts timestamp, ev string")
+    right = spark.createDataFrame(
+        [("k", T(10), 7), ("k", T(20), None)],
+        "k string, rts timestamp, price int",
+    )
+    row = asof_join(left, right, ["k"], "ts", "rts").collect()[0]
+    assert row["price_asof"] is None          # matched row's own NULL
+    assert row["rts_asof"] == T(20).timestamp()  # matched ts correct
+
+
+def test_asof_string_tiebreak_and_null_right_ts(spark):
+    left = spark.createDataFrame([("k", T(10), "l")],
+                                 "k string, ts timestamp, ev string")
+    right = spark.createDataFrame(
+        [("k", T(5), "a"), ("k", T(5), "z"), ("k", None, "ghost")],
+        "k string, rts timestamp, tag string",
+    )
+    row = asof_join(
+        left, right, ["k"], "ts", "rts", tiebreak="tag"
+    ).collect()[0]
+    # string tiebreak orders by its own type (greatest wins); a NULL
+    # right timestamp never participates
+    assert row["tag_asof"] == "z"
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_join(left, right, ["k"], "ts", "rts", tiebreak="nope")

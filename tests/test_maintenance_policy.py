@@ -241,3 +241,54 @@ def test_streaming_maintenance_cadence_triggers_compaction(
     bid, acts = runner.maintenance_log[0]
     assert bid == 2 and any(a.kind == "compact" for a in acts)
     assert not ap.table().snapshot.delta_buckets
+
+
+def test_maintenance_vacuum_keeps_follower_watermarks(spark, tmp_path):
+    """Review regression: a cadence-triggered vacuum must not drop
+    the upstream versions a follower's change-feed watermark points
+    at — that would wedge the stream until a manual full refresh."""
+    from kafka_jdbc_sink_connector_spark.streaming.cascade import (
+        CascadeRunner,
+    )
+
+    cfg = SinkConfig(n_buckets=2, delete_mode="delete")
+    bronze = CdcApplier(spark, cfg, str(tmp_path / "t"),
+                        audit_ts=audit_col())
+    silver = CdcApplier(
+        spark, SinkConfig(n_buckets=2, delete_mode="delete"),
+        str(tmp_path / "s"), audit_ts=audit_col(),
+    )
+    cascade = CascadeRunner(spark, bronze.table_path, silver)
+    runner = CdcStreamRunner(
+        bronze, str(tmp_path / "ckpt"),
+        followers=[cascade],
+        maintenance_every_batches=1,
+        # absurdly aggressive policy: vacuum every tick keeping 1
+        maintenance_kwargs={"max_retained_versions": 1,
+                            "vacuum_keep_versions": 1},
+    )
+    for b in range(4):
+        runner.process_batch(
+            _events_df(spark, [ev(10 * b + i, "u", f"c{i}", 0,
+                                  text=f"r{b}")
+                               for i in range(3)]),
+            batch_id=b,
+        )
+    # the stream never wedged (each follower sync found its window)
+    # and silver converged to bronze
+    got = sorted(
+        (r["conv_id"], r["text"])
+        for r in silver.read_target().collect()
+    )
+    want = sorted(
+        (r["conv_id"], r["text"])
+        for r in bronze.read_target().collect()
+    )
+    assert got == want
+    # vacuum DID run (the log shows executed actions) but was floored
+    ran_vacuum = any(
+        a.kind == "vacuum"
+        for _, acts in runner.maintenance_log
+        for a in acts
+    )
+    assert ran_vacuum

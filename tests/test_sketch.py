@@ -309,3 +309,17 @@ def test_qsketch_exact_bucket_boundaries(spark):
     assert got[32] == 1 and got[3 * 16 + 14] == 1
     assert got[4 * 16] == 1 and got[4 * 16 + 1] == 1
     assert got[9 * 16 + 15] == 1 and got[10 * 16] == 1
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    from kafka_jdbc_sink_connector_spark.operators.sketch import (
+        hll_count_distinct,
+    )
+
+    empty = spark.createDataFrame([], "x bigint")
+    est = hll_count_distinct(empty, "x").collect()[0]["estimate"]
+    assert est == 0.0
+    all_null = spark.createDataFrame([(None,), (None,)], "x bigint")
+    assert hll_count_distinct(all_null, "x").collect()[0][
+        "estimate"
+    ] == 0.0

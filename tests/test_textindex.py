@@ -190,3 +190,15 @@ def test_lookup_prunes_to_probe_buckets(spark, tmp_path):
     assert len(run._probe_buckets(["term3", "shared"])) <= 2 < (
         t.snapshot.n_buckets
     )
+
+
+def test_lookup_rejects_empty_terms(spark, tmp_path):
+    bronze, run = _mk(spark, tmp_path)
+    bronze.apply_batch(
+        _events_df(spark, [ev(0, "u", "a", 0, text="x y")]), batch_id=0
+    )
+    run.sync()
+    with pytest.raises(ValueError, match="non-empty"):
+        run.lookup([])
+    with pytest.raises(ValueError, match="non-empty"):
+        run.lookup(["", ""])

@@ -45,21 +45,26 @@ def asof_join(
     tolerance: float | None = None,
     tiebreak: str | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every left row + the latest right row per
-    ``on`` key with ``right_ts <= left_ts`` (NULL-filled when none).
+    """As-of join: every left row + the closest right row per ``on``
+    key — ``direction='backward'`` (default) matches the LATEST right
+    row with ``right_ts <= left_ts``, ``'forward'`` the EARLIEST with
+    ``right_ts >= left_ts`` (NULL-filled when none). Same scan, same
+    single shuffle: forward just reverses the window's time order.
 
     ``right_cols`` — right payload columns to carry (default: all
-    non-key, non-ts). ``tolerance`` — maximum ``left_ts - right_ts``
-    (same units as the timestamps' cast-to-double seconds); older
-    matches are nulled out. ``tiebreak`` — right column deciding
-    among equal-timestamp right rows (greatest wins); required for
-    determinism when duplicates are possible. Carried columns are
-    renamed ``<col><suffix>`` (and the matched timestamp is exposed
-    as ``<right_ts><suffix>``).
+    non-key, non-ts). ``tolerance`` — maximum ``|left_ts - right_ts|``
+    (seconds); matches further away are nulled out. ``tiebreak`` —
+    right column deciding among equal-timestamp right rows (greatest
+    wins); required for determinism when duplicates are possible.
+    Carried columns are renamed ``<col><suffix>`` (and the matched
+    timestamp is exposed as ``<right_ts><suffix>``, epoch seconds).
     """
     if not on:
         raise ValueError("asof_join needs at least one key column")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
     rcols = right_cols or [
         c for c in right.columns if c not in (*on, right_ts)
     ]
@@ -107,11 +112,20 @@ def asof_join(
         else []
     )
     u = l_tag.unionByName(r_tag)
-    # right rows order before left at equal ts (at-or-before matches);
-    # among equal right ts the greatest tiebreak lands last and wins
+    # right rows order before left at equal ts (at-or-before /
+    # at-or-after matches); among equal right ts the greatest
+    # tiebreak lands last and wins. Forward is the same scan with the
+    # time axis reversed: "preceding in descending ts" = every right
+    # row at-or-after the left row, and last() is then the SMALLEST
+    # such ts — the earliest upcoming right row.
+    ts_order = (
+        F.col("__ts").asc()
+        if direction == "backward"
+        else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), *tb_order)
+        .orderBy(ts_order, F.col("__side").asc(), *tb_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("__r", ignorenulls=True).over(w)
@@ -126,10 +140,12 @@ def asof_join(
         )
     )
     if tolerance is not None:
-        stale = (
-            F.col(out_names[right_ts]).isNull()
-            | (F.col("__ts") - F.col(out_names[right_ts]) > tolerance)
+        gap = (
+            F.col("__ts") - F.col(out_names[right_ts])
+            if direction == "backward"
+            else F.col(out_names[right_ts]) - F.col("__ts")
         )
+        stale = F.col(out_names[right_ts]).isNull() | (gap > tolerance)
         res = res.select(
             *on, "__ts", "__side", *lpay,
             *[

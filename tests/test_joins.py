@@ -205,3 +205,64 @@ def test_asof_string_tiebreak_and_null_right_ts(spark):
     assert row["tag_asof"] == "z"
     with pytest.raises(ValueError, match="tiebreak"):
         asof_join(left, right, ["k"], "ts", "rts", tiebreak="nope")
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [("k", T(10), "a"), ("k", T(16), "b"), ("k", T(99), "c")],
+        "k string, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [("k", T(5), 1), ("k", T(12), 2), ("k", T(12), 3), ("k", T(20), 4)],
+        "k string, rts timestamp, rid int",
+    )
+    rows = {
+        r["ev"]: r["rid_asof"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "rts", tiebreak="rid",
+            direction="forward",
+        ).collect()
+    }
+    # a@10 -> earliest at-or-after = 12 (tie -> greatest rid = 3);
+    # b@16 -> 20; c@99 -> nothing upcoming
+    assert rows == {"a": 3, "b": 4, "c": None}
+    tol = {
+        r["ev"]: r["rid_asof"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "rts", tiebreak="rid",
+            direction="forward", tolerance=3.0,
+        ).collect()
+    }
+    # a's match is 2s ahead (kept); b's is 4s ahead (nulled)
+    assert tol == {"a": 3, "b": None, "c": None}
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, ["k"], "ts", "rts", direction="nearest")
+
+
+def test_asof_forward_matches_bruteforce(spark, events):
+    left = events.select("user_id", "ts", "event_id")
+    right = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("rts"),
+        F.col("event_id").alias("rid"),
+    )
+    got = {
+        r["event_id"]: r["rid_asof"]
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "rts", tiebreak="rid",
+            direction="forward",
+        ).collect()
+    }
+    rrows = {}
+    for r in right.collect():
+        rrows.setdefault(r["user_id"], []).append((r["rts"], r["rid"]))
+    for l in left.collect():
+        cands = [
+            (ts, rid) for ts, rid in rrows.get(l["user_id"], [])
+            if ts >= l["ts"]
+        ]
+        # earliest ts; greatest rid among equal earliest ts
+        want = None
+        if cands:
+            mt = min(ts for ts, _ in cands)
+            want = max(rid for ts, rid in cands if ts == mt)
+        assert got[l["event_id"]] == want, l["event_id"]

@@ -27,9 +27,12 @@ THRESH = 0.3
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return (
-        spark.read.parquet(os.path.join(SF, "embeddings.parquet")).cache()
-    )
+    df = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).cache()
+    yield df
+    # unpersist: Spark's cache manager plan-matches, so leaving this
+    # cached would hijack OTHER suites' raw parquet reads of the same
+    # file (plan tests then see InMemoryTableScan, not PushedFilters)
+    df.unpersist()
 
 
 def _runner(spark, tmp_path, **kw):

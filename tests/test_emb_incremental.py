@@ -23,9 +23,12 @@ THRESH = 0.3  # synthetic corpus max pairwise cosine ~0.51
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return (
-        spark.read.parquet(os.path.join(SF, "embeddings.parquet")).cache()
-    )
+    df = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).cache()
+    yield df
+    # unpersist: Spark's cache manager plan-matches, so leaving this
+    # cached would hijack OTHER suites' raw parquet reads of the same
+    # file (plan tests then see InMemoryTableScan, not PushedFilters)
+    df.unpersist()
 
 
 def _corpus_pairs(emb):

@@ -26,9 +26,12 @@ def T(s):
 
 @pytest.fixture(scope="module")
 def events(spark):
-    return (
-        spark.read.parquet(os.path.join(SF, "events.parquet")).cache()
-    )
+    df = spark.read.parquet(os.path.join(SF, "events.parquet")).cache()
+    yield df
+    # unpersist: Spark's cache manager plan-matches, so leaving this
+    # cached would hijack OTHER suites' raw parquet reads of the same
+    # file (plan tests then see InMemoryTableScan, not PushedFilters)
+    df.unpersist()
 
 
 def test_asof_matches_bruteforce_on_fixture(spark, events):

@@ -32,9 +32,12 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return (
-        spark.read.parquet(os.path.join(SF, "embeddings.parquet")).cache()
-    )
+    df = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).cache()
+    yield df
+    # unpersist: Spark's cache manager plan-matches, so leaving this
+    # cached would hijack OTHER suites' raw parquet reads of the same
+    # file (plan tests then see InMemoryTableScan, not PushedFilters)
+    df.unpersist()
 
 
 def test_codebook_deterministic_and_shaped(spark, emb):

@@ -25,9 +25,12 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def events(spark):
-    return (
-        spark.read.parquet(os.path.join(SF, "events.parquet")).cache()
-    )
+    df = spark.read.parquet(os.path.join(SF, "events.parquet")).cache()
+    yield df
+    # unpersist: Spark's cache manager plan-matches, so leaving this
+    # cached would hijack OTHER suites' raw parquet reads of the same
+    # file (plan tests then see InMemoryTableScan, not PushedFilters)
+    df.unpersist()
 
 
 def _regs(df, col="user_id", p=8):

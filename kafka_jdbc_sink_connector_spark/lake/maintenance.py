@@ -241,14 +241,26 @@ def cluster_by(
     return target
 
 
-def vacuum(table: LakeTable, keep_versions: int = 1) -> dict:
+def vacuum(
+    table: LakeTable,
+    keep_versions: int = 1,
+    keep_from_version: int | None = None,
+) -> dict:
     """Delete data files unreferenced by the newest ``keep_versions``
     snapshots, and drop older snapshot manifests. Time travel remains
-    available for the kept versions only."""
+    available for the kept versions only.
+
+    ``keep_from_version`` additionally retains EVERY version ≥ that
+    id, evaluated against the history AT EXECUTION TIME — the floor a
+    change-feed consumer's watermark needs (a keep-N count computed
+    earlier goes stale when other maintenance commits land in
+    between, silently dropping the watermark manifest)."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     versions = table.history()
     keep = set(versions[-keep_versions:])
+    if keep_from_version is not None:
+        keep |= {v for v in versions if v >= keep_from_version}
     live: set[str] = set()
     for v in keep:
         snap = table._read_version(v)
@@ -301,7 +313,9 @@ class MaintenanceAction:
             )
         if self.kind == "vacuum":
             return vacuum(
-                table, keep_versions=self.params["keep_versions"]
+                table,
+                keep_versions=self.params["keep_versions"],
+                keep_from_version=self.params.get("keep_from_version"),
             )
         if self.kind == "rebucket":
             return rebucket(table, self.params["new_n_buckets"])
@@ -334,6 +348,7 @@ def plan(
     max_files_per_bucket: int = 8,
     max_retained_versions: int = 30,
     vacuum_keep_versions: int = 2,
+    vacuum_keep_from_version: int | None = None,
     cluster_cols: list[str] | None = None,
     cluster_method: str | None = None,
     max_overlap_fraction: float = 0.5,
@@ -450,7 +465,8 @@ def plan(
         actions.append(MaintenanceAction(
             "vacuum",
             f"{n_versions} retained snapshots > {max_retained_versions}",
-            {"keep_versions": vacuum_keep_versions},
+            {"keep_versions": vacuum_keep_versions,
+             "keep_from_version": vacuum_keep_from_version},
         ))
 
     if target_rows_per_bucket:

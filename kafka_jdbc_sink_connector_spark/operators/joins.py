@@ -72,23 +72,27 @@ def asof_join(
 
     ts_d = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
     lpay = [c for c in left.columns if c not in on]
+    if tiebreak is not None and tiebreak not in right.columns:
+        raise ValueError(
+            f"tiebreak {tiebreak!r} is not a right column"
+        )
     # the whole matched right row travels as ONE struct: carrying each
     # payload column independently with last(ignorenulls) would let a
     # NULL in the matched row be backfilled by a STALE value from an
-    # older right row — a torn output row mixing two right rows
+    # older right row — a torn output row mixing two right rows. The
+    # tiebreak rides in the struct even when it is not a carried
+    # output column.
+    struct_cols = list(rcols)
+    if tiebreak is not None and tiebreak not in struct_cols:
+        struct_cols.append(tiebreak)
     r_struct = F.struct(
         ts_d(right_ts).alias("__mts"),
-        *[F.col(c).alias(c) for c in rcols],
+        *[F.col(c).alias(c) for c in struct_cols],
     )
-    l_tag = left.select(
-        *on,
-        ts_d(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        *[F.col(c) for c in lpay],
-    ).withColumn("__r", F.lit(None))
-    # a NULL right timestamp would sort before everything and match
-    # every left row as "oldest" — it can't participate
-    r_tag = right.filter(F.col(right_ts).isNotNull()).select(
+    # a right row whose timestamp is NULL — or fails the cast — would
+    # sort before/after everything and become a bogus fallback match;
+    # filter on the CASTED value, not the raw column
+    r_tag = right.filter(ts_d(right_ts).isNotNull()).select(
         *on,
         ts_d(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -97,13 +101,15 @@ def asof_join(
         r_struct.alias("__r"),
     )
     # the left tag's NULL struct needs the right struct's exact type
-    l_tag = l_tag.withColumn(
-        "__r", F.lit(None).cast(dict(r_tag.dtypes)["__r"])
+    # (the DataType object — the dtypes DDL string can't round-trip
+    # column names with special characters)
+    l_tag = left.select(
+        *on,
+        ts_d(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lpay],
+        F.lit(None).cast(r_tag.schema["__r"].dataType).alias("__r"),
     )
-    if tiebreak is not None and tiebreak not in rcols:
-        raise ValueError(
-            f"tiebreak {tiebreak!r} must be one of right_cols {rcols}"
-        )
     # tiebreak orders by the column's OWN type (a cast would null out
     # non-numeric tiebreaks and silently lose determinism)
     tb_order = (
@@ -117,11 +123,14 @@ def asof_join(
     # tiebreak lands last and wins. Forward is the same scan with the
     # time axis reversed: "preceding in descending ts" = every right
     # row at-or-after the left row, and last() is then the SMALLEST
-    # such ts — the earliest upcoming right row.
+    # such ts — the earliest upcoming right row. NULLS FIRST in both
+    # directions: a left row with a NULL timestamp must see NO right
+    # rows (desc defaults to NULLS LAST, which would hand it the
+    # whole right side).
     ts_order = (
-        F.col("__ts").asc()
+        F.col("__ts").asc_nulls_first()
         if direction == "backward"
-        else F.col("__ts").desc()
+        else F.col("__ts").desc_nulls_first()
     )
     w = (
         Window.partitionBy(*on)

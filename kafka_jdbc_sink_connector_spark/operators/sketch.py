@@ -345,8 +345,16 @@ def cms_estimate(
             ])
         ).alias("h"),
     ).select(col, "h.row", "h.col")
+    # the sketch is bounded by d·16^w_hex counters — broadcastable by
+    # construction at the default width, but the bound grows 16× per
+    # extra hex char (w_hex=8 → 17B counters): only hint the
+    # broadcast when the bound itself is small, else let the planner
+    # pick from runtime sizes
+    build = (
+        F.broadcast(sketch) if d * (16 ** w_hex) <= 1_000_000 else sketch
+    )
     joined = keyed.join(
-        F.broadcast(sketch), ["row", "col"], "left"
+        build, ["row", "col"], "left"
     ).select(
         F.col(col),
         F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("c"),

@@ -208,7 +208,10 @@ class CdcStreamRunner:
         # next sync reads table_changes(watermark, head), and a
         # vacuumed watermark manifest wedges the stream until a
         # manual full_refresh. Floor the retention at the oldest
-        # follower window (+1 for the version about to be written).
+        # follower watermark as a VERSION bound evaluated inside
+        # vacuum at execution time (a keep-N count computed here
+        # would go stale when this same tick's compact/cluster
+        # commits land before the vacuum runs).
         wmarks = [
             f.watermark()
             for f in self.followers
@@ -217,11 +220,9 @@ class CdcStreamRunner:
         live_wmarks = [w for w in wmarks if w is not None and w >= 0]
         if live_wmarks:
             wmin = min(live_wmarks)
-            needed = len(
-                [v for v in table.history() if v >= wmin]
-            ) + 1
-            kw["vacuum_keep_versions"] = max(
-                kw.get("vacuum_keep_versions", 2), needed
+            prev = kw.get("vacuum_keep_from_version")
+            kw["vacuum_keep_from_version"] = (
+                wmin if prev is None else min(prev, wmin)
             )
         self.maintenance_log.append(
             (batch_id, plan(table, execute=True, **kw))

@@ -69,6 +69,25 @@ def default_tokenizer(text: Column) -> Column:
     )
 
 
+def _term_buckets(
+    spark: SparkSession, table: LakeTable, terms: list[str]
+) -> list[int]:
+    """The bucket ids the probe terms hash to, computed with the
+    writer's own bucket expression over a tiny literal frame."""
+    from kafka_jdbc_sink_connector_spark.functions.keys import (
+        bucket_expr,
+    )
+
+    lits = spark.createDataFrame([(x,) for x in terms], "term string")
+    return sorted(
+        r["b"]
+        for r in lits.select(
+            bucket_expr(table.snapshot.bucket_key,
+                        table.snapshot.n_buckets).alias("b")
+        ).distinct().collect()
+    )
+
+
 def search_postings(
     spark: SparkSession,
     table: LakeTable,
@@ -82,10 +101,6 @@ def search_postings(
     buckets the probe terms hash to (computed with the writer's own
     bucket expression), then file-level via the term predicate
     against footer stats/blooms. ``any`` = OR, ``all`` = AND."""
-    from kafka_jdbc_sink_connector_spark.functions.keys import (
-        bucket_expr,
-    )
-
     if mode not in ("any", "all"):
         raise ValueError("mode must be any|all")
     terms = [t for t in terms if t]
@@ -99,13 +114,16 @@ def search_postings(
                 f"{table.snapshot.key_fields}; pass id_col"
             )
         id_col = others[0]
-    lits = spark.createDataFrame([(x,) for x in terms], "term string")
-    probe_buckets = sorted(
-        r["b"]
-        for r in lits.select(
-            bucket_expr(table.snapshot.bucket_key,
-                        table.snapshot.n_buckets).alias("b")
-        ).distinct().collect()
+    # manifest-level pruning only applies when the table is actually
+    # bucketed BY TERM (a posting table keyed (id, term) buckets on
+    # the id — probing term hashes there would read wrong buckets,
+    # and evaluating bucket_expr(id_col) over a term-only literal
+    # frame would just crash); such tables still get the file-level
+    # term predicate
+    probe_buckets = (
+        _term_buckets(spark, table, terms)
+        if table.snapshot.bucket_key == "term"
+        else None
     )
     where = (
         [("term", "in", terms)]
@@ -249,22 +267,9 @@ class TextIndexRunner:
 
     def _probe_buckets(self, terms: list[str]) -> list[int]:
         """Manifest-level pruning: the bucket ids the probe terms hash
-        to (one tiny literal-frame job — the term bucketing is a
-        Column expression, so the ids come from the same hash the
-        writer used)."""
-        from kafka_jdbc_sink_connector_spark.functions.keys import (
-            bucket_expr,
-        )
-
-        t = self.applier.table()
-        lits = self.spark.createDataFrame(
-            [(x,) for x in terms], "term string"
-        )
-        rows = lits.select(
-            bucket_expr(t.snapshot.bucket_key, t.snapshot.n_buckets)
-            .alias("b")
-        ).distinct().collect()
-        return sorted(r["b"] for r in rows)
+        to — see :func:`_term_buckets` (the shared implementation
+        :func:`search_postings` uses)."""
+        return _term_buckets(self.spark, self.applier.table(), terms)
 
     def lookup(self, terms: list[str], mode: str = "any") -> DataFrame:
         """Documents matching ``terms``: ``any`` (OR) or ``all``

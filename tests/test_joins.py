@@ -269,3 +269,46 @@ def test_asof_forward_matches_bruteforce(spark, events):
             mt = min(ts for ts, _ in cands)
             want = max(rid for ts, rid in cands if ts == mt)
         assert got[l["event_id"]] == want, l["event_id"]
+
+
+def test_asof_null_left_ts_matches_nothing_both_directions(spark):
+    """Review regression: a left row with a NULL timestamp must match
+    nothing — desc default NULLS LAST would hand it the whole right
+    side in forward mode."""
+    left = spark.createDataFrame(
+        [("k", None, "nul"), ("k", T(10), "ok")],
+        "k string, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [("k", T(5), 1), ("k", T(20), 2)],
+        "k string, rts timestamp, rid int",
+    )
+    for direction, want_ok in (("backward", 1), ("forward", 2)):
+        rows = {
+            r["ev"]: r["rid_asof"]
+            for r in asof_join(
+                left, right, ["k"], "ts", "rts", direction=direction
+            ).collect()
+        }
+        assert rows["nul"] is None, direction
+        assert rows["ok"] == want_ok, direction
+
+
+def test_asof_tiebreak_outside_carried_columns(spark):
+    """Review regression: a tiebreak on an UNCARRIED right column must
+    still work (it rides in the match struct without being output)."""
+    left = spark.createDataFrame([("k", T(10), "l")],
+                                 "k string, ts timestamp, ev string")
+    right = spark.createDataFrame(
+        [("k", T(5), 1, "x"), ("k", T(5), 2, "y")],
+        "k string, rts timestamp, seq int, payload string",
+    )
+    res = asof_join(
+        left, right, ["k"], "ts", "rts",
+        right_cols=["payload"], tiebreak="seq",
+    )
+    row = res.collect()[0]
+    assert row["payload_asof"] == "y"       # seq=2 wins the tie
+    assert "seq_asof" not in res.columns    # tiebreak not carried
+    with pytest.raises(ValueError, match="not a right column"):
+        asof_join(left, right, ["k"], "ts", "rts", tiebreak="nope")

@@ -292,3 +292,30 @@ def test_maintenance_vacuum_keeps_follower_watermarks(spark, tmp_path):
         for a in acts
     )
     assert ran_vacuum
+
+
+def test_vacuum_keep_from_version_retains_watermark_window(
+    spark, tmp_path
+):
+    """Review regression: keep_from_version is evaluated at EXECUTION
+    time, so extra maintenance commits in the same tick cannot push
+    the watermark manifest out of a count-based retention window."""
+    from kafka_jdbc_sink_connector_spark.lake.maintenance import vacuum
+
+    cfg = SinkConfig(n_buckets=2)
+    ap = CdcApplier(spark, cfg, str(tmp_path / "t"), audit_ts=audit_col())
+    for b in range(5):
+        ap.apply_batch(
+            _events_df(spark, [ev(10 * b + i, "u", f"c{i}", 0)
+                               for i in range(3)]),
+            batch_id=b,
+        )
+    t = ap.table()
+    hist = t.history()
+    wmin = hist[1]  # a consumer's watermark two commits back
+    res = vacuum(t, keep_versions=1, keep_from_version=wmin)
+    kept = set(res["kept_versions"])
+    assert {v for v in hist if v >= wmin} <= kept
+    assert hist[0] not in kept
+    # the watermark version is still readable
+    assert t._read_version(wmin) is not None

@@ -202,3 +202,39 @@ def test_lookup_rejects_empty_terms(spark, tmp_path):
         run.lookup([])
     with pytest.raises(ValueError, match="non-empty"):
         run.lookup(["", ""])
+
+
+def test_search_postings_on_non_term_bucketed_table(spark, tmp_path):
+    """Review regression: a posting table bucketed by something other
+    than term (pk order (id, term)) must still be searchable — no
+    bucket pruning, but the file-level term predicate applies."""
+    from kafka_jdbc_sink_connector_spark.streaming.textindex import (
+        search_postings,
+    )
+
+    ap = CdcApplier(
+        spark,
+        SinkConfig(n_buckets=2, delete_mode="delete",
+                   pk_fields=("conv_id", "term"),
+                   delete_retain_fields=()),
+        str(tmp_path / "p"), audit_ts=audit_col(),
+    )
+    rows = [
+        {"kafka_partition": 0, "kafka_offset": i, "op": "u",
+         "conv_id": f"d{i % 3}", "term": t}
+        for i, t in enumerate(["alpha", "beta", "alpha", "gamma"])
+    ]
+    df = spark.createDataFrame(
+        [tuple(r.values()) for r in rows],
+        "kafka_partition int, kafka_offset long, op string, "
+        "conv_id string, term string",
+    )
+    ap.apply_batch(df, batch_id=0)
+    t = ap.table()
+    assert t.snapshot.bucket_key == "conv_id"  # NOT term
+    got = {
+        r[0]
+        for r in search_postings(spark, t, ["alpha"],
+                                 id_col="conv_id").collect()
+    }
+    assert got == {"d0", "d2"}

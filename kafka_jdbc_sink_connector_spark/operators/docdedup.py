@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_jdbc_sink_connector_spark.operators.text import (
+    fan_out,
     simhash32_table,
     word_shingles,
 )
@@ -55,9 +56,17 @@ def shingle_index(
     text_col: str = "text",
     k: int = 5,
 ) -> DataFrame:
-    """(doc_id, shingle) inverted-index rows (distinct per doc)."""
+    """(doc_id, shingle) inverted-index rows (distinct per doc).
+
+    The input is fanned out first (:func:`..text.fan_out`): shingling
+    + the downstream per-shingle hashing is the CPU hot loop of every
+    MinHash/Jaccard consumer, and an under-parallel scan (one parquet
+    file = one task) would run it single-threaded regardless of
+    cores. No-op at scale; results are partition-order independent
+    (min/count aggregates only downstream)."""
     return (
-        docs.select(
+        fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(
             F.col(id_col),
             F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias(
                 "shingle"

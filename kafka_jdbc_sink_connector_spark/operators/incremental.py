@@ -328,24 +328,37 @@ def _emb_cos(va, vb, round_digits: int):
     return F.round(cosine(va, vb), round_digits)
 
 
-def _emb_within_pairs(bvec: DataFrame, round_digits: int) -> DataFrame:
-    """Bucket collisions inside one batch, exact-cosine scored."""
-    a = bvec.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-        "bucket",
+def _emb_within_pairs(
+    bvec: DataFrame, round_digits: int
+) -> DataFrame:
+    """Bucket collisions inside one batch, exact-cosine scored (norms
+    hoisted to one per row — the same double ops in the same order as
+    computing them per pair, so the rounded values are
+    bit-identical)."""
+    from kafka_jdbc_sink_connector_spark.operators.similarity import (
+        dot,
+        norm,
     )
-    b = bvec.select(
+
+    nrmed = bvec.withColumn("__nrm", norm(F.col("embedding")))
+    a = nrmed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("__nrm").alias("na"), "bucket",
+    )
+    b = nrmed.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-        "bucket",
+        F.col("__nrm").alias("nb"), "bucket",
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            _emb_cos(F.col("va"), F.col("vb"), round_digits).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                round_digits,
+            ).alias("cos_sim"),
         )
     )
 
@@ -357,19 +370,30 @@ def _emb_probe_pairs(
     side is explicitly broadcast so the (unboundedly growing) index
     streams through a BroadcastHashJoin — no Exchange over the index
     scan. Sign-LSH assigns exactly ONE bucket per vector, so a pair
-    collides at most once."""
+    collides at most once. Norms are hoisted to one per row on each
+    side (same double ops, same order as computing them per pair —
+    cosine() multiplies norm(a)*norm(b) in exactly this order)."""
+    from kafka_jdbc_sink_connector_spark.operators.similarity import (
+        dot,
+        norm,
+    )
+
     probe = bvec.select(
         F.col("vec_id").alias("bid"), F.col("embedding").alias("bv"),
-        "bucket",
+        norm(F.col("embedding")).alias("__bn"), "bucket",
     )
     return (
-        ivec.join(F.broadcast(probe), "bucket")
+        ivec.withColumn("__in", norm(F.col("embedding")))
+        .join(F.broadcast(probe), "bucket")
         .filter(F.col("vec_id") != F.col("bid"))
         .select(
             F.least("vec_id", "bid").alias("id_a"),
             F.greatest("vec_id", "bid").alias("id_b"),
-            _emb_cos(F.col("embedding"), F.col("bv"),
-                     round_digits).alias("cos_sim"),
+            F.round(
+                dot(F.col("embedding"), F.col("bv"))
+                / (F.col("__in") * F.col("__bn")),
+                round_digits,
+            ).alias("cos_sim"),
         )
     )
 

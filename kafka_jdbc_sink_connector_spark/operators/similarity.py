@@ -45,6 +45,12 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
 
 
 def dot(a, b):
+    # NOTE measured non-win (r8): unrolling this fold into a flat
+    # 64-term codegen expression chain (bit-identical order) made
+    # every consumer 5-10x SLOWER — the generated mega-methods blow
+    # past codegen/JIT limits and the per-query compile cost dwarfs
+    # the interpreted lambda overhead at any tested scale. Keep the
+    # HOF fold.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -75,12 +81,17 @@ def knn_bruteforce(
 ) -> DataFrame:
     """(query_id, neighbor_id, cos_sim, rank) — exact top-k by cosine,
     self-matches excluded; ties broken by neighbor id for determinism.
+    Each side's norm is hoisted out of the O(corpus × queries) pair
+    loop (same double ops in the same order as computing them per
+    pair, so the rounded values are bit-identical).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -88,9 +99,11 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                round_digits,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -105,7 +118,9 @@ def knn_bruteforce(
 
 def plane_dot(vec_col, plane: list[float]):
     """Dot of an array column with a literal plane, as an ordered fold
-    (element i × constant i) — expressible identically in SQL."""
+    (element i × constant i) — expressible identically in SQL. (An
+    unrolled per-element expression chain measured far slower — see
+    the note on :func:`dot`.)"""
     return F.aggregate(
         F.zip_with(
             vec_col,
@@ -163,12 +178,22 @@ def cosine_dup_pairs(
     and unioning) raises recall.
     """
     b = lsh_buckets(vectors, n_planes, seed, id_col, vec_col, dim)
-    v = vectors.join(b, id_col)
+    # norm computed ONCE per vector before the bucket self-join — the
+    # per-pair expression then multiplies the two prematerialized
+    # norms, which is the identical sequence of double ops as
+    # computing them inside the pair row (cosine() would), so the
+    # rounded values are bit-equal while the O(pairs) work drops to
+    # one dot per pair
+    v = vectors.join(b, id_col).withColumn(
+        "__nrm", norm(F.col(vec_col))
+    )
     a = v.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("__nrm").alias("na"), "bucket",
     )
     c = v.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("__nrm").alias("nb"), "bucket",
     )
     return (
         a.join(c, "bucket")
@@ -176,9 +201,11 @@ def cosine_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                round_digits,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -347,6 +374,7 @@ def ivf_ann(
                     id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("__cn"),
         "cell",
     )
     q_cells = F.slice(
@@ -359,15 +387,20 @@ def ivf_ann(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("__qn"),
         F.explode(q_cells).alias("qc"),
-    ).select("query_id", "qv", F.col("qc")["i"].alias("cell"))
+    ).select("query_id", "qv", "__qn", F.col("qc")["i"].alias("cell"))
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -398,10 +431,12 @@ def lsh_ann_candidates(
     c = corpus.join(cb, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("__cn"),
         "bucket",
     )
     q = queries.join(qb, id_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("__qn"), "bucket",
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -409,7 +444,11 @@ def lsh_ann_candidates(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -32,6 +32,34 @@ def tokens(text: str | Column) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def fan_out(df, *key_cols: str):
+    """Scale-adaptive parallelism repair for CPU-heavy per-row work
+    (hashing, shingling, signature aggregation) whose input scan is
+    under-parallel — the common small-corpus / single-row-group case
+    where one parquet file gives ONE unsplittable scan task and a
+    32-core executor runs the whole hash pipeline single-threaded.
+
+    If the planned scan parallelism is at least half the session's
+    default parallelism (large inputs: many files/splits), the frame
+    is returned UNCHANGED — no shuffle is added at scale, where the
+    payload pass would actually cost something. Otherwise the frame
+    is hash-repartitioned on ``key_cols`` (deterministic — hash
+    partitioning needs no sort-before-repartition and is stable
+    under task retry) to the session's default parallelism. Row
+    contents are untouched; callers must only aggregate with
+    partition-order-insensitive functions (min/max/count/integer
+    sums — everything this module's consumers use)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - planning quirk: skip repair
+        return df
+    if target <= 1 or n >= max(2, target // 2):
+        return df
+    return df.repartition(target, *[F.col(c) for c in key_cols])
+
+
 def token_count(text: str | Column) -> Column:
     return F.size(tokens(text))
 
@@ -323,13 +351,25 @@ def lang_id(text: str | Column) -> Column:
 
 def word_shingles(text: str | Column, k: int = 5) -> Column:
     """Overlapping k-word shingles as space-joined strings; documents
-    shorter than k words yield one whole-document shingle."""
+    shorter than k words yield one whole-document shingle.
+
+    The token array is bound ONCE per row via a single-element
+    ``transform`` lambda: referencing the ``tokens(text)`` expression
+    directly inside the per-shingle lambda would re-evaluate the
+    regex split for EVERY shingle (O(words²) per document — measured
+    ~15x slower on shingle-heavy corpora); binding it as a lambda
+    variable makes each shingle a cheap slice of the already-split
+    array. Same values, same NULL/empty-string semantics."""
     toks = tokens(text)
-    n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+
+    def shingles_of(t: Column) -> Column:
+        n = F.greatest(F.size(t) - (k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        )
+
+    return F.get(F.transform(F.array(toks), shingles_of), 0)
 
 
 def fingerprint(text: str | Column, k: int = 5) -> Column:
@@ -413,22 +453,36 @@ def simhash_table(
     bands = 65k buckets."""
     if n_bits % 32 or n_bits > 64:
         raise ValueError("n_bits must be 32 or 64")
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
-    )
-
     def digest(block: int):
         if block == 0:
             return F.md5("__w")  # block 0 = the historical layout
         return F.md5(F.concat(F.lit(f"{block}|"), F.col("__w")))
 
+    # hoist the per-token digests into ONE projection: the n_bits
+    # conditional sums below each read a hex digit of the same md5 —
+    # leaving the digest inside every aggregate expression hashes
+    # each token up to n_bits times (codegen does not always
+    # eliminate the common subexpression across aggregate buffers);
+    # values are identical, the aggregates only take substrings.
+    # fan_out: the tokenize+digest loop is the CPU hot path — repair
+    # an under-parallel scan (no-op at scale; the bit-vote sums are
+    # partition-order independent)
+    toks = fan_out(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+    ).select(
+        F.col(id_col),
+        *[digest(blk).alias(f"__d{blk}") for blk in range(n_bits // 32)],
+    )
+
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(
-                    F.substring(digest(b // 32), b % 32 + 1, 1).isin(
-                        *_HIGH_HEX
-                    ),
+                    F.substring(
+                        F.col(f"__d{b // 32}"), b % 32 + 1, 1
+                    ).isin(*_HIGH_HEX),
                     1,
                 ).otherwise(-1)
             ).alias(f"v{b}")

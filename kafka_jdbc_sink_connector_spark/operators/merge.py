@@ -425,12 +425,21 @@ def merge_into(
             return sc(DELETE_STRUCT)[c]
         return t(c)
 
+    # materialize the action decision ONCE as a column: embedding the
+    # full multi-branch `action` tree inside every output column's
+    # CASE (4 branches x ~N data columns) multiplied the analyzed
+    # expression tree ~4N-fold — measurable driver-side
+    # analysis/optimization time on every micro-batch. The projected
+    # attribute is the identical deterministic value.
+    j = j.withColumn("__action", action)
+    act = F.col("__action")
+
     out_cols = []
     for c in data_cols:
         expr = (
-            F.when(action == A_UPSERT, upsert_val(c))
-            .when(action == A_SOFT_UPS, soft_on_upsert(c))
-            .when(action == A_SOFT_TGT, soft_on_target(c))
+            F.when(act == A_UPSERT, upsert_val(c))
+            .when(act == A_SOFT_UPS, soft_on_upsert(c))
+            .when(act == A_SOFT_TGT, soft_on_target(c))
             .otherwise(t(c))
         )
         field = snap.schema[c]
@@ -442,11 +451,11 @@ def merge_into(
     if subset_deletes is not None:
         out_cols.append(
             F.when(
-                (action == A_UPSERT) | (action == A_SOFT_UPS),
+                (act == A_UPSERT) | (act == A_SOFT_UPS),
                 sc(UPSERT_OFF),
             ).alias("__row_ups_off")
         )
-    result = j.filter(action != A_DROP).select(*out_cols)
+    result = j.filter(act != A_DROP).select(*out_cols)
     if subset_deletes is not None:
         result = _apply_subset_deletes(result, subset_deletes, cfg, audit)
     return table.commit_rewrite(

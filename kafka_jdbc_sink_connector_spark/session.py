@@ -49,6 +49,13 @@ def build_session(
         # definition; any locality wait is pure scheduler stall (3s
         # default was costing seconds per tiny job)
         .config("spark.locality.wait", "0ms")
+        # PySpark 4 captures a Python call-site string (a full stack
+        # walk + one extra JVM roundtrip) for EVERY DataFrame/Column
+        # op to enrich error messages; the engine builds plans with
+        # thousands of Column ops per batch, where this measured
+        # ~10-15% of driver-side plan-construction time. Trade: error
+        # messages lose the user-code line pointer.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )
     for k, v in (extra_conf or {}).items():

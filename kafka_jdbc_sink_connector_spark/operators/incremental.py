@@ -149,9 +149,12 @@ class MinHashDedupIndex:
         # materialize once, reuse three times (within-join both sides,
         # probe build side, append)
         bsig = bsig.localCheckpoint(eager=False)
-        batch_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
         # replay safety: drop the batch's own ids from the index side
-        # (broadcast anti-join — batch-sized build, index streamed)
+        # (broadcast anti-join — batch-sized build, index streamed).
+        # No .distinct() on the build side: anti-join semantics are
+        # set-based already, and the distinct cost a full extra
+        # shuffle+aggregate job inside the broadcast build
+        batch_ids = docs.select(F.col(id_col).alias("doc_id"))
         isig = t.read().join(F.broadcast(batch_ids), "doc_id", "left_anti")
         pairs = _within_pairs(bsig).union(_probe_pairs(isig, bsig))
         out = pairs.groupBy("doc_a", "doc_b").agg(
@@ -303,7 +306,9 @@ class EmbeddingDedupIndex:
         # materialize once, reuse three times (within-join both
         # sides, probe build side, append)
         bvec = bvec.localCheckpoint(eager=False)
-        batch_ids = vectors.select(F.col(id_col).alias("vec_id")).distinct()
+        # no .distinct() on the anti-join build side (see the MinHash
+        # twin above): same result set, one less shuffle job
+        batch_ids = vectors.select(F.col(id_col).alias("vec_id"))
         ivec = t.read().join(
             F.broadcast(batch_ids), "vec_id", "left_anti"
         )

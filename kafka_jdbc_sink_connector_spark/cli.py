@@ -415,9 +415,14 @@ def cmd_search(args) -> None:
     t = LakeTable.load(spark, args.postings)
     terms = [s for s in args.terms.split(",") if s]
     out = search_postings(spark, t, terms, mode=args.mode)
-    ids = sorted(r[0] for r in out.collect())
+    # bounded collect: a stopword-like probe over a large posting
+    # table would otherwise pull every matching id to the driver even
+    # though only --limit ids are printed; the count stays distributed
+    id_col = out.columns[0]
+    n_docs = out.count()
+    ids = [r[0] for r in out.orderBy(id_col).limit(args.limit).collect()]
     print(json.dumps({"terms": terms, "mode": args.mode,
-                      "n_docs": len(ids), "doc_ids": ids[:args.limit]}))
+                      "n_docs": n_docs, "doc_ids": ids}))
 
 
 def main(argv: list[str] | None = None) -> None:

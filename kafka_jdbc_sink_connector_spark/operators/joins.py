@@ -69,6 +69,24 @@ def asof_join(
         c for c in right.columns if c not in (*on, right_ts)
     ]
     out_names = {c: f"{c}{suffix}" for c in [*rcols, right_ts]}
+    # fail fast on output-name collisions (like range_join_bins): a
+    # left column named like a generated `<col><suffix>` output would
+    # produce duplicate/ambiguous columns downstream, and `__`-
+    # prefixed left columns collide with the join's internal tags
+    clash = sorted(set(out_names.values()) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join output column(s) {clash} collide with existing "
+            f"left columns; rename them or pass a different suffix"
+        )
+    reserved = sorted(
+        c for c in left.columns if c in ("__ts", "__side", "__r", "__m")
+    )
+    if reserved:
+        raise ValueError(
+            f"left column(s) {reserved} collide with asof_join's "
+            f"reserved internal names; rename them first"
+        )
 
     ts_d = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
     lpay = [c for c in left.columns if c not in on]

@@ -97,6 +97,18 @@ class AggViewRunner:
             raise ValueError(
                 f"agg output(s) {sorted(overlap)} collide with group_by"
             )
+        from kafka_jdbc_sink_connector_spark.config import DeleteMode
+
+        if applier.cfg.delete_mode is not DeleteMode.DELETE:
+            # soft deletes would only mark emptied groups, and
+            # read_target() consumers see the marker column as just
+            # another column — vanished groups would keep reporting
+            # stale aggregates. Hard deletes are the view's contract.
+            raise ValueError(
+                "aggregate-view applier must use delete_mode='delete' "
+                f"(got {applier.cfg.delete_mode.value!r}): emptied "
+                "groups must leave the view, not be soft-marked"
+            )
         self.spark = spark
         self.upstream_path = upstream_path
         self.applier = applier

@@ -175,6 +175,20 @@ class TextIndexRunner:
                 f"posting-table pk must be ('term', {id_col!r}), got "
                 f"{list(applier.cfg.pk_fields)}"
             )
+        from kafka_jdbc_sink_connector_spark.config import DeleteMode
+
+        if applier.cfg.delete_mode is not DeleteMode.DELETE:
+            # a soft-delete posting applier would only flip the
+            # marker column on retraction, and postings()/
+            # search_postings() read the table without filtering
+            # markers — deleted postings would keep appearing as
+            # live hits (stale search results). Hard deletes are the
+            # posting table's contract.
+            raise ValueError(
+                "posting-table applier must use delete_mode='delete' "
+                f"(got {applier.cfg.delete_mode.value!r}): retracted "
+                "postings must be removed, not soft-marked"
+            )
         self.spark = spark
         self.upstream_path = upstream_path
         self.applier = applier

@@ -590,7 +590,15 @@ class LakeTable:
             _PART_DIR_COL, F.col(BUCKET_COL)
         ).select(*out_cols, _PART_DIR_COL)
         if not preserve_layout:
-            arranged = arranged.repartition(F.col(BUCKET_COL))
+            # pin the partition count to the bucket count: an AQE-
+            # coalescible repartition(col) collapses a small commit to
+            # ONE task that then writes every bucket's file SERIALLY —
+            # per-file writer overhead (open/zstd/footer/commit) is
+            # invisible to AQE's byte-based sizing and measured ~1 s
+            # per micro-batch. One writer task per bucket is the
+            # natural layout at any scale (file count is fixed by the
+            # bucket contract either way).
+            arranged = arranged.repartition(n_buckets, F.col(BUCKET_COL))
         arranged.write.partitionBy(_PART_DIR_COL).parquet(out_dir)
         if _DEBUG_TIMING:
             print(f"    [timing] rewrite data write: "
@@ -682,7 +690,9 @@ class LakeTable:
         (
             new_data.withColumn(_PART_DIR_COL, F.col(BUCKET_COL))
             .select(*out_cols, _PART_DIR_COL)
-            .repartition(F.col(BUCKET_COL))
+            # pinned count: see commit_rewrite — avoids the serial
+            # one-task many-files write on small appends
+            .repartition(snap.n_buckets, F.col(BUCKET_COL))
             .write.partitionBy(_PART_DIR_COL)
             .parquet(out_dir)
         )
@@ -755,7 +765,11 @@ class LakeTable:
             (
                 rows.withColumn("__seq", F.lit(version).cast("long"))
                 .withColumn(_PART_DIR_COL, F.col(BUCKET_COL))
-                .repartition(F.col(BUCKET_COL))
+                # pinned count: see commit_rewrite — a delta batch is
+                # small by design, and AQE would coalesce the write to
+                # one task that writes every touched bucket's delta
+                # file serially
+                .repartition(snap.n_buckets, F.col(BUCKET_COL))
                 .write.partitionBy(_PART_DIR_COL)
                 .parquet(dest)
             )

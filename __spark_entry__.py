@@ -50,6 +50,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _events_max_id(spark: SparkSession, sf_dir: str) -> int:
+    """``max(event_id)`` over the events table, answered from parquet
+    FOOTER statistics when every row group carries them (exact for
+    int64 — same metadata-only idea as ``LakeTable.min_max``), with a
+    Spark aggregate job as the fallback. Several queries only need
+    this scalar to slice the stream into batches; the footer read
+    replaces a full scan job per query."""
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            [os.path.join(path, f) for f in os.listdir(path)
+             if f.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        if not files:
+            raise ValueError("no parquet files")
+        mx = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for gi in range(md.num_row_groups):
+                rg = md.row_group(gi)
+                for ci in range(rg.num_columns):
+                    c = rg.column(ci)
+                    if c.path_in_schema != "event_id":
+                        continue
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("row group without stats")
+                    mx = st.max if mx is None else max(mx, st.max)
+        if mx is None:
+            raise ValueError("event_id column not found")
+        return int(mx)
+    except Exception:
+        row = _t(spark, sf_dir, "events").agg(
+            F.max("event_id")
+        ).collect()[0]
+        return int(row[0])
+
+
 def _events_as_cdc(events: DataFrame) -> DataFrame:
     """events table → engine change-event frame (see module docstring)."""
     return events.select(
@@ -174,7 +216,7 @@ def q_cdc_apply_final_state_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same sequential-replay oracle as the COW flagship."""
     cfg = SinkConfig(merge_mode="mor", **_CDC_CFG)
     cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
-    mid = cdc.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    mid = _events_max_id(spark, sf_dir) // 2
     tmp = tempfile.mkdtemp(prefix="cdc_final_state_mor_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
@@ -197,7 +239,7 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays readable after N+1 commits)."""
     cfg = SinkConfig(**_CDC_CFG)
     cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
-    mid = cdc.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    mid = _events_max_id(spark, sf_dir) // 2
     tmp = tempfile.mkdtemp(prefix="cdc_snapshot_diff_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
@@ -287,7 +329,7 @@ def q_cdc_restore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     management)."""
     cfg = SinkConfig(**_CDC_CFG)
     cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
-    mid = cdc.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    mid = _events_max_id(spark, sf_dir) // 2
     tmp = tempfile.mkdtemp(prefix="cdc_restore_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
@@ -344,7 +386,7 @@ def q_cdc_cascade_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = SinkConfig(pk_fields=("user_id",), n_buckets=8,
                      delete_mode="delete")
     cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
-    mid = cdc.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    mid = _events_max_id(spark, sf_dir) // 2
     tmp = tempfile.mkdtemp(prefix="cdc_cascade_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     bronze = CdcApplier(spark, cfg, os.path.join(tmp, "bronze"))
@@ -416,7 +458,7 @@ def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
-    hi = cdc.agg(F.max("kafka_offset")).collect()[0][0]
+    hi = _events_max_id(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="cdc_aggview_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     bronze = CdcApplier(
@@ -499,7 +541,7 @@ def q_cdc_rollup_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
-    hi = cdc.agg(F.max("kafka_offset")).collect()[0][0]
+    hi = _events_max_id(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="cdc_rollup_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     bronze = CdcApplier(
@@ -610,7 +652,7 @@ def q_cdc_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "ts"
     )
-    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    mx = _events_max_id(spark, sf_dir)
     probe = (
         ev.filter(F.col("event_id") >= mx // 2)
         .agg(F.min("event_id"))
@@ -655,7 +697,7 @@ def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = SinkConfig(pk_fields=("user_id",), delete_retain_fields=("ts",),
                      n_buckets=8, delete_mode="delete")
     cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
-    mid = cdc.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    mid = _events_max_id(spark, sf_dir) // 2
     tmp = tempfile.mkdtemp(prefix="cdc_change_feed_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
@@ -731,7 +773,7 @@ def q_cdc_change_feed_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg = SinkConfig(merge_mode="mor", **_CDC_CFG)
     cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
-    mid = cdc.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    mid = _events_max_id(spark, sf_dir) // 2
     tmp = tempfile.mkdtemp(prefix="cdc_change_feed_soft_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))
@@ -1037,7 +1079,7 @@ def q_cdc_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    max_id = sel.agg(F.max("event_id")).collect()[0][0]
+    max_id = _events_max_id(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="cdc_skip_scan_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     t = LakeTable.create(
@@ -1095,7 +1137,7 @@ def q_cdc_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    max_id = sel.agg(F.max("event_id")).collect()[0][0]
+    max_id = _events_max_id(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="cdc_meta_count_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     t = LakeTable.create(
@@ -1154,7 +1196,7 @@ def q_cdc_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    max_id = sel.agg(F.max("event_id")).collect()[0][0]
+    max_id = _events_max_id(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="cdc_meta_minmax_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     t = LakeTable.create(
@@ -3617,7 +3659,7 @@ def _cdc_subset_delete_state(
         merge_mode=merge_mode,
     )
     cdc = _events_as_cdc(_t(spark, sf_dir, "events"))
-    mid = cdc.agg(F.max("kafka_offset")).collect()[0][0] // 2
+    mid = _events_max_id(spark, sf_dir) // 2
     tmp = tempfile.mkdtemp(prefix=f"cdc_subset_{merge_mode}_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     applier = CdcApplier(spark, cfg, os.path.join(tmp, "tgt"))

@@ -49,18 +49,14 @@ def build_session(
         # definition; any locality wait is pure scheduler stall (3s
         # default was costing seconds per tiny job)
         .config("spark.locality.wait", "0ms")
-        # allow shuffled-hash joins when the per-partition build side
-        # fits (guide-recommended): the merge path's FULL OUTER join
-        # then skips both sort passes — interleaved A/B/A measured
-        # ~9% off the steady COW micro-batch. The planner's own
-        # size gates (and the AQE threshold below) keep the build
-        # side bounded, so the setting is scale-safe, not a
-        # local-mode constant.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        .config(
-            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            "67108864",
-        )
+        # NOTE measured non-win (r8): preferring shuffled-hash joins
+        # (preferSortMergeJoin=false + AQE
+        # maxShuffledHashJoinLocalMapThreshold=64m) looked ~9% better
+        # on one steady-COW A/B/A, but longer interleaved runs showed
+        # a wash on the steady path and repeated multi-second
+        # regressions on the LARGE merge batch (the full-outer SHJ
+        # stage burned ~3x the CPU of the sort-merge plan). Keep
+        # Spark's defaults.
         # PySpark 4 captures a Python call-site string (a full stack
         # walk + one extra JVM roundtrip) for EVERY DataFrame/Column
         # op to enrich error messages; the engine builds plans with

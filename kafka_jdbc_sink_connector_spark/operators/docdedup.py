@@ -64,13 +64,22 @@ def shingle_index(
     file = one task) would run it single-threaded regardless of
     cores. No-op at scale; results are partition-order independent
     (min/count aggregates only downstream)."""
+    from kafka_jdbc_sink_connector_spark.operators.text import (
+        shingles_of_tokens,
+        tokens,
+    )
+
     return (
         fan_out(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        # tokens projected ONCE as a column, shingles sliced from the
+        # bound attribute — same values as word_shingles(text), one
+        # less lambda nesting level in the hot loop
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .select(
             F.col(id_col),
-            F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias(
-                "shingle"
-            ),
+            F.explode(
+                F.array_distinct(shingles_of_tokens(F.col("__toks"), k))
+            ).alias("shingle"),
         )
     )
 

@@ -65,6 +65,23 @@ def build_session(
         # messages lose the user-code line pointer.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # AQE coalescing's 1MB min-partition floor serializes SMALL
+        # shuffles onto fewer tasks than cores (a steady micro-batch
+        # merge ran 16 tasks on 32 cores); at scale partitions are
+        # sized by totalBytes/parallelism >> any floor, so lowering it
+        # only restores parallelism in the small-shuffle regime. The
+        # floor stays scale-adaptive: AQE still targets
+        # max(total/defaultParallelism, this).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+        # NOTE measured non-win (r8): raising
+        # spark.sql.sources.parallelPartitionDiscovery.threshold to
+        # keep manifest-known file lists off the distributed-listing
+        # job path cut pure read()-plan construction 5x in isolation
+        # (0.20s -> 0.04s per read), but interleaved suite runs showed
+        # no reproducible end-to-end win (FileStatusCache already
+        # absorbs repeats), and serial listing is an object-store
+        # regression risk. Left at Spark's default.
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -175,7 +175,16 @@ class AggViewRunner:
                 fresh.select(*self.group_by), self.group_by, "left_anti"
             )
             mode = "incremental"
-        events = self._events(fresh, dels)
+        # the batch frame is a computed pipeline (feed + broadcast
+        # semi-join + re-aggregation), not a parquet-backed scan: the
+        # applier's stats and merge jobs would each re-execute the
+        # whole pipeline. Cut the recompute with a lazy localCheckpoint
+        # (materializes with the stats job, reused by the merge) — the
+        # frame is group-count-sized for the affected groups, i.e.
+        # batch-bounded in the incremental path and view-sized at
+        # worst on bootstrap/refresh (disk-backed storage level, the
+        # same order as the view table the apply writes anyway).
+        events = self._events(fresh, dels).localCheckpoint(eager=False)
         res = self.applier.apply_batch(
             events, batch_id=head, source_id=self.source_id
         )

@@ -150,8 +150,14 @@ class CascadeRunner:
         elif full_refresh:
             events, mode = self._refresh_events(up, head), "refresh"
         else:
-            events, mode = self._incremental_events(up, w, head), \
-                "incremental"
+            # the incremental feed is a computed pipeline (change-file
+            # resolution), change-window-sized: a lazy localCheckpoint
+            # stops the applier's stats and merge jobs each re-running
+            # it. Bootstrap/refresh stay unpersisted — they are
+            # table-sized projections of a plain parquet read, cheap
+            # to re-scan and fatal to materialize at 100 TB.
+            events, mode = self._incremental_events(up, w, head) \
+                .localCheckpoint(eager=False), "incremental"
         res = self.applier.apply_batch(
             events, batch_id=head, source_id=self.source_id
         )

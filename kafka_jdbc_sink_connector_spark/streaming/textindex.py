@@ -228,11 +228,15 @@ class TextIndexRunner:
                 F.col(CHANGE_TYPE).isin("insert", "update_postimage")
             ).drop(*_FEED_META)
             cfg = self.applier.cfg
+            # change-window-bounded computed pipeline (feed resolution
+            # + tokenize/explode): lazy-checkpoint so the applier's
+            # stats and merge jobs don't each re-run it. The bootstrap
+            # branch stays unpersisted (corpus x terms sized).
             events = self._postings(
                 pre, op=cfg.op_delete_value, offset=0
             ).unionByName(
                 self._postings(post, op=self._op_upsert(), offset=1)
-            )
+            ).localCheckpoint(eager=False)
             mode = "incremental"
         res = self.applier.apply_batch(
             events, batch_id=head, source_id=self.source_id
